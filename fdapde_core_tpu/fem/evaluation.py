@@ -1,0 +1,80 @@
+"""Basis evaluation at data locations: the Psi matrix of data-mesh coupling.
+
+Counterpart of the evaluation policies in
+/root/reference/fdaPDE/finite_elements/basis/lagrangian_basis.h:203-283:
+
+- pointwise: Psi[i, j] = psi_j(p_i) for each location p_i, built by locating
+  each point and evaluating the reference basis at the pulled-back point
+  invJ (p - v0); rows of points outside the domain are empty,
+- areal: Psi[k, j] = (int_{D_k} psi_j) / |D_k| for subdomains D_k given by a
+  binary incidence matrix over cells; D holds the subdomain measures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..linear_algebra.sparse import SparseMatrix
+
+__all__ = ["eval_basis_pointwise", "eval_basis_areal", "basis_expansion"]
+
+
+def eval_basis_pointwise(space, locs: np.ndarray):
+    """(Psi, D): Psi sparse (n_locs, n_dofs), D = ones (lagrangian_basis.h:203-235)."""
+    from ..geometry.affine import affine_maps_np
+
+    mesh = space.mesh
+    locs = np.atleast_2d(np.asarray(locs, dtype=np.float64))
+    ids = mesh.locate(locs)
+    inside = np.nonzero(ids >= 0)[0]
+    e = ids[inside]
+    _, invJ, _ = affine_maps_np(mesh.nodes, mesh.cells)
+    v0 = mesh.nodes[mesh.cells[e, 0]]
+    ref_pts = np.einsum("kmn,kn->km", invJ[e], locs[inside] - v0)
+    vals = space.ref_basis.eval(ref_pts)  # (k, nb)
+    nb = space.n_basis_per_cell
+    rows = np.repeat(inside, nb)
+    cols = space.dofs[e].reshape(-1)
+    Psi = SparseMatrix.from_coo(
+        rows, cols, vals.reshape(-1), (locs.shape[0], space.n_dofs)
+    )
+    return Psi, np.ones(locs.shape[0])
+
+
+def eval_basis_areal(space, incidence: np.ndarray):
+    """(Psi, D) for areal observations (lagrangian_basis.h:237-283).
+
+    incidence: binary (n_subdomains, n_cells); Psi[k, j] = mean over D_k of
+    psi_j; D[k] = measure of D_k.
+    """
+    mesh = space.mesh
+    incidence = np.asarray(incidence)
+    n_sub = incidence.shape[0]
+    measures = mesh.measures
+    # per-cell integrals of each local basis fn: int_e psi_h = measure_e *
+    # sum_q w_q phi[q, h]
+    cell_int = measures[:, None] * (
+        space.quad.weights @ space.phi_tab
+    )  # (C, nb)
+    rows, cols, vals = [], [], []
+    D = np.zeros(n_sub)
+    for k in range(n_sub):
+        cells_k = np.nonzero(incidence[k] == 1)[0]
+        Dk = measures[cells_k].sum()
+        D[k] = Dk
+        rows.append(np.full(cells_k.size * space.n_basis_per_cell, k))
+        cols.append(space.dofs[cells_k].reshape(-1))
+        vals.append((cell_int[cells_k] / Dk).reshape(-1))
+    Psi = SparseMatrix.from_coo(
+        np.concatenate(rows),
+        np.concatenate(cols),
+        np.concatenate(vals),
+        (n_sub, space.n_dofs),
+    )
+    return Psi, D
+
+
+def basis_expansion(space, coeffs: np.ndarray, locs: np.ndarray) -> np.ndarray:
+    """Evaluate sum_i c_i psi_i at locations (lagrangian_basis.h:186-200)."""
+    Psi, _ = eval_basis_pointwise(space, locs)
+    return np.asarray(Psi @ np.asarray(coeffs, dtype=np.float64))

@@ -1,0 +1,128 @@
+"""FEM linear solvers: elliptic and parabolic, with Dirichlet conditions.
+
+Counterpart of /root/reference/fdaPDE/finite_elements/solvers/. The
+reference imposes Dirichlet conditions by row surgery (zero the row, 1 on the
+diagonal, rhs = g; fem_solver_base.h:142-155) and then runs SparseLU. Here we
+use the mathematically equivalent *symmetric masking* formulation — boundary
+rows AND columns are masked, with the boundary coupling moved to the
+right-hand side:
+
+    A~ v = mask_d(v) + free(A @ free(v));   b~ = free(b - A (g . mask)) + g . mask
+
+whose solution coincides with the reference's (u restricted to boundary dofs
+equals g exactly; interior equations are unchanged). Masking keeps the
+operator SPD so CG applies; advection systems use BiCGStab.
+
+The parabolic solver is implicit Euler over a `lax.scan`
+(fem_linear_parabolic_solver.h:37-72): K = M/dt + A, per-step rhs
+(M/dt) u_i + F_{i+1}, per-step boundary values, CG warm-started from the
+previous step (replacing the single sparse factorization + back-substitutions).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..linear_algebra.solvers import bicgstab, cg, jacobi_preconditioner
+
+__all__ = ["DirichletSystem", "solve_elliptic", "solve_parabolic"]
+
+
+class DirichletSystem(NamedTuple):
+    """A linear operator with Dirichlet dofs pinned by masking."""
+
+    A: object  # SparseMatrix
+    mask: jnp.ndarray  # (n,) bool, True on Dirichlet dofs
+
+    def __call__(self, v):
+        free = ~self.mask
+        if v.ndim == 2:
+            fm = free[:, None]
+            return (self.A @ (v * fm)) * fm + v * (~free)[:, None]
+        w = (self.A @ (v * free)) * free
+        return w + v * self.mask
+
+    def rhs(self, b, g):
+        """Move boundary data to the RHS: b~ as in the module docstring."""
+        gm = jnp.where(self.mask, g, 0.0)
+        b2 = (b - self.A @ gm) * (~self.mask)
+        return b2 + gm
+
+    def diagonal(self):
+        d = self.A.diagonal()
+        return jnp.where(self.mask, 1.0, d)
+
+
+def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None):
+    """Solve A u = b with Dirichlet data g on `mask` dofs.
+
+    Counterpart of FEMLinearEllipticSolver::solve
+    (fem_linear_elliptic_solver.h:34-50) with CG/BiCGStab in place of SparseLU.
+    """
+    sys = DirichletSystem(A, mask)
+    pre = jacobi_preconditioner(sys.diagonal())
+    b_mod = sys.rhs(b, g)
+    x0 = jnp.where(mask, g, 0.0)
+    solver = cg if symmetric else bicgstab
+    x, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
+    return x, info
+
+
+def solve_parabolic(
+    A, Mass, F, mask, g, u0, times, rtol=1e-12, maxiter=None, lumped=False
+):
+    """Implicit-Euler time stepping (fem_linear_parabolic_solver.h:37-72).
+
+    A: stiffness, Mass: mass matrix, F: (n, m) forcing per time instant,
+    g: (n, m) Dirichlet data per time instant, u0: initial condition,
+    times: (m,) uniform grid (dt taken from the first two entries, as
+    upstream). With `lumped=True` the mass matrix is row-sum lumped
+    (linear_algebra/lumping.h:30) making M/dt diagonal.
+
+    Returns (n, m) solution with column 0 = u0.
+    """
+    times = jnp.asarray(times).reshape(-1)
+    dt = times[1] - times[0]
+    if lumped:
+        from ..linear_algebra.lumping import lump
+
+        mdiag = lump(Mass) / dt
+
+        def mass_apply(v):
+            return mdiag * v
+
+        K = A.with_vals(A.vals) + _diag_sparse(mdiag)
+    else:
+        def mass_apply(v):
+            return Mass @ v / dt
+
+        K = A + Mass * (1.0 / dt)
+
+    sys = DirichletSystem(K, mask)
+    pre = jacobi_preconditioner(sys.diagonal())
+
+    F = jnp.asarray(F)
+    g = jnp.asarray(g)
+    u0 = jnp.asarray(u0).reshape(-1)
+
+    def step(u_prev, inputs):
+        f_next, g_next = inputs
+        rhs = mass_apply(u_prev) + f_next
+        b_mod = sys.rhs(rhs, g_next)
+        x0 = jnp.where(mask, g_next, u_prev)
+        u_next, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
+        return u_next, u_next
+
+    _, us = jax.lax.scan(step, u0, (F[:, 1:].T, g[:, 1:].T))
+    return jnp.concatenate([u0[:, None], us.T], axis=1)
+
+
+def _diag_sparse(d):
+    from ..linear_algebra.sparse import SparseMatrix
+
+    n = d.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return SparseMatrix(idx, idx, d, (n, n))

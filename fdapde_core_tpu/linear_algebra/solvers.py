@@ -1,0 +1,174 @@
+"""Matrix-free Krylov solvers under `jax.lax.while_loop`.
+
+The TPU replacement for Eigen's SparseLU direct factorization
+(fem_linear_elliptic_solver.h:38-47): sparse LU fill-in is hostile to
+accelerators, while CG/BiCGStab are pure SpMV + dot products — gathers,
+segment-sums and reductions that XLA maps to the VPU, with `psum`-able dot
+products for the multi-chip path (see `parallel/`).
+
+- `cg`: preconditioned conjugate gradients for SPD systems,
+- `bicgstab`: for the non-symmetric systems produced by advection terms
+  (the reference switches to SparseLU regardless; we need a Krylov method
+  robust to asymmetry).
+
+All loops have static shapes; convergence is `||r|| <= max(rtol*||b||, atol)`
+with an iteration cap. Divergence detection (NaN residual guard, §5.3 of
+SURVEY.md) marks `converged=False` without crashing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cg", "bicgstab", "SolveInfo"]
+
+
+class SolveInfo(NamedTuple):
+    iterations: jnp.ndarray
+    residual: jnp.ndarray  # final ||r||
+    converged: jnp.ndarray
+
+
+def _as_operator(A) -> Callable:
+    return A if callable(A) else lambda x: A @ x
+
+
+def _identity(x):
+    return x
+
+
+def cg(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
+    """Preconditioned conjugate gradients. A SPD (callable or SparseMatrix)."""
+    op = _as_operator(A)
+    pre = M_inv if M_inv is not None else _identity
+    pre = _as_operator(pre)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = 10 * n
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - op(x0)
+    z0 = pre(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        rnorm = jnp.linalg.norm(r)
+        return (rnorm > tol) & (k < maxiter) & jnp.isfinite(rnorm)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = op(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pre(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    rnorm = jnp.linalg.norm(r)
+    return x, SolveInfo(k, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+
+
+def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
+    """Preconditioned BiCGStab for general (non-symmetric) systems."""
+    op = _as_operator(A)
+    pre = M_inv if M_inv is not None else _identity
+    pre = _as_operator(pre)
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = 20 * n
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - op(x0)
+    rhat = r0  # shadow residual
+    state0 = (x0, r0, r0, jnp.array(1.0, b.dtype), jnp.array(1.0, b.dtype), jnp.array(1.0, b.dtype), jnp.zeros_like(b), jnp.zeros_like(b), 0)
+    # state: x, r, p, rho, alpha, omega, v, p_prev(unused placeholder), k
+
+    def cond(state):
+        x, r, p, rho, alpha, omega, v, _, k = state
+        rnorm = jnp.linalg.norm(r)
+        return (rnorm > tol) & (k < maxiter) & jnp.isfinite(rnorm)
+
+    def body(state):
+        x, r, p, rho, alpha, omega, v, _, k = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = pre(p)
+        v = op(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = pre(s)
+        t = op(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.where(tt > 0, jnp.vdot(t, s) / tt, 0.0)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, rho_new, alpha, omega, v, _, k + 1)
+
+    # first iteration initializes p = r (rho path handles it via rho=alpha=omega=1)
+    out = jax.lax.while_loop(cond, body, state0)
+    x, r = out[0], out[1]
+    k = out[-1]
+    rnorm = jnp.linalg.norm(r)
+    return x, SolveInfo(k, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+
+
+def dense_solve(A, b):
+    """Dense solve via Gauss–Jordan elimination with partial pivoting.
+
+    Pure-jnp replacement for `jnp.linalg.solve`: XLA lowers the latter to an
+    LU decomposition that is f32-only on TPU; this elimination runs in any
+    dtype on any backend. Intended for the small dense systems of the
+    framework (Newton hessians, SMW capacitance matrices), O(n^3) fori_loop.
+    Supports b of shape (n,) or (n, k).
+    """
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    n = A.shape[0]
+    Ab = jnp.concatenate([A, bb.astype(A.dtype)], axis=1)
+
+    def elim(i, Ab):
+        col = jnp.abs(Ab[:, i])
+        col = jnp.where(jnp.arange(n) < i, -jnp.inf, col)
+        p = jnp.argmax(col)
+        ri, rp = Ab[i], Ab[p]
+        Ab = Ab.at[i].set(rp).at[p].set(ri)
+        row = Ab[i] / Ab[i, i]
+        Ab = Ab.at[i].set(row)
+        factors = jnp.where(jnp.arange(n) == i, 0.0, Ab[:, i])
+        return Ab - factors[:, None] * row[None, :]
+
+    Ab = jax.lax.fori_loop(0, n, elim, Ab)
+    x = Ab[:, n:]
+    return x[:, 0] if vec else x
+
+
+def jacobi_preconditioner(diag):
+    """M^{-1} = 1/diag, guarding zero entries."""
+    d = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+    inv = 1.0 / d
+
+    def apply(x):
+        return inv * x if x.ndim == 1 else inv[:, None] * x
+
+    return apply
