@@ -17,7 +17,12 @@ __all__ = ["smw_solve"]
 
 
 def smw_solve(solve_A, U, invC, V, b):
-    """Solve (A + U C^{-1} V) x = b.
+    """Solve (A + U D V) x = b where `invC` = D^{-1}.
+
+    Exactly the reference's contract (smw.h:45-58: the capacitance matrix is
+    G = invC + V A^{-1} U, hence the supplied `invC` is the *inverse* of the
+    middle factor; the reference docstring writes the middle factor as
+    "C^{-1}" and asks for its precomputed inverse).
 
     solve_A: callable returning A^{-1} r for a vector or (n,k) matrix r.
     U: (n,q), invC: (q,q), V: (q,n), b: (n,) or (n,k).

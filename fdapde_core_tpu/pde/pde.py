@@ -137,6 +137,8 @@ class PDE:
                 from ..splines.assembler import assemble_forcing as _asm_f
 
                 self._force = _asm_f(self.space, self._forcing)
+            else:
+                self._force = jnp.zeros(self.space.n_dofs)
             self.is_init = True
             return self
 

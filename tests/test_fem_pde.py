@@ -1,0 +1,137 @@
+"""End-to-end PDE solves against manufactured solutions.
+
+Mirrors /root/reference/test/src/fem_pde_test.cpp: same meshes, same exact
+solutions, same L2 error functional `(mass @ (e*e)).sum()` and the same
+tolerances (DOUBLE_TOLERANCE = 50*eps for exactly-representable solutions).
+"""
+
+import numpy as np
+import pytest
+
+import fdapde_core_tpu as fdm
+from fdapde_core_tpu.utils import DOUBLE_TOLERANCE
+
+from tests.conftest import load_mesh
+
+PI = np.pi
+
+
+def test_laplacian_isotropic_order1(unit_square):
+    """fem_pde_test.cpp:43-75: u = x + y harmonic, zero forcing, P1."""
+    pde = fdm.PDE(unit_square, -fdm.laplacian(), order=1)
+    coords = pde.dof_coords()
+    g = coords[:, 0] + coords[:, 1]
+    pde.set_dirichlet_bc(g)
+    pde.set_forcing(np.zeros((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < DOUBLE_TOLERANCE
+
+
+def test_laplacian_isotropic_order2_callable_force(unit_square):
+    """fem_pde_test.cpp:78-107: u = 1 - x^2 - y^2, f = 4, P2."""
+    pde = fdm.PDE(
+        unit_square, -fdm.laplacian(), forcing=lambda x: 4.0, order=2
+    )
+    coords = pde.dof_coords()
+    g = 1.0 - coords[:, 0] ** 2 - coords[:, 1] ** 2
+    pde.set_dirichlet_bc(g)
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < DOUBLE_TOLERANCE
+
+
+def _advection_diffusion_exact():
+    alpha, gamma = 1.0, PI
+    lam1 = -alpha / 2 - np.sqrt((alpha / 2) ** 2 + PI * PI)
+    lam2 = -alpha / 2 + np.sqrt((alpha / 2) ** 2 + PI * PI)
+    p = (1 - np.exp(lam2)) / (np.exp(lam1) - np.exp(lam2))
+
+    def exact(x):
+        return (
+            -gamma
+            / (PI * PI)
+            * (p * np.exp(lam1 * x[..., 0]) + (1 - p) * np.exp(lam2 * x[..., 0]) - 1.0)
+            * np.sin(PI * x[..., 1])
+        )
+
+    def forcing(x):
+        return gamma * np.sin(PI * x[..., 1])
+
+    beta = np.array([-alpha, 0.0])
+    return exact, forcing, beta
+
+
+def test_advection_diffusion_isotropic_order1(unit_square):
+    """fem_pde_test.cpp:113-166: -Lap(u) + beta.grad(u) = gamma sin(pi y)."""
+    exact, forcing, beta = _advection_diffusion_exact()
+    L = -fdm.laplacian() + fdm.advection(beta)
+    pde = fdm.PDE(unit_square, L, order=1)
+    coords = pde.dof_coords()
+    pde.set_dirichlet_bc(np.zeros(coords.shape[0]))
+    qn = pde.quadrature_nodes()
+    pde.set_forcing(forcing(qn).reshape(-1, 1))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(exact(coords)) < 1e-5
+
+
+def test_advection_diffusion_isotropic_order2(unit_square):
+    """fem_pde_test.cpp:172-212: same problem, P2, tolerance 1e-7."""
+    exact, forcing, beta = _advection_diffusion_exact()
+    L = -fdm.laplacian() + fdm.advection(beta)
+    pde = fdm.PDE(unit_square, L, forcing=lambda x: float(PI * np.sin(PI * x[1])), order=2)
+    coords = pde.dof_coords()
+    pde.set_dirichlet_bc(np.zeros(coords.shape[0]))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(exact(coords)) < 1e-7
+
+
+def _parabolic_problem(order, n_times, mesh):
+    times = np.linspace(0.0, 1.0, n_times)
+
+    def exact(x, t):
+        return (
+            np.sin(2 * PI * x[..., 0]) * np.sin(2 * PI * x[..., 1]) * np.exp(-t)
+        )
+
+    def forcing(x, t):
+        return (8 * PI * PI - 1.0) * exact(x, t)
+
+    L = fdm.dt() - fdm.laplacian()
+    pde = fdm.PDE(mesh, L, times=times, order=order)
+    coords = pde.dof_coords()
+    g = exact(coords[:, None, :], times[None, :])
+    pde.set_dirichlet_bc(g)
+    pde.set_initial_condition(exact(coords, 0.0))
+    qn = pde.quadrature_nodes()
+    f = forcing(qn[:, None, :], times[None, :])
+    pde.set_forcing(f)
+    pde.init()
+    pde.solve()
+    return pde, g
+
+
+def test_parabolic_isotropic_order2(unit_square):
+    """fem_pde_test.cpp:222-285: heat equation, P2, 101 steps, max-over-time
+    L2 error < 1e-7."""
+    pde, g = _parabolic_problem(2, 101, unit_square)
+    assert pde.l2_error(g) < 1e-7
+
+
+@pytest.mark.slow
+def test_parabolic_isotropic_order1_convergence():
+    """fem_pde_test.cpp:295-368: h-refinement convergence slope == 2."""
+    errors = []
+    for n in (16, 32, 64, 128):
+        mesh = load_mesh(f"unit_square_{n}")
+        pde, g = _parabolic_problem(1, 31, mesh)
+        import jax.numpy as jnp
+
+        e = jnp.asarray(g) - pde.solution()
+        err_last = float(jnp.sqrt((pde.mass() @ (e * e))[:, -1].sum()))
+        errors.append(err_last)
+    for i in range(1, len(errors)):
+        order = np.log2(errors[i - 1] / errors[i])
+        assert np.floor(order) == 2, (errors, order)

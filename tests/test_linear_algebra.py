@@ -1,0 +1,196 @@
+"""Linear algebra layer tests: sparse container, solvers, Kronecker, SMW,
+lumping, blocks, FSPAI.
+
+Mirrors /root/reference/test/src/{kronecker_product_test.cpp, ...} behavior
+against dense references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdapde_core_tpu.linear_algebra import (
+    SparseBlockMatrix,
+    SparseMatrix,
+    bicgstab,
+    cg,
+    fspai,
+    kron,
+    kron_matvec,
+    lump,
+    smw_solve,
+)
+from fdapde_core_tpu.linear_algebra.solvers import dense_solve, jacobi_preconditioner
+
+
+def _rand_sparse(rng, n, m, density=0.3):
+    mask = rng.uniform(size=(n, m)) < density
+    a = np.where(mask, rng.normal(size=(n, m)), 0.0)
+    return a
+
+
+def test_sparse_roundtrip_and_matvec():
+    rng = np.random.default_rng(0)
+    a = _rand_sparse(rng, 7, 5)
+    A = SparseMatrix.from_dense(a)
+    np.testing.assert_allclose(A.toarray(), a)
+    x = rng.normal(size=5)
+    np.testing.assert_allclose(np.asarray(A @ jnp.asarray(x)), a @ x, atol=1e-14)
+    X = rng.normal(size=(5, 3))
+    np.testing.assert_allclose(np.asarray(A @ jnp.asarray(X)), a @ X, atol=1e-14)
+    np.testing.assert_allclose(A.T.toarray(), a.T)
+
+
+def test_sparse_duplicate_scatter_add():
+    # setFromTriplets semantics: duplicate (row, col) summed
+    A = SparseMatrix.from_coo(
+        [0, 0, 1], [1, 1, 0], jnp.array([2.0, 3.0, 4.0]), (2, 2)
+    )
+    np.testing.assert_allclose(A.toarray(), [[0, 5], [4, 0]])
+
+
+def test_sparse_algebra():
+    rng = np.random.default_rng(1)
+    a = _rand_sparse(rng, 4, 4)
+    b = _rand_sparse(rng, 4, 4)
+    A, B = SparseMatrix.from_dense(a), SparseMatrix.from_dense(b)
+    np.testing.assert_allclose((A + B).toarray(), a + b, atol=1e-14)
+    np.testing.assert_allclose((A - B).toarray(), a - b, atol=1e-14)
+    np.testing.assert_allclose((2.5 * A).toarray(), 2.5 * a, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(A.diagonal()), np.diag(a), atol=1e-14)
+
+
+def test_cg_spd():
+    rng = np.random.default_rng(2)
+    n = 50
+    Q = rng.normal(size=(n, n))
+    a = Q @ Q.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    A = SparseMatrix.from_dense(a)
+    x, info = cg(A, jnp.asarray(b), M_inv=jacobi_preconditioner(A.diagonal()), rtol=1e-13)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-9)
+
+
+def test_bicgstab_nonsymmetric():
+    rng = np.random.default_rng(3)
+    n = 40
+    a = np.eye(n) * n + rng.normal(size=(n, n))
+    b = rng.normal(size=n)
+    A = SparseMatrix.from_dense(a)
+    x, info = bicgstab(A, jnp.asarray(b), rtol=1e-13)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-8)
+
+
+def test_dense_solve_matches_numpy():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(6, 6)) + 6 * np.eye(6)
+    b = rng.normal(size=6)
+    np.testing.assert_allclose(
+        np.asarray(dense_solve(jnp.asarray(a), jnp.asarray(b))),
+        np.linalg.solve(a, b),
+        atol=1e-12,
+    )
+    B = rng.normal(size=(6, 2))
+    np.testing.assert_allclose(
+        np.asarray(dense_solve(jnp.asarray(a), jnp.asarray(B))),
+        np.linalg.solve(a, B),
+        atol=1e-12,
+    )
+
+
+def test_kron_dense_and_sparse():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(3, 2))
+    b = rng.normal(size=(2, 4))
+    np.testing.assert_allclose(np.asarray(kron(jnp.asarray(a), jnp.asarray(b))), np.kron(a, b), atol=1e-14)
+    A, B = SparseMatrix.from_dense(a), SparseMatrix.from_dense(b)
+    np.testing.assert_allclose(kron(A, B).toarray(), np.kron(a, b), atol=1e-14)
+    x = rng.normal(size=2 * 4)
+    np.testing.assert_allclose(
+        np.asarray(kron_matvec(jnp.asarray(a), jnp.asarray(b), jnp.asarray(x))),
+        np.kron(a, b) @ x,
+        atol=1e-14,
+    )
+
+
+def test_smw():
+    rng = np.random.default_rng(6)
+    n, q = 20, 3
+    a = np.diag(rng.uniform(1, 2, size=n))
+    U = rng.normal(size=(n, q))
+    C = np.eye(q) * 2.0
+    V = rng.normal(size=(q, n))
+    b = rng.normal(size=n)
+    # smw_solve's `invC` is the inverse of the middle factor (smw.h:52):
+    # system solved is (A + U C V) when passing invC = C^{-1}
+    got = smw_solve(
+        lambda r: jnp.asarray(np.linalg.solve(a, np.asarray(r))),
+        U,
+        np.linalg.inv(C),
+        V,
+        jnp.asarray(b),
+    )
+    want = np.linalg.solve(a + U @ C @ V, b)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+def test_lump():
+    rng = np.random.default_rng(7)
+    a = _rand_sparse(rng, 5, 5)
+    A = SparseMatrix.from_dense(a)
+    np.testing.assert_allclose(np.asarray(lump(A)), a.sum(axis=1), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(lump(jnp.asarray(a))), a.sum(axis=1), atol=1e-14)
+
+
+def test_sparse_block_matrix():
+    rng = np.random.default_rng(8)
+    a = _rand_sparse(rng, 3, 3)
+    b = _rand_sparse(rng, 3, 2)
+    c = _rand_sparse(rng, 2, 2)
+    A, B, C = (SparseMatrix.from_dense(m) for m in (a, b, c))
+    blk = SparseBlockMatrix([[A, B], [None, C]])
+    dense = np.block([[a, b], [np.zeros((2, 3)), c]])
+    np.testing.assert_allclose(blk.to_sparse().toarray(), dense, atol=1e-14)
+    x = rng.normal(size=5)
+    np.testing.assert_allclose(np.asarray(blk @ jnp.asarray(x)), dense @ x, atol=1e-14)
+
+
+def test_fspai_preconditioner_reduces_cg_iterations():
+    # 1D Laplacian tridiagonal SPD
+    n = 64
+    a = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    A = SparseMatrix.from_dense(a)
+    L = fspai(A, alpha=8, beta=4, epsilon=1e-8)
+    Ldense = L.toarray()
+    # L L^T approximates A^{-1}: K-condition of L^T A L should beat A's
+    M = Ldense.T @ a @ Ldense
+    cond_precond = np.linalg.cond(M)
+    cond_orig = np.linalg.cond(a)
+    assert cond_precond < cond_orig / 5
+
+    b = jnp.asarray(np.random.default_rng(9).normal(size=n))
+    _, info_plain = cg(A, b, rtol=1e-10)
+    Lj = jnp.asarray(Ldense)
+
+    def M_inv(r):
+        return Lj @ (Lj.T @ r)
+
+    _, info_pre = cg(A, b, M_inv=M_inv, rtol=1e-10)
+    assert int(info_pre.iterations) < int(info_plain.iterations)
+
+
+def test_boolean_masking_select():
+    """BinaryMatrix `select` semantics (binary_matrix.h:549-599) via plain
+    boolean arrays: masking zeroes the unselected entries."""
+    rng = np.random.default_rng(10)
+    a = rng.normal(size=(4, 4))
+    mask = rng.uniform(size=(4, 4)) < 0.5
+    got = np.where(mask, a, 0.0)
+    A = SparseMatrix.from_dense(a)
+    masked_vals = jnp.where(
+        jnp.asarray(mask[np.asarray(A.rows), np.asarray(A.cols)]), A.vals, 0.0
+    )
+    np.testing.assert_allclose(A.with_vals(masked_vals).toarray(), got, atol=1e-14)
