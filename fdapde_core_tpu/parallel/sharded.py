@@ -1,0 +1,200 @@
+"""shard_map'ed FEM assembly + conjugate gradients over a device mesh.
+
+The multi-chip execution model (new in the TPU build; the reference is
+serial — SURVEY.md §2.9):
+
+- elements are partitioned into contiguous SFC blocks, one per device
+  (`partition.py`); per-element local stiffness matrices are computed
+  *without any communication* inside `shard_map` (the reference's serial
+  assembly loop fem_assembler.h:79-110, parallelized over the element axis),
+- the dof vector is replicated; an SpMV is: local gather x[dofs] ->
+  batched (nb x nb) contraction -> local segment-sum scatter -> one `psum`
+  over the mesh axis (rides ICI on real hardware),
+- CG runs replicated inside the shard_map region: dot products of replicated
+  vectors need no collective; the single psum per iteration is the SpMV.
+
+Dirichlet conditions use the same symmetric masking formulation as the
+single-chip solver (fem/solvers.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fem.space import FEMSpace
+from .partition import partition_elements
+
+__all__ = ["make_device_mesh", "ShardedPoisson"]
+
+
+def make_device_mesh(n_devices: int | None = None) -> Mesh:
+    """1D device mesh over the first n_devices JAX devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), ("shard",))
+
+
+class ShardedPoisson:
+    """Sharded assemble+solve for (diffusion-type) operators, P1/P2 Lagrange.
+
+    The flagship end-to-end pipeline: given a triangulation, partitions
+    elements across the device mesh and exposes a single jitted `solve`
+    (assembly + preconditioned CG) plus separate `assemble` / `cg` stages for
+    benchmarking.
+    """
+
+    def __init__(self, mesh, order: int = 1, device_mesh: Mesh | None = None, dtype=None):
+        self.mesh = mesh
+        self.space = FEMSpace(mesh, order)
+        self.device_mesh = device_mesh or make_device_mesh()
+        self.n_shards = self.device_mesh.devices.size
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+
+        perm, live, block = partition_elements(mesh, self.n_shards)
+        self.block = block
+        nb = self.space.n_basis_per_cell
+
+        # static (host) shard layout
+        self._cells = np.ascontiguousarray(mesh.cells[perm])  # (S*B, k)
+        self._dofs = np.ascontiguousarray(self.space.dofs[perm])  # (S*B, nb)
+        self._live = live.astype(np.float64)  # padded copies get weight 0
+        self.n_dofs = self.space.n_dofs
+
+        sh = lambda spec: NamedSharding(self.device_mesh, spec)
+        self._cells_d = jax.device_put(jnp.asarray(self._cells), sh(P("shard")))
+        self._dofs_d = jax.device_put(jnp.asarray(self._dofs), sh(P("shard")))
+        self._live_d = jax.device_put(
+            jnp.asarray(self._live, dtype=dtype), sh(P("shard"))
+        )
+        self._nodes = jnp.asarray(mesh.nodes, dtype=dtype)
+        self._phi = jnp.asarray(self.space.phi_tab, dtype=dtype)
+        self._grad = jnp.asarray(self.space.grad_tab, dtype=dtype)
+        self._w = jnp.asarray(self.space.quad.weights, dtype=dtype)
+        self._bmask = jnp.asarray(self.space.boundary_dofs)
+
+        self._assemble_jit = jax.jit(self._assemble)
+        self._cg_jit = jax.jit(self._cg, static_argnames=("maxiter",))
+        self._solve_jit = jax.jit(self._solve, static_argnames=("maxiter",))
+
+    # -- sharded local assembly ----------------------------------------------
+    def _local_matrices(self, nodes, cells, live):
+        """(B, nb, nb) local stiffness of -laplacian, one shard's block."""
+        from ..geometry.affine import affine_maps
+
+        J, invJ, measure = affine_maps(nodes, cells)
+        pg = jnp.einsum("cmn,qim->cqin", invJ, self._grad)
+        local = jnp.einsum("cqin,cqjn,q->cij", pg, pg, self._w)
+        return local * (measure * live)[:, None, None]
+
+    def _assemble(self):
+        mesh = self.device_mesh
+
+        def shard_fn(cells, live):
+            return self._local_matrices(self._nodes, cells, live)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("shard"), P("shard")),
+            out_specs=P("shard"),
+        )(self._cells_d, self._live_d)
+
+    def assemble(self):
+        """Sharded local matrices (S*B, nb, nb); no communication."""
+        return self._assemble_jit()
+
+    # -- sharded CG ----------------------------------------------------------
+    def _spmv_local(self, A_loc, dofs, x, free):
+        """One shard's partial A@x with Dirichlet masking; psum'd by caller."""
+        xf = x * free
+        xe = xf[dofs]  # (B, nb) local gather
+        ye = jnp.einsum("cij,cj->ci", A_loc, xe)
+        partial_y = jax.ops.segment_sum(
+            ye.reshape(-1), dofs.reshape(-1), self.n_dofs
+        )
+        return partial_y
+
+    def _cg(self, A_loc, b, g, rtol=1e-6, maxiter=200):
+        """Preconditioned CG; runs inside shard_map, one psum per SpMV."""
+        mesh = self.device_mesh
+        bmask = self._bmask
+        free = (~bmask).astype(b.dtype)
+
+        def shard_fn(A_loc, dofs, b, g):
+            def Ax(x):
+                part = self._spmv_local(A_loc, dofs, x, free)
+                y = jax.lax.psum(part, "shard")
+                return y * free + x * bmask
+
+            # Jacobi diagonal (psum of local diag contributions)
+            diag_part = jax.ops.segment_sum(
+                jnp.einsum("cii->ci", A_loc).reshape(-1),
+                dofs.reshape(-1),
+                self.n_dofs,
+            )
+            diag = jax.lax.psum(diag_part, "shard") * free + bmask
+            inv_diag = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+
+            # move boundary data to the RHS via the *unmasked* column action
+            # A[:, bdofs] @ g (fem/solvers.py DirichletSystem.rhs)
+            gm = g * bmask
+            col_action = jax.lax.psum(
+                self._spmv_local(A_loc, dofs, gm, jnp.ones_like(free)), "shard"
+            )
+            b_mod = (b - col_action) * free + gm
+
+            x0 = gm
+            r0 = b_mod - Ax(x0)
+            z0 = inv_diag * r0
+            bnorm = jnp.linalg.norm(b_mod)
+            tol = rtol * bnorm
+
+            def cond(state):
+                x, r, z, p, rz, k = state
+                rn = jnp.linalg.norm(r)
+                return (rn > tol) & (k < maxiter) & jnp.isfinite(rn)
+
+            def body(state):
+                x, r, z, p, rz, k = state
+                Ap = Ax(p)
+                alpha = rz / jnp.vdot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = inv_diag * r
+                rz_new = jnp.vdot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, k + 1)
+
+            x, r, *_, k = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, jnp.vdot(r0, z0), 0)
+            )
+            return x, jnp.linalg.norm(r), k
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("shard"), P("shard"), P(), P()),
+            out_specs=(P(), P(), P()),
+        )(A_loc, self._dofs_d, b, g)
+
+    def cg(self, A_loc, b, g, rtol=1e-6, maxiter=200):
+        return self._cg_jit(A_loc, b, g, rtol=rtol, maxiter=maxiter)
+
+    # -- fused step ----------------------------------------------------------
+    def _solve(self, b, g, rtol=1e-6, maxiter=200):
+        A_loc = self._assemble()
+        return self._cg(A_loc, b, g, rtol, maxiter=maxiter)
+
+    def solve(self, b, g, rtol=1e-6, maxiter=200):
+        """Assemble + CG in one jit: the 'training step' of this framework."""
+        return self._solve_jit(
+            jnp.asarray(b, self.dtype), jnp.asarray(g, self.dtype), rtol, maxiter=maxiter
+        )

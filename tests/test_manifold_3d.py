@@ -1,0 +1,79 @@
+"""FEM on 3D volumes and 2.5D manifold surfaces.
+
+The reference supports Triangulation<3,3> and <2,3> through the same
+assembler (pseudo-inverse invJ on manifolds, simplex.h:189-193); its test
+suite exercises geometry but no manifold PDE solves. Here: a manufactured 3D
+Poisson solve on the unit_sphere fixture and operator invariants on the
+2.5D surface fixture.
+"""
+
+import numpy as np
+import pytest
+
+import fdapde_core_tpu as fdm
+from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+
+
+def test_3d_poisson_unit_sphere(unit_sphere):
+    """-Lap(u) = -6 with exact u = x^2+y^2+z^2 (quadratic, P1 approx)."""
+    pde = fdm.PDE(
+        unit_sphere, -fdm.laplacian(), forcing=lambda x: -6.0, order=1
+    )
+    coords = pde.dof_coords()
+    exact = (coords**2).sum(axis=1)
+    pde.set_dirichlet_bc(exact)
+    pde.init()
+    pde.solve()
+    assert pde.success
+    # coarse tetrahedral mesh, P1: modest tolerance, but must beat the
+    # trivial (boundary-only) solution by orders of magnitude
+    assert pde.l2_error(exact) < 5e-4
+
+
+def test_3d_harmonic_exact(unit_sphere):
+    """u = x + y + z is in the P1 space and harmonic: error ~ solver tol."""
+    pde = fdm.PDE(unit_sphere, -fdm.laplacian(), order=1)
+    coords = pde.dof_coords()
+    g = coords.sum(axis=1)
+    pde.set_dirichlet_bc(g)
+    pde.set_forcing(np.zeros((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 1e-15
+
+
+def test_surface_operator_invariants(surface):
+    """Laplace-Beltrami stiffness on a 2.5D mesh: symmetric, PSD, constants
+    in kernel; mass matrix sums to the surface area."""
+    space = FEMSpace(surface, 1)
+    A = assemble_matrix(space, -fdm.laplacian()).toarray()
+    M = assemble_matrix(space, fdm.reaction(1.0)).toarray()
+    assert np.abs(A - A.T).max() < 1e-12
+    ones = np.ones(space.n_dofs)
+    assert np.abs(A @ ones).max() < 1e-10  # constants are in the kernel
+    assert M.sum() == pytest.approx(surface.measure(), rel=1e-12)
+    evals = np.linalg.eigvalsh(A)
+    assert evals.min() > -1e-10  # positive semi-definite
+
+
+def test_surface_constant_solution(surface):
+    """f = 0 with constant Dirichlet data reproduces the constant exactly."""
+    pde = fdm.PDE(surface, -fdm.laplacian(), order=1)
+    g = np.full(pde.n_dofs, 3.5)
+    pde.set_dirichlet_bc(g)
+    pde.set_forcing(np.zeros((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    assert np.abs(np.asarray(pde.solution()) - 3.5).max() < 1e-10
+
+
+def test_network_mass_matrix():
+    """1.5D network: mass matrix integrates to total edge length."""
+    from tests.conftest import load_mesh
+
+    net = load_mesh("network")
+    space = FEMSpace(net, 1)
+    M = assemble_matrix(space, fdm.reaction(1.0))
+    assert float(np.asarray(M.vals).sum()) == pytest.approx(
+        net.measure(), rel=1e-12
+    )

@@ -1,0 +1,93 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh.
+
+The correctness contract (SURVEY.md §4): the same solve on 1 device and on N
+devices must agree to solver tolerance, and must match the single-chip
+reference path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdapde_core_tpu.geometry.structured import unit_square_mesh
+from fdapde_core_tpu.parallel import ShardedPoisson, make_device_mesh, morton_order, partition_elements
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_morton_order_is_permutation():
+    mesh = unit_square_mesh(8)
+    order = morton_order(mesh.cell_barycenters)
+    assert sorted(order) == list(range(mesh.n_cells))
+
+
+def test_partition_padding():
+    mesh = unit_square_mesh(5)  # 50 cells over 8 shards -> block 7, pad 6
+    perm, live, block = partition_elements(mesh, 8)
+    assert perm.size == 8 * block
+    assert live.sum() == mesh.n_cells
+
+
+def _solve_both_ways(n, order):
+    mesh = unit_square_mesh(n)
+    import fdapde_core_tpu as fdm
+
+    # single-chip reference path
+    pde = fdm.PDE(mesh, -fdm.laplacian(), forcing=lambda x: 4.0, order=order)
+    coords = pde.dof_coords()
+    g = 1.0 - coords[:, 0] ** 2 - coords[:, 1] ** 2
+    pde.set_dirichlet_bc(g)
+    pde.init()
+    pde.solve()
+
+    # sharded path (same forcing vector, same boundary data)
+    for n_dev in (1, 8):
+        sp = ShardedPoisson(mesh, order, make_device_mesh(n_dev))
+        b = pde.force()
+        x, res, iters = sp.solve(b, jnp.asarray(g), rtol=1e-12, maxiter=2000)
+        yield pde, np.asarray(pde.solution()), np.asarray(x), n_dev
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_sharded_matches_single_chip(order):
+    for pde, ref, got, n_dev in _solve_both_ways(12, order):
+        assert np.abs(ref - got).max() < 1e-8, (order, n_dev)
+
+
+def test_sharded_1_vs_8_devices_identical():
+    mesh = unit_square_mesh(16)
+    import fdapde_core_tpu as fdm
+
+    pde = fdm.PDE(mesh, -fdm.laplacian(), forcing=lambda x: 1.0, order=1)
+    pde.init()
+    b = pde.force()
+    g = jnp.zeros(pde.n_dofs)
+    sols = []
+    for n_dev in (1, 8):
+        sp = ShardedPoisson(mesh, 1, make_device_mesh(n_dev))
+        x, _, _ = sp.solve(b, g, rtol=1e-13, maxiter=3000)
+        sols.append(np.asarray(x))
+    assert np.abs(sols[0] - sols[1]).max() < 1e-10
+
+
+def test_sharded_assembly_matches_sparse():
+    """Sharded local matrices scatter-summed == single-chip global matrix."""
+    mesh = unit_square_mesh(6)
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian()).toarray()
+
+    sp = ShardedPoisson(mesh, 1, make_device_mesh(8))
+    A_loc = np.asarray(sp.assemble())
+    dofs = sp._dofs
+    dense = np.zeros((space.n_dofs, space.n_dofs))
+    for c in range(A_loc.shape[0]):
+        for i in range(3):
+            for j in range(3):
+                dense[dofs[c, i], dofs[c, j]] += A_loc[c, i, j]
+    assert np.abs(dense - A).max() < 1e-12
