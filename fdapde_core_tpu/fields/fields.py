@@ -29,6 +29,7 @@ __all__ = [
     "MatrixField",
     "DifferentiableScalarField",
     "TwiceDifferentiableScalarField",
+    "DiscretizedField",
 ]
 
 
@@ -157,6 +158,34 @@ class TwiceDifferentiableScalarField(DifferentiableScalarField):
 
     def derive_twice(self, mode: str = "auto") -> "MatrixField":
         return MatrixField.from_callable(_lift(self._hess))
+
+
+class DiscretizedField:
+    """A field known only at quadrature nodes, indexed `nq * cell + q`.
+
+    Counterpart of DiscretizedScalarField / DiscretizedVectorField /
+    DiscretizedMatrixField (fields/scalar_expressions.h:98-108,
+    vector_expressions.h:103, matrix_expressions.h:191): the reference
+    smuggles the quadrature index through a `forward(i)` side-channel so
+    expression templates can read tabulated coefficient values during
+    assembly. In the TPU build the assembler consumes such fields directly
+    as arrays shaped (n_cells * n_quad, ...) — this wrapper only carries the
+    array plus its value rank for validation and API parity
+    (pde/operators.py coefficient protocol).
+    """
+
+    def __init__(self, values, rank: int = 0):
+        import numpy as np
+
+        self.values = np.asarray(values, dtype=np.float64)
+        self.rank = rank  # 0: scalar, 1: vector, 2: matrix coefficient
+
+    def __array__(self, dtype=None, copy=None):
+        return self.values if dtype is None else self.values.astype(dtype)
+
+    def forward(self, i: int):
+        """Value at global quadrature index i (scalar_expressions.h:105)."""
+        return self.values[i]
 
 
 class VectorField:

@@ -1,0 +1,25 @@
+"""High-level problem drivers ("model families").
+
+The reference's user-facing surface is the PDE descriptor plus its solver
+selection (pde/pde.h + finite_elements/solvers/ + splines/solvers/); this
+package collects the corresponding ready-to-use drivers of the TPU build:
+
+- `PDE` (re-export): elliptic / parabolic, FEM / SPLINE,
+- `solve_semilinear`: Newton outer loop for semilinear problems,
+- `SeparableOperator` / `solve_space_time`: Kronecker-structured space-time
+  systems (spline-in-time x FEM-in-space), solved matrix-free,
+- `ShardedPoisson` (re-export): the multi-chip pipeline.
+"""
+
+from ..fem.nonlinear import solve_semilinear
+from ..parallel.sharded import ShardedPoisson
+from ..pde import PDE
+from .space_time import SeparableOperator, solve_space_time
+
+__all__ = [
+    "PDE",
+    "solve_semilinear",
+    "SeparableOperator",
+    "solve_space_time",
+    "ShardedPoisson",
+]

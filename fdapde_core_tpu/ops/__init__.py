@@ -1,0 +1,14 @@
+"""Performance-critical device ops: assembly contractions and SpMV variants.
+
+The hot paths of the framework (SURVEY.md §2.10 mapping):
+
+- batched local-matrix quadrature contraction (fem/assembler.py einsums,
+  XLA-fused; Pallas variants live here as they land),
+- `ell.py`: scatter-free SpMV — the element-local products are combined per
+  dof through a precomputed ELL adjacency (pure gathers + a small-axis
+  reduction), avoiding `segment_sum`'s scatter-add, which serializes on TPU.
+"""
+
+from .ell import build_ell_adjacency, ell_spmv, local_matvec
+
+__all__ = ["build_ell_adjacency", "ell_spmv", "local_matvec"]

@@ -214,6 +214,29 @@ class PDE:
             self.success = True
         return self._solution
 
+    def report(self) -> dict:
+        """Structured per-solve observability record (SURVEY.md §5.5).
+
+        The reference exposes only `is_init`/`success` flags
+        (fem_solver_base.h:61-62); here: problem size, operator sparsity,
+        solver iterations and final residual.
+        """
+        rec = {
+            "discretization": self.discretization,
+            "order": self.order,
+            "n_dofs": self.n_dofs,
+            "is_parabolic": self.is_parabolic,
+            "is_init": self.is_init,
+            "success": self.success,
+        }
+        if self._stiff is not None:
+            rec["stiff_nnz"] = self._stiff.nnz
+        if hasattr(self, "solve_info"):
+            rec["solver_iterations"] = int(self.solve_info.iterations)
+            rec["solver_residual"] = float(self.solve_info.residual)
+            rec["solver_converged"] = bool(self.solve_info.converged)
+        return rec
+
     # -- error functional (fem_pde_test.cpp:72-74) ----------------------------
     def l2_error(self, exact_at_dofs) -> float:
         """Mass-weighted squared L2 error functional used by the reference

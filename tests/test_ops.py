@@ -1,0 +1,48 @@
+"""Tests for the scatter-free ELL SpMV against the sparse reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import fdapde_core_tpu as fdm
+from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+from fdapde_core_tpu.fem.assembler import local_matrices
+from fdapde_core_tpu.geometry.structured import unit_square_mesh
+from fdapde_core_tpu.ops import build_ell_adjacency, ell_spmv
+
+
+def test_ell_spmv_matches_sparse():
+    mesh = unit_square_mesh(12)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+
+    from fdapde_core_tpu.geometry.affine import affine_maps
+
+    _, invJ, measure = affine_maps(
+        jnp.asarray(mesh.nodes), jnp.asarray(mesh.cells)
+    )
+    # -laplacian: negate the raw weak form (operators/laplacian.h:37-44 has
+    # the leading minus inside; the operator expression contributes the -1)
+    A_loc = -local_matrices(
+        "laplacian", None, False,
+        jnp.asarray(space.phi_tab), jnp.asarray(space.grad_tab),
+        jnp.asarray(space.quad.weights), invJ, measure,
+    )
+    dofs = jnp.asarray(space.dofs)
+    adj, mask, overflow = build_ell_adjacency(dofs, space.n_dofs, 16)
+    assert not bool(overflow)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(ell_spmv(A_loc, dofs, adj, mask, x)),
+        np.asarray(A @ x),
+        atol=1e-12,
+    )
+
+
+def test_ell_overflow_detection():
+    mesh = unit_square_mesh(4)
+    space = FEMSpace(mesh, 1)
+    dofs = jnp.asarray(space.dofs)
+    _, _, overflow = build_ell_adjacency(dofs, space.n_dofs, 2)
+    assert bool(overflow)

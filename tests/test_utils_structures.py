@@ -1,0 +1,111 @@
+"""Tests: BlockFrame/BlockVector, walk search, shapefile reader, space-time."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from fdapde_core_tpu.utils.block_frame import BlockFrame, BlockVector
+
+
+def test_block_frame():
+    bf = BlockFrame()
+    bf.insert("y", np.arange(5.0))
+    bf["X"] = np.arange(10.0).reshape(5, 2)
+    assert bf.columns() == ["y", "X"]
+    assert bf.has_block("y") and not bf.has_block("z")
+    np.testing.assert_array_equal(bf["X"][2], [4.0, 5.0])
+    assert bf.is_dirty("y")
+    bf.clear_dirty()
+    assert not bf.is_dirty("y")
+    row = bf.row(1)
+    assert row["y"][0] == 1.0
+    sub = bf.rows(slice(1, 3))
+    assert sub.n_rows == 2
+    with pytest.raises(ValueError):
+        bf.insert("bad", np.zeros(7))
+
+
+def test_block_vector():
+    bv = BlockVector(np.arange(12.0), 3)
+    np.testing.assert_array_equal(bv[2], [6, 7, 8])
+    bv[0] = [9, 9, 9]
+    np.testing.assert_array_equal(bv.data[:3], [9, 9, 9])
+    np.testing.assert_array_equal(bv.blocks(1, 2), [3, 4, 5, 6, 7, 8])
+
+
+def test_walk_search(unit_square):
+    from fdapde_core_tpu.geometry.walk_search import walk_search
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, unit_square.n_cells, 50)
+    w = rng.dirichlet([1, 1, 1], size=50)
+    pts = np.einsum("nkd,nk->nd", unit_square.cell_coords[ids], w)
+    found = walk_search(unit_square, pts)
+    # walk must agree with ground truth (unit square is convex)
+    np.testing.assert_array_equal(found, ids)
+
+
+def _write_tiny_shapefile(base):
+    """Hand-roll a 2-record Point shapefile + dbf."""
+    recs = []
+    for i, (x, y) in enumerate([(1.5, 2.5), (-3.0, 4.0)]):
+        content = struct.pack("<i2d", 1, x, y)
+        recs.append(struct.pack(">2i", i + 1, len(content) // 2) + content)
+    body = b"".join(recs)
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    header += struct.pack(">i", (100 + len(body)) // 2)
+    header += struct.pack("<2i", 1000, 1)
+    header += struct.pack("<4d", -3.0, 2.5, 1.5, 4.0)
+    header += struct.pack("<4d", 0, 0, 0, 0)
+    with open(base + ".shp", "wb") as fh:
+        fh.write(header + body)
+    # dbf with one numeric field "VAL"
+    field = b"VAL" + b"\0" * 8 + b"N" + b"\0" * 4 + bytes([8, 3]) + b"\0" * 14
+    dbf_header = struct.pack("<B3BIHH", 3, 24, 1, 1, 2, 32 + 32 + 1, 1 + 8)
+    dbf_header += b"\0" * 20
+    records = b" " + b"  12.500" + b" " + b" -99.000"
+    with open(base + ".dbf", "wb") as fh:
+        fh.write(dbf_header + field + b"\r" + records + b"\x1a")
+
+
+def test_shapefile_roundtrip(tmp_path):
+    from fdapde_core_tpu.utils.shp_reader import ShapeFile
+
+    base = str(tmp_path / "tiny")
+    _write_tiny_shapefile(base)
+    shp = ShapeFile(base + ".shp")
+    assert shp.shape_type_name == "Point"
+    assert len(shp) == 2
+    np.testing.assert_allclose(shp.points(0), [[1.5, 2.5]])
+    np.testing.assert_allclose(shp.points(1), [[-3.0, 4.0]])
+    assert shp.field_names == ["VAL"]
+    assert shp.attributes[0]["VAL"] == pytest.approx(12.5)
+    assert shp.attributes[1]["VAL"] == pytest.approx(-99.0)
+
+
+def test_space_time_separable_solve():
+    """(T1 x S0 + T0 x S1) x = b matches the dense assembled system."""
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.linear_algebra import SparseMatrix
+    from fdapde_core_tpu.models import SeparableOperator, solve_space_time
+
+    rng = np.random.default_rng(0)
+    nt, ns = 6, 11
+    T0 = np.eye(nt) + 0.1 * np.diag(np.ones(nt - 1), 1) + 0.1 * np.diag(np.ones(nt - 1), -1)
+    S0 = np.eye(ns)
+    T1 = np.diag(rng.uniform(1, 2, nt))
+    A1 = 2 * np.eye(ns) - np.eye(ns, k=1) - np.eye(ns, k=-1)
+    op = SeparableOperator(
+        [
+            (SparseMatrix.from_dense(T1), SparseMatrix.from_dense(S0)),
+            (SparseMatrix.from_dense(T0), SparseMatrix.from_dense(A1)),
+        ]
+    )
+    dense = np.kron(T1, S0) + np.kron(T0, A1)
+    b = rng.normal(size=nt * ns)
+    x, info = solve_space_time(op, jnp.asarray(b), rtol=1e-13)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(op.diagonal()), np.diag(dense), atol=1e-13)
