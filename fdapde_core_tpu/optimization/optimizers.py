@@ -99,6 +99,11 @@ def _wolfe(f, grad_f, x, p, step0, c1=1e-4, c2=0.9, max_iter=40):
 
 
 def _get_ls(line_search):
+    """Resolve a line-search spec: None, a named policy, or a custom callable
+    with signature (f, grad_f, x, p, step0) -> step (the callback protocol of
+    optimization/callbacks/callbacks.h:26-61, reduced to its one hook)."""
+    if callable(line_search):
+        return line_search
     return {None: _fixed_step, "backtracking": _backtracking, "wolfe": _wolfe}[
         line_search
     ]

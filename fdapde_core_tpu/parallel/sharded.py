@@ -49,8 +49,18 @@ class ShardedPoisson:
     benchmarking.
     """
 
-    def __init__(self, mesh, order: int = 1, device_mesh: Mesh | None = None, dtype=None):
+    def __init__(
+        self,
+        mesh,
+        order: int = 1,
+        device_mesh: Mesh | None = None,
+        dtype=None,
+        operator=None,
+    ):
+        from ..pde.operators import laplacian
+
         self.mesh = mesh
+        self.operator = operator if operator is not None else -laplacian()
         self.space = FEMSpace(mesh, order)
         self.device_mesh = device_mesh or make_device_mesh()
         self.n_shards = self.device_mesh.devices.size
@@ -86,13 +96,37 @@ class ShardedPoisson:
 
     # -- sharded local assembly ----------------------------------------------
     def _local_matrices(self, nodes, cells, live):
-        """(B, nb, nb) local stiffness of -laplacian, one shard's block."""
+        """(B, nb, nb) local matrices of the operator, one shard's block.
+
+        Constant-coefficient operator terms only (space-varying coefficient
+        sharding is a planned extension); same weak forms as
+        fem/assembler.local_matrices.
+        """
+        from ..fem.assembler import _KIND, local_matrices
         from ..geometry.affine import affine_maps
+        from ..pde.operators import BiLaplacian
 
         J, invJ, measure = affine_maps(nodes, cells)
-        pg = jnp.einsum("cmn,qim->cqin", invJ, self._grad)
-        local = jnp.einsum("cqin,cqjn,q->cij", pg, pg, self._w)
-        return local * (measure * live)[:, None, None]
+        meff = measure * live
+        nb = self.space.n_basis_per_cell
+        out = jnp.zeros((cells.shape[0], nb, nb), dtype=nodes.dtype)
+        for scale, leaf in self.operator.spatial_terms:
+            if isinstance(leaf, BiLaplacian):
+                raise ValueError("bilaplacian is SPLINE-only")
+            kind, _ = _KIND[type(leaf)]
+            coeff = None
+            if kind == "diffusion":
+                coeff = jnp.asarray(leaf.K, nodes.dtype)
+            elif kind == "advection":
+                coeff = jnp.asarray(leaf.b, nodes.dtype)
+            elif kind == "reaction":
+                if callable(leaf.c):
+                    raise ValueError("sharded path supports constant coefficients")
+                coeff = jnp.asarray(leaf.c, nodes.dtype)
+            out = out + scale * local_matrices(
+                kind, coeff, False, self._phi, self._grad, self._w, invJ, meff
+            )
+        return out
 
     def _assemble(self):
         mesh = self.device_mesh

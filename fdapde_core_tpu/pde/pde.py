@@ -158,14 +158,18 @@ class PDE:
     def solve(self):
         if not self.is_init:
             self.init()
-        mask = jnp.asarray(self.space.boundary_dofs)
         if self._dirichlet is None:
+            # no boundary data set: solve the raw system (the reference
+            # imposes conditions only when supplied; splines upstream have no
+            # BC handling at all, spline_solver_base.h:79)
+            mask = jnp.zeros(self.space.n_dofs, dtype=bool)
             g = np.zeros(
                 (self.space.n_dofs,)
                 if self.times is None
                 else (self.space.n_dofs, self.times.size)
             )
         else:
+            mask = jnp.asarray(self.space.boundary_dofs)
             g = self._dirichlet
 
         if not self.is_parabolic:

@@ -62,13 +62,30 @@ class SplineSpace:
         return self.quad_points[:, None]
 
     def eval(self, locs, policy: str = "pointwise"):
-        """Phi matrix of basis evaluations (spline_basis.h:80-102)."""
+        """Phi matrix of basis evaluations.
+
+        pointwise (spline_basis.h:80-102): Phi[i, j] = phi_j(t_i).
+        areal (left TODO upstream, spline_basis.h:105-113; implemented here):
+        `locs` is a binary incidence matrix (n_subdomains, n_cells) over the
+        interval's cells; Phi[k, j] = (int_{D_k} phi_j) / |D_k|, D holds the
+        subdomain measures.
+        """
         from ..linear_algebra.sparse import SparseMatrix
 
-        locs = np.asarray(locs, dtype=np.float64).reshape(-1)
-        if policy != "pointwise":
-            raise NotImplementedError(
-                "areal spline evaluation is a TODO upstream too (spline_basis.h:105-113)"
-            )
-        dense = self.basis.eval(locs)
-        return SparseMatrix.from_dense(dense), np.ones(locs.size)
+        if policy == "pointwise":
+            locs = np.asarray(locs, dtype=np.float64).reshape(-1)
+            dense = self.basis.eval(locs)
+            return SparseMatrix.from_dense(dense), np.ones(locs.size)
+        if policy != "areal":
+            raise ValueError(policy)
+        incidence = np.asarray(locs)
+        R = self.order
+        # span s of the padded knots covers mesh cell s - R (interior spans)
+        B = self.basis.eval(self.quad_points)  # (n_spans * nq, n_basis)
+        wB = self.quad_weights[:, None] * B
+        span_int = wB.reshape(-1, self.n_quad, self.n_dofs).sum(axis=1)
+        cell_int = span_int[R : R + self.mesh.n_cells]  # (n_cells, n_basis)
+        cell_meas = np.diff(np.asarray(self.mesh.nodes).reshape(-1))
+        D = incidence @ cell_meas
+        dense = (incidence @ cell_int) / D[:, None]
+        return SparseMatrix.from_dense(dense), D

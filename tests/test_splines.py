@@ -87,3 +87,36 @@ def test_spline_pointwise_eval():
     np.testing.assert_allclose(
         np.asarray(Phi @ np.ones(pde.n_dofs)), 1.0, atol=1e-12
     )
+
+
+def test_spline_areal_eval():
+    """Areal Phi over subintervals: partition of unity -> row sums 1."""
+    interval = Interval(0.0, 1.0, 10)
+    pde = fdm.PDE(interval, fdm.reaction(1.0), order=3, discretization="spline")
+    incidence = np.zeros((2, 10))
+    incidence[0, :5] = 1  # [0, 0.5]
+    incidence[1, 5:] = 1  # [0.5, 1]
+    Phi, D = pde.eval_functional_basis(incidence, policy="areal")
+    np.testing.assert_allclose(D, [0.5, 0.5], atol=1e-12)
+    dense = Phi.toarray()
+    # mean of the partition of unity over each subdomain is 1
+    np.testing.assert_allclose(dense.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_spline_l2_projection_solve():
+    """Solve M c = F (reaction(1) system): the L2 projection of f(x)=x
+    reproduces x (linear functions are in the cubic spline space)."""
+    interval = Interval(0.0, 1.0, 16)
+    pde = fdm.PDE(
+        interval,
+        fdm.reaction(1.0),
+        order=3,
+        discretization="spline",
+        forcing=lambda x: x[0],
+    )
+    pde.init()
+    pde.solve()
+    xs = np.linspace(0, 1, 33)
+    Phi, _ = pde.eval_functional_basis(xs)
+    got = np.asarray(Phi @ pde.solution())
+    np.testing.assert_allclose(got, xs, atol=1e-8)
