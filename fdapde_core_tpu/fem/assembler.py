@@ -146,6 +146,21 @@ def assemble_matrix(space, op) -> SparseMatrix:
     )
 
 
+def assemble_dia(space, op):
+    """Discretize into DIA (offset-diagonal) storage.
+
+    TPU fast path: SpMV becomes static shifts + fused multiply-adds
+    (linear_algebra/dia.py). Efficient when the dof numbering yields a small
+    offset set (structured or strongly banded meshes — check
+    `len(unique_offsets(space.dofs))` first; RCM/SFC reordering shrinks it).
+    """
+    from ..linear_algebra.dia import dia_from_coo, unique_offsets
+
+    A = assemble_matrix(space, op)
+    offsets = unique_offsets(space.dofs)
+    return dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offsets)
+
+
 def assemble_forcing(space, f) -> jnp.ndarray:
     """Discretize a forcing term: F[i] = int f * psi_i.
 

@@ -15,7 +15,7 @@ SparseLU factorizations are replaced by:
 """
 
 from .sparse import SparseMatrix
-from .solvers import cg, bicgstab, SolveInfo
+from .solvers import cg, bicgstab, gmres, SolveInfo
 from .kron import kron, kron_matvec
 from .smw import smw_solve
 from .lumping import lump
@@ -26,6 +26,7 @@ __all__ = [
     "SparseMatrix",
     "cg",
     "bicgstab",
+    "gmres",
     "SolveInfo",
     "kron",
     "kron_matvec",

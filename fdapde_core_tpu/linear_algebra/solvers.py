@@ -24,7 +24,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "bicgstab", "SolveInfo"]
+__all__ = ["cg", "bicgstab", "gmres", "SolveInfo"]
 
 
 class SolveInfo(NamedTuple):
@@ -129,6 +129,35 @@ def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
     k = out[-1]
     rnorm = jnp.linalg.norm(r)
     return x, SolveInfo(k, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+
+
+def gmres(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None, restart=20):
+    """Restarted GMRES(m) for general systems (SURVEY.md §7.3: the
+    memory-heavier alternative to BiCGStab for advection-dominated problems).
+
+    Wraps jax.scipy.sparse.linalg.gmres (batched Arnoldi under jit) in this
+    module's (x, SolveInfo) interface; the iteration count is not exposed by
+    the backend and reported as -1.
+    """
+    op = _as_operator(A)
+    pre = _as_operator(M_inv) if M_inv is not None else None
+    b = jnp.asarray(b)
+    if maxiter is None:
+        maxiter = 20 * b.shape[0]
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        op,
+        b,
+        x0=x0,
+        tol=rtol,
+        atol=atol,
+        restart=restart,
+        maxiter=max(1, maxiter // restart),
+        M=pre,
+        solve_method="batched",
+    )
+    rnorm = jnp.linalg.norm(b - op(x))
+    tol = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+    return x, SolveInfo(jnp.array(-1), rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
 
 
 def dense_solve(A, b):

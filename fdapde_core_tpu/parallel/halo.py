@@ -1,0 +1,129 @@
+"""Halo-exchange distributed CG over DIA (offset-diagonal) operators.
+
+The owned-dof multi-chip design (SURVEY.md §5.7, §7 phase 5): the dof vector
+is split into contiguous blocks, one per device; a DIA SpMV needs each
+device's neighbors' edge strips of width H = max |offset| — exchanged with
+`jax.lax.ppermute` (one hop left + one hop right per SpMV, riding ICI on
+real hardware). Everything else is local shifts + fused multiply-adds; CG
+dot products are `psum`s of local partials.
+
+Compared to the replicated-vector design (sharded.py), per-iteration
+communication drops from a full-vector psum to two H-wide strips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["HaloDIASolver"]
+
+
+class HaloDIASolver:
+    """Distributed Jacobi-CG for a DIAMatrix over a 1D device mesh."""
+
+    def __init__(self, dia, device_mesh: Mesh):
+        self.offsets = dia.offsets
+        self.H = max(abs(d) for d in self.offsets)
+        self.device_mesh = device_mesh
+        self.P = device_mesh.devices.size
+        n = dia.n
+        self.n = n
+        self.block = -(-n // self.P)
+        self.n_pad = self.block * self.P
+        pad = self.n_pad - n
+        data = jnp.pad(dia.data, ((0, 0), (0, pad)))
+        sh = NamedSharding(device_mesh, P(None, "shard"))
+        self.data = jax.device_put(data, sh)
+        assert self.H <= self.block, (
+            f"halo width {self.H} exceeds block size {self.block}; "
+            "use fewer devices or reorder dofs"
+        )
+        self._solve_jit = jax.jit(self._solve, static_argnames=("maxiter",))
+
+    def _pad(self, v):
+        return jnp.pad(jnp.asarray(v, self.data.dtype), (0, self.n_pad - self.n))
+
+    def _solve(self, b, free, rtol, maxiter):
+        mesh = self.device_mesh
+        H = self.H
+        offsets = self.offsets
+        nloc = self.block
+        nshards = self.P
+        fwd = [(i, i + 1) for i in range(nshards - 1)]
+        bwd = [(i + 1, i) for i in range(nshards - 1)]
+
+        def shard_fn(data, b, free):
+            def halo_extend(x):
+                # strip from the LEFT neighbor (their rightmost H entries)
+                left = jax.lax.ppermute(x[-H:], "shard", perm=fwd)
+                right = jax.lax.ppermute(x[:H], "shard", perm=bwd)
+                return jnp.concatenate([left, x, right])
+
+            def Ax(x):
+                xf = x * free
+                ext = halo_extend(xf)
+                y = jnp.zeros_like(x)
+                for k, d in enumerate(offsets):
+                    y = y + data[k] * jax.lax.dynamic_slice_in_dim(
+                        ext, H + d, nloc
+                    )
+                return y * free + x * (1 - free)
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.vdot(a, c), "shard")
+
+            diag = data[offsets.index(0)]
+            inv_diag = jnp.where(
+                jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0
+            ) * free + (1 - free)
+
+            bnorm = jnp.sqrt(dot(b, b))
+            tol = rtol * bnorm
+            r0 = b  # x0 = 0
+            z0 = inv_diag * r0
+            rz0 = dot(r0, z0)
+
+            def cond(state):
+                x, r, z, p, rz, k = state
+                rn = jnp.sqrt(dot(r, r))
+                return (rn > tol) & (k < maxiter) & jnp.isfinite(rn)
+
+            def body(state):
+                x, r, z, p, rz, k = state
+                Ap = Ax(p)
+                alpha = rz / dot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = inv_diag * r
+                rz_new = dot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, z, p, rz_new, k + 1)
+
+            x, r, *_, k = jax.lax.while_loop(
+                cond, body, (jnp.zeros_like(b), r0, z0, z0, rz0, 0)
+            )
+            return x, jnp.sqrt(dot(r, r)), k
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(None, "shard"), P("shard"), P("shard")),
+            out_specs=(P("shard"), P(), P()),
+        )(self.data, b, free)
+
+    def solve(self, b, free_mask, rtol=1e-10, maxiter=1000):
+        """Solve A x = b with Dirichlet dofs pinned where free_mask == 0.
+
+        b must already carry boundary values at pinned dofs (see
+        fem/solvers.py DirichletSystem.rhs for the reduction).
+        Returns (x[:n], residual, iterations).
+        """
+        b = self._pad(b)
+        free = self._pad(jnp.asarray(free_mask, self.data.dtype))
+        x, res, k = self._solve_jit(b, free, rtol, maxiter=maxiter)
+        return x[: self.n], res, k

@@ -194,3 +194,37 @@ def test_boolean_masking_select():
         jnp.asarray(mask[np.asarray(A.rows), np.asarray(A.cols)]), A.vals, 0.0
     )
     np.testing.assert_allclose(A.with_vals(masked_vals).toarray(), got, atol=1e-14)
+
+
+def test_gmres_nonsymmetric():
+    from fdapde_core_tpu.linear_algebra import gmres
+
+    rng = np.random.default_rng(11)
+    n = 40
+    a = np.eye(n) * n + rng.normal(size=(n, n))
+    b = rng.normal(size=n)
+    A = SparseMatrix.from_dense(a)
+    x, info = gmres(A, jnp.asarray(b), rtol=1e-12, restart=30)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-7)
+
+
+def test_dia_matvec_matches_sparse():
+    from fdapde_core_tpu.linear_algebra.dia import DIAMatrix, dia_from_coo, unique_offsets
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+    import fdapde_core_tpu as fdm
+
+    mesh = unit_square_mesh(9)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    assert len(offs) <= 9  # structured grid: small static offset set
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    np.testing.assert_allclose(np.asarray(D @ x), np.asarray(A @ x), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(D.diagonal()), np.asarray(A.diagonal()), atol=1e-14
+    )
+    np.testing.assert_allclose(D.to_sparse().toarray(), A.toarray(), atol=1e-12)

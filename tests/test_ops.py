@@ -46,3 +46,33 @@ def test_ell_overflow_detection():
     dofs = jnp.asarray(space.dofs)
     _, _, overflow = build_ell_adjacency(dofs, space.n_dofs, 2)
     assert bool(overflow)
+
+
+def test_pallas_p1_stiffness_matches_einsum():
+    """Closed-form Pallas kernel == quadrature einsum path (interpret mode
+    on CPU)."""
+    from fdapde_core_tpu.ops.pallas_assembly import TILE, p1_stiffness_2d
+    from fdapde_core_tpu.geometry.affine import affine_maps
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 1)
+    _, invJ, measure = affine_maps(
+        jnp.asarray(mesh.nodes, jnp.float32), jnp.asarray(mesh.cells)
+    )
+    ref = -local_matrices(
+        "laplacian", None, False,
+        jnp.asarray(space.phi_tab, jnp.float32),
+        jnp.asarray(space.grad_tab, jnp.float32),
+        jnp.asarray(space.quad.weights, jnp.float32), invJ, measure,
+    )
+    coords = mesh.nodes[mesh.cells].reshape(mesh.n_cells, 6).T  # (6, C)
+    C = mesh.n_cells
+    pad = (-C) % TILE
+    if pad:
+        fill = np.tile(coords[:, :1], (1, pad)) + np.array(
+            [[0], [0], [1], [0], [0], [1]]
+        )
+        coords = np.concatenate([coords, fill], axis=1)
+    out = p1_stiffness_2d(jnp.asarray(coords, jnp.float32))
+    got = np.asarray(out)[:, :C].T.reshape(C, 3, 3)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=1e-6)

@@ -91,3 +91,32 @@ def test_sharded_assembly_matches_sparse():
             for j in range(3):
                 dense[dofs[c, i], dofs[c, j]] += A_loc[c, i, j]
     assert np.abs(dense - A).max() < 1e-12
+
+
+def test_halo_dia_solver_matches_single_chip():
+    """Halo-exchange DIA CG on 8 devices == single-chip masked solve."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.fem.solvers import DirichletSystem, solve_elliptic
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.parallel.halo import HaloDIASolver
+
+    mesh = unit_square_mesh(24)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    F = assemble_forcing(space, lambda x: 4.0)
+    coords = space.dof_coords
+    g = jnp.asarray(1 - coords[:, 0] ** 2 - coords[:, 1] ** 2)
+    mask = jnp.asarray(space.boundary_dofs)
+
+    ref, info = solve_elliptic(A, F, mask, g, rtol=1e-12)
+
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    sys = DirichletSystem(A, mask)
+    b_mod = sys.rhs(F, g)
+    for n_dev in (1, 8):
+        solver = HaloDIASolver(D, make_device_mesh(n_dev))
+        x, res, k = solver.solve(b_mod, (~mask).astype(jnp.float64), rtol=1e-12)
+        assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
