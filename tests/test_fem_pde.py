@@ -135,3 +135,48 @@ def test_parabolic_isotropic_order1_convergence():
     for i in range(1, len(errors)):
         order = np.log2(errors[i - 1] / errors[i])
         assert np.floor(order) == 2, (errors, order)
+
+
+def test_space_varying_coefficients_match_constant(unit_square):
+    """Callable K(x)=I, b(x)=const, c(x)=const must reproduce the
+    constant-coefficient matrices (the reference's space-varying operators
+    via DiscretizedField forward protocol, operators/diffusion.h:32-55)."""
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+
+    space = FEMSpace(unit_square, 1)
+    A_const = assemble_matrix(
+        unit_square and space, -fdm.laplacian() + fdm.advection(np.array([2.0, -1.0])) + fdm.reaction(3.0)
+    )
+    K = lambda x: np.eye(2)
+    b = lambda x: np.array([2.0, -1.0])
+    c = lambda x: 3.0
+    A_vary = assemble_matrix(
+        space, -fdm.diffusion(K) + fdm.advection(b) + fdm.reaction(c)
+    )
+    assert np.abs(A_const.toarray() - A_vary.toarray()).max() < 1e-12
+
+
+def test_parabolic_lumped_mass(unit_square):
+    """Mass lumping (lumping.h:30): lumped implicit Euler stays accurate."""
+    pde, g = _parabolic_problem(1, 21, unit_square)
+    err_consistent = pde.l2_error(g)
+
+    times = np.linspace(0.0, 1.0, 21)
+    L = fdm.dt() - fdm.laplacian()
+    pde2 = fdm.PDE(unit_square, L, times=times, order=1, lumped_mass=True)
+    coords = pde2.dof_coords()
+
+    def exact(x, t):
+        return np.sin(2 * PI * x[..., 0]) * np.sin(2 * PI * x[..., 1]) * np.exp(-t)
+
+    g2 = exact(coords[:, None, :], times[None, :])
+    pde2.set_dirichlet_bc(g2)
+    pde2.set_initial_condition(exact(coords, 0.0))
+    qn = pde2.quadrature_nodes()
+    f = (8 * PI * PI - 1.0) * exact(qn[:, None, :], times[None, :])
+    pde2.set_forcing(f)
+    pde2.init()
+    pde2.solve()
+    err_lumped = pde2.l2_error(g2)
+    # lumping is a consistent approximation: same order of magnitude
+    assert err_lumped < 10 * max(err_consistent, 1e-6)

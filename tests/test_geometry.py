@@ -171,3 +171,43 @@ def test_simplex_nearest():
     np.testing.assert_allclose(
         nearest_on_simplex(tri, np.array([-1.0, -1.0])), [0.0, 0.0], atol=1e-12
     )
+
+
+def test_simplex_helpers(unit_square):
+    from fdapde_core_tpu.geometry import simplex as sx
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, unit_square.n_cells, 20)
+    w = rng.dirichlet([1, 1, 1], size=20)
+    pts = np.einsum("nkd,nk->nd", unit_square.cell_coords[ids], w)
+    bary = sx.barycentric_coords(unit_square, ids, pts)
+    np.testing.assert_allclose(bary, w, atol=1e-10)
+    assert sx.contains(unit_square, ids, pts).all()
+    cc = sx.circumcenters(unit_square)
+    # circumcenter is equidistant from all three vertices
+    d = np.linalg.norm(
+        unit_square.cell_coords - cc[:, None, :], axis=2
+    )
+    np.testing.assert_allclose(d[:, 0], d[:, 1], atol=1e-9)
+    np.testing.assert_allclose(d[:, 0], d[:, 2], atol=1e-9)
+    np.testing.assert_allclose(
+        sx.circumradii(unit_square), d[:, 0], atol=1e-12
+    )
+    lo, hi = sx.bounding_boxes(unit_square)
+    assert (hi >= lo).all()
+
+
+def test_mesh_integration(unit_square, unit_sphere):
+    """Quadrature exactness vs closed-form volumes (integration_test.cpp:45-70)."""
+    from fdapde_core_tpu.utils.integration import integrate
+
+    assert integrate(unit_square, lambda p: 1.0) == pytest.approx(1.0, abs=1e-12)
+    assert integrate(unit_square, lambda p: p[0] + p[1], order=1) == pytest.approx(
+        1.0, abs=1e-12
+    )
+    # quadratic needs the order-2 rule
+    assert integrate(unit_square, lambda p: p[0] ** 2, order=2) == pytest.approx(
+        1.0 / 3.0, abs=1e-12
+    )
+    vol = integrate(unit_sphere, lambda p: 1.0)
+    assert abs(vol - 4.0 / 3.0 * np.pi) < 0.15  # faceted sphere approximation

@@ -76,3 +76,34 @@ def test_pallas_p1_stiffness_matches_einsum():
     out = p1_stiffness_2d(jnp.asarray(coords, jnp.float32))
     got = np.asarray(out)[:, :C].T.reshape(C, 3, 3)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_soa_assembly_matches_aos():
+    """C-last assembly equals the standard path for a composed operator."""
+    from fdapde_core_tpu.ops.soa_assembly import assemble_soa_values
+    from fdapde_core_tpu.linear_algebra.sparse import SparseMatrix
+
+    mesh = unit_square_mesh(10)
+    for order in (1, 2):
+        space = FEMSpace(mesh, order)
+        op = -fdm.laplacian() + fdm.advection(np.array([1.5, -0.5])) + fdm.reaction(2.0)
+        A = assemble_matrix(space, op)
+        vals = assemble_soa_values(space, op)
+        rows, cols, _ = space.scatter
+        B = SparseMatrix(jnp.asarray(rows), jnp.asarray(cols), vals, A.shape)
+        assert np.abs(A.toarray() - B.toarray()).max() < 1e-12
+
+
+def test_soa_assembly_diffusion_tensor():
+    from fdapde_core_tpu.ops.soa_assembly import assemble_soa_values
+    from fdapde_core_tpu.linear_algebra.sparse import SparseMatrix
+
+    mesh = unit_square_mesh(8)
+    space = FEMSpace(mesh, 1)
+    K = np.array([[2.0, 0.5], [0.5, 1.0]])
+    op = -fdm.diffusion(K)
+    A = assemble_matrix(space, op)
+    vals = assemble_soa_values(space, op)
+    rows, cols, _ = space.scatter
+    B = SparseMatrix(jnp.asarray(rows), jnp.asarray(cols), vals, A.shape)
+    assert np.abs(A.toarray() - B.toarray()).max() < 1e-12
