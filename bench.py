@@ -89,12 +89,13 @@ def main():
         nid = jnp.arange(n_dofs, dtype=jnp.int32)
         xb, yb = coord(nid)
         on_bnd = (xb == 0) | (xb == 1) | (yb == 0) | (yb == 1)
-        return cells, coords, live, on_bnd
+        return cells, coords, live, on_bnd, coords[0, 0]
 
     @jax.jit
     def assemble(coords):
         """(9, C_pad) local stiffness via the fused Pallas kernel."""
-        return p1_stiffness_2d(coords)
+        A9 = p1_stiffness_2d(coords)
+        return A9, A9[0, 0]  # scalar witness: fetching it fences execution
 
     # structured-grid stiffness offsets (col - row)
     OFFSETS = (-m, -(m - 1), -1, 0, 1, m - 1, m)
@@ -107,13 +108,14 @@ def main():
                 rows.append(cells[i])
                 cols.append(cells[j])
                 vals.append(A9[3 * i + j] * live)
-        return dia_from_coo(
+        D = dia_from_coo(
             jnp.concatenate(rows),
             jnp.concatenate(cols),
             jnp.concatenate(vals),
             n_dofs,
             OFFSETS,
         )
+        return D, D.data[0, 0]
 
     @jax.jit
     def cg_fixed_dia(D, free, b, n_iter=100):
@@ -142,38 +144,33 @@ def main():
         )
         return x, jnp.linalg.norm(r)
 
-    def sync(arr) -> float:
-        """Force execution to completion by fetching one element.
-
-        On the dev harness `block_until_ready` returns before remote
-        execution finishes; a host fetch of a data-dependent scalar is the
-        only reliable fence.
-        """
-        return float(jnp.ravel(arr)[0])
+    # Execution fences: on the dev harness `block_until_ready` returns
+    # before remote execution finishes; fetching a data-dependent scalar
+    # (computed INSIDE the jit, so no eager-op compile) is the reliable fence.
 
     # ---- build mesh on device ----
     t0 = time.time()
-    cells, coords, live, on_bnd = build()
-    sync(coords)
+    cells, coords, live, on_bnd, w0 = build()
+    float(w0)
     t_build = time.time() - t0
 
     # ---- assembly throughput (Pallas kernel) ----
-    A9 = assemble(coords)
-    sync(A9)  # compile + warmup
+    A9, w1 = assemble(coords)
+    float(w1)  # compile + warmup
     reps = 10
     t0 = time.time()
     for _ in range(reps):
-        A9 = assemble(coords)
-        sync(A9)
+        A9, w1 = assemble(coords)
+        float(w1)
     t_asm = (time.time() - t0) / reps
     elements_per_s = n_cells / t_asm
 
     # ---- DIA conversion (one-time scatter) ----
-    D = to_dia(A9, cells, live)
-    sync(D.data)
+    D, w2 = to_dia(A9, cells, live)
+    float(w2)
     t0 = time.time()
-    D = to_dia(A9, cells, live)
-    sync(D.data)
+    D, w2 = to_dia(A9, cells, live)
+    float(w2)
     t_dia = time.time() - t0
 
     # ---- CG iteration throughput ----
@@ -189,7 +186,11 @@ def main():
 
     # correctness spot check: interior row sums of the 5-point-like stencil
     # vanish (constants in the kernel of the Neumann operator)
-    rowsum = float(jnp.abs((D @ jnp.ones(n_dofs, dtype)) * free).max())
+    @jax.jit
+    def check(D, free):
+        return jnp.abs((D @ jnp.ones(n_dofs, dtype)) * free).max()
+
+    rowsum = float(check(D, free))
 
     out = {
         "metric": "p1_poisson_assembly_throughput",

@@ -77,3 +77,30 @@ def test_network_mass_matrix():
     assert float(np.asarray(M.vals).sum()) == pytest.approx(
         net.measure(), rel=1e-12
     )
+
+
+def test_3d_p2_harmonic(unit_sphere):
+    """P2 on tets: 3D edge-dof enumeration + quadrature. u = x+y+z exact."""
+    pde = fdm.PDE(unit_sphere, -fdm.laplacian(), order=2)
+    coords = pde.dof_coords()
+    assert pde.n_dofs == unit_sphere.n_nodes + unit_sphere.n_edges
+    g = coords.sum(axis=1)
+    pde.set_dirichlet_bc(g)
+    pde.set_forcing(np.zeros((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 1e-13
+
+
+def test_3d_p2_quadratic(unit_sphere):
+    """u = x^2+y^2+z^2 is in the P2 space: error at solver tolerance."""
+    pde = fdm.PDE(
+        unit_sphere, -fdm.laplacian(), forcing=lambda x: -6.0, order=2,
+        solver_rtol=1e-13,
+    )
+    coords = pde.dof_coords()
+    g = (coords**2).sum(axis=1)
+    pde.set_dirichlet_bc(g)
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 1e-12
