@@ -192,6 +192,27 @@ def dense_solve(A, b):
     return x[:, 0] if vec else x
 
 
+def iterative_refinement(A, b, inner_solve, n_refine: int = 3):
+    """Mixed-precision refinement (SURVEY.md §7.3 risk 4).
+
+    Solve A x = b accurately while running the Krylov iteration in a lower
+    precision: residuals are computed with `A`/`b` in their (high) precision,
+    corrections come from `inner_solve(residual_lowp)` (e.g. an f32 CG).
+
+    A: operator in working (high) precision; b: high-precision RHS;
+    inner_solve: callable r32 -> dx32.
+    Returns (x, final_residual_norm).
+    """
+    op = _as_operator(A)
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b)
+    for _ in range(n_refine):
+        r = b - op(x)
+        dx = inner_solve(r.astype(jnp.float32))
+        x = x + jnp.asarray(dx).astype(b.dtype)
+    return x, jnp.linalg.norm(b - op(x))
+
+
 def jacobi_preconditioner(diag):
     """M^{-1} = 1/diag, guarding zero entries."""
     d = jnp.where(jnp.abs(diag) > 0, diag, 1.0)

@@ -1,0 +1,77 @@
+"""2D-grid stencil operators: DIA specialized to tensor-product dof layouts.
+
+When dofs live on an (mx, my) grid (structured meshes; also the natural
+layout for space-time tensor products), every (col - row) offset decomposes
+as (di, dj) grid displacements and the SpMV becomes a 2D stencil:
+
+    y = sum_k data[k] * padded(x)[1+di_k : 1+di_k+mx, 1+dj_k : 1+dj_k+my]
+
+2D slices keep the lane dimension contiguous — friendlier to the TPU memory
+system than 1D concatenate-shifts for row-crossing offsets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["GridDIAMatrix", "grid_offsets_from_flat"]
+
+
+def grid_offsets_from_flat(offsets: tuple[int, ...], my: int):
+    """Decompose flat offsets d = di * my + dj (|dj| < my) into 2D pairs."""
+    out = []
+    for d in offsets:
+        di = round(d / my)
+        dj = d - di * my
+        assert abs(dj) < my
+        out.append((di, dj))
+    return tuple(out)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GridDIAMatrix:
+    """Stencil matrix over an (mx, my) dof grid."""
+
+    data: jnp.ndarray  # (K, mx, my): data[k, i, j] = A[row, row + offset_k]
+    offsets2d: tuple[tuple[int, int], ...]
+    shape2d: tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets2d, self.shape2d)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], *aux)
+
+    @classmethod
+    def from_dia(cls, dia, shape2d):
+        """Reshape a flat DIAMatrix onto an (mx, my) grid layout."""
+        mx, my = shape2d
+        assert mx * my == dia.n
+        off2d = grid_offsets_from_flat(dia.offsets, my)
+        data = dia.data.reshape(len(dia.offsets), mx, my)
+        return cls(data, off2d, shape2d)
+
+    @property
+    def n(self):
+        return self.shape2d[0] * self.shape2d[1]
+
+    def __matmul__(self, x):
+        mx, my = self.shape2d
+        xg = jnp.asarray(x).reshape(mx, my)
+        H = max(max(abs(a), abs(b)) for a, b in self.offsets2d)
+        xp = jnp.pad(xg, H)
+        y = jnp.zeros_like(xg)
+        for k, (di, dj) in enumerate(self.offsets2d):
+            y = y + self.data[k] * jax.lax.dynamic_slice(
+                xp, (H + di, H + dj), (mx, my)
+            )
+        return y.reshape(-1)
+
+    def diagonal(self):
+        k = self.offsets2d.index((0, 0))
+        return self.data[k].reshape(-1)

@@ -10,6 +10,12 @@ output element ~ (K + 1) reads + 1 write — the memory-bound optimum.
 
 Requires max |offset| <= H_pad and n divisible by T (pad x/data with zeros).
 Falls back to interpreter mode off-TPU (tests).
+
+KNOWN LIMITATION: the current 1D formulation fails Mosaic compilation on
+real TPUs (the dev harness' remote compile helper returns an opaque 500;
+1D VMEM refs and arbitrary lane-offset slices are the likely culprits — a
+2D (sublane, lane) reformulation is the fix, see ops/grid_dia.py for the
+XLA-level 2D-stencil alternative). Interpreter-mode correctness is tested.
 """
 
 from __future__ import annotations

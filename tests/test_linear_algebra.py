@@ -228,3 +228,26 @@ def test_dia_matvec_matches_sparse():
         np.asarray(D.diagonal()), np.asarray(A.diagonal()), atol=1e-14
     )
     np.testing.assert_allclose(D.to_sparse().toarray(), A.toarray(), atol=1e-12)
+
+
+def test_iterative_refinement_recovers_f64_accuracy():
+    from fdapde_core_tpu.linear_algebra.solvers import cg, iterative_refinement
+
+    rng = np.random.default_rng(12)
+    n = 80
+    Q = rng.normal(size=(n, n))
+    a = Q @ Q.T + n * np.eye(n)
+    b = rng.normal(size=n)
+    A64 = SparseMatrix.from_dense(a)
+    A32 = SparseMatrix.from_dense(a.astype(np.float32))
+
+    def inner(r32):
+        x32, _ = cg(A32, r32, rtol=1e-6)
+        return x32
+
+    x, res = iterative_refinement(A64, jnp.asarray(b), inner, n_refine=4)
+    ref = np.linalg.solve(a, b)
+    assert np.abs(np.asarray(x) - ref).max() < 1e-10
+    # single f32 solve alone cannot reach refinement accuracy
+    x32only, _ = cg(A32, jnp.asarray(b, jnp.float32), rtol=1e-6)
+    assert np.abs(np.asarray(x32only, np.float64) - ref).max() > 1e-9

@@ -107,3 +107,21 @@ def test_soa_assembly_diffusion_tensor():
     rows, cols, _ = space.scatter
     B = SparseMatrix(jnp.asarray(rows), jnp.asarray(cols), vals, A.shape)
     assert np.abs(A.toarray() - B.toarray()).max() < 1e-12
+
+
+def test_grid_dia_matches_flat_dia():
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+
+    mesh = unit_square_mesh(12)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    G = GridDIAMatrix.from_dia(D, (13, 13))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    np.testing.assert_allclose(np.asarray(G @ x), np.asarray(D @ x), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(G.diagonal()), np.asarray(D.diagonal()), atol=1e-14
+    )
