@@ -44,11 +44,23 @@ def solve_semilinear(
     max_newton: int = 25,
     cg_rtol: float = 1e-12,
     damping: float = 1.0,
+    bfgs_fallback: bool = False,
+    H_potential=None,
 ):
     """Solve linear_op(u) + h(u) = forcing with Dirichlet data g.
 
     h, dh: elementwise JAX-traceable callables (the nonlinearity and its
     derivative). Returns (u, info dict).
+
+    With `bfgs_fallback=True` (BASELINE config 4: "Newton iteration with
+    BFGS fallback"), a non-converged Newton loop falls back to BFGS
+    minimization of the discrete energy
+
+        E(u) = 1/2 u^T A u + int H(u) - F^T u,    H' = h
+
+    (`H_potential` — an antiderivative of h — defaults to a numeric
+    potential via h(u)*u surrogate only if omitted; supply it for exact
+    energies). Dense-BFGS memory is O(n^2): intended for moderate n.
     """
     A = assemble_matrix(space, linear_op)
     F = assemble_forcing(space, forcing)
@@ -97,4 +109,34 @@ def solve_semilinear(
         history.append(res_norm)
         if res_norm < newton_tol:
             break
-    return u, {"newton_iterations": it + 1, "residuals": history}
+
+    converged = history[-1] < newton_tol if history else False
+    info = {"newton_iterations": it + 1, "residuals": history, "method": "newton"}
+    if not converged and bfgs_fallback:
+        # minimize the discrete energy over the FREE dofs with BFGS
+        from ..optimization import bfgs as _bfgs
+
+        free_idx = jnp.asarray(np.nonzero(~space.boundary_dofs)[0])
+        gv = jnp.where(mask, g, 0.0)
+        Hpot = H_potential if H_potential is not None else (lambda v: h(v) * v)
+
+        def energy(u_free):
+            ufull = gv.at[free_idx].set(u_free)
+            quad_u = u_at_quad(ufull)
+            # int H(u): quadrature of the potential
+            pot = jnp.einsum(
+                "cq,q->c", Hpot(quad_u), jnp.asarray(space.quad.weights)
+            ) @ measure
+            return 0.5 * jnp.vdot(ufull, A @ ufull) + pot - jnp.vdot(F, ufull)
+
+        res = _bfgs(
+            energy, u[free_idx], tol=1e-8, max_iter=500, line_search="backtracking"
+        )
+        u = gv.at[free_idx].set(res.x)
+        info = {
+            "newton_iterations": it + 1,
+            "residuals": history,
+            "method": "bfgs_fallback",
+            "bfgs_iterations": int(res.n_iter),
+        }
+    return u, info

@@ -180,3 +180,51 @@ def test_parabolic_lumped_mass(unit_square):
     err_lumped = pde2.l2_error(g2)
     # lumping is a consistent approximation: same order of magnitude
     assert err_lumped < 10 * max(err_consistent, 1e-6)
+
+
+def test_variable_diffusion_mixed_bc():
+    """BASELINE config 2: non-constant diffusion + mixed Dirichlet/Neumann.
+
+    -div(K grad u) = f with K = (1+x^2) I, u_ex = sin(pi x) sin(pi y);
+    Neumann on {x=1}: K grad(u).n = (1+1) pi cos(pi) sin(pi y).
+    """
+    import jax.numpy as jnp
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.fem.neumann import assemble_neumann, boundary_facet_selector
+    from fdapde_core_tpu.fem.solvers import solve_elliptic
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+
+    mesh = unit_square_mesh(32)
+    space = FEMSpace(mesh, 2)
+
+    def Kfun(x):
+        return (1.0 + x[0] ** 2) * np.eye(2)
+
+    def exact(x):
+        return np.sin(PI * x[..., 0]) * np.sin(PI * x[..., 1])
+
+    def forcing(x):
+        sx, sy = np.sin(PI * x[0]), np.sin(PI * x[1])
+        cx = np.cos(PI * x[0])
+        # -div(K grad u) = -2x pi cx sy + (1+x^2) 2 pi^2 sx sy
+        return -2 * x[0] * PI * cx * sy + (1 + x[0] ** 2) * 2 * PI * PI * sx * sy
+
+    A = assemble_matrix(space, -fdm.diffusion(Kfun))
+    F = assemble_forcing(space, forcing)
+    nmask = boundary_facet_selector(mesh, lambda p: p[:, 0] > 1 - 1e-9)
+    # K grad u . n at x=1: (1+x^2) pi cos(pi x) sin(pi y) = -2 pi sin(pi y)
+    F = F + jnp.asarray(
+        assemble_neumann(space, lambda p: -2 * PI * np.sin(PI * p[1]), nmask)
+    )
+    coords = space.dof_coords
+    dmask = space.boundary_dofs.copy()
+    on_n = coords[:, 0] > 1 - 1e-9
+    corner = (coords[:, 1] < 1e-9) | (coords[:, 1] > 1 - 1e-9)
+    dmask &= ~(on_n & ~corner)
+    gex = exact(coords)
+    x, info = solve_elliptic(
+        A, F, jnp.asarray(dmask), jnp.asarray(gex), symmetric=True, rtol=1e-12
+    )
+    err = np.abs(np.asarray(x) - gex).max()
+    assert err < 5e-5, err

@@ -61,3 +61,35 @@ def test_semilinear_reduces_to_linear():
         g=g,
     )
     assert np.abs(np.asarray(u) - np.asarray(pde.solution())).max() < 1e-9
+
+
+def test_bfgs_fallback_agrees_with_newton():
+    """BASELINE config 4: Newton with BFGS fallback. Force the fallback by
+    giving Newton zero iterations of slack and verify the energy minimizer
+    reproduces the Newton solution."""
+    mesh = unit_square_mesh(8)
+    space = FEMSpace(mesh, 1)
+
+    def exact(x):
+        return np.sin(PI * x[..., 0]) * np.sin(PI * x[..., 1])
+
+    def forcing(x):
+        u = exact(x)
+        return 2 * PI * PI * u + u**3
+
+    g = np.zeros(space.n_dofs)
+    u_newton, info_n = solve_semilinear(
+        space, -fdm.laplacian(),
+        h=lambda v: v**3, dh=lambda v: 3 * v**2,
+        forcing=forcing, g=g,
+    )
+    assert info_n["method"] == "newton"
+    u_bfgs, info_b = solve_semilinear(
+        space, -fdm.laplacian(),
+        h=lambda v: v**3, dh=lambda v: 3 * v**2,
+        forcing=forcing, g=g,
+        max_newton=1, newton_tol=1e-30,  # force non-convergence
+        bfgs_fallback=True, H_potential=lambda v: v**4 / 4,
+    )
+    assert info_b["method"] == "bfgs_fallback"
+    assert np.abs(np.asarray(u_bfgs) - np.asarray(u_newton)).max() < 1e-4

@@ -109,3 +109,42 @@ def test_space_time_separable_solve():
     assert bool(info.converged)
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-8)
     np.testing.assert_allclose(np.asarray(op.diagonal()), np.diag(dense), atol=1e-13)
+
+
+def test_space_time_fem_spline_system():
+    """BASELINE config 5 (space-time): separable system built from REAL
+    assembled blocks — spline mass/penalty in time x FEM mass/stiffness in
+    space — solved matrix-free and checked against the dense Kronecker
+    system."""
+    import jax.numpy as jnp
+
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.geometry import Interval
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+    from fdapde_core_tpu.models import SeparableOperator, solve_space_time
+
+    mesh = unit_square_mesh(5)
+    space = FEMSpace(mesh, 1)
+    As = assemble_matrix(space, -fdm.laplacian())
+    Ms = assemble_matrix(space, fdm.reaction(1.0))
+
+    tpde = fdm.PDE(Interval(0, 1, 5), fdm.reaction(1.0), order=3, discretization="spline")
+    tpde.init()
+    Mt = tpde.stiff()  # spline mass
+    ppde = fdm.PDE(Interval(0, 1, 5), -fdm.bilaplacian(), order=3, discretization="spline")
+    ppde.init()
+    Pt = ppde.stiff()  # bilaplacian penalty
+
+    lam = 0.1
+    op = SeparableOperator([(Mt, As), (lam * Pt, Ms), (Mt, Ms)])
+    dense = (
+        np.kron(Mt.toarray(), As.toarray())
+        + lam * np.kron(Pt.toarray(), Ms.toarray())
+        + np.kron(Mt.toarray(), Ms.toarray())
+    )
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=op.shape[0])
+    x, info = solve_space_time(op, jnp.asarray(b), rtol=1e-12, maxiter=20000)
+    ref = np.linalg.solve(dense, b)
+    assert np.abs(np.asarray(x) - ref).max() < 1e-6
