@@ -15,6 +15,7 @@ from ..fem.nonlinear import solve_semilinear
 from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
 from .space_time import SeparableOperator, solve_space_time
+from .sharded_driver import solve_elliptic_sharded
 
 __all__ = [
     "PDE",
@@ -22,4 +23,5 @@ __all__ = [
     "SeparableOperator",
     "solve_space_time",
     "ShardedPoisson",
+    "solve_elliptic_sharded",
 ]

@@ -211,3 +211,23 @@ def test_mesh_integration(unit_square, unit_sphere):
     )
     vol = integrate(unit_sphere, lambda p: 1.0)
     assert abs(vol - 4.0 / 3.0 * np.pi) < 0.15  # faceted sphere approximation
+
+
+def test_native_topology_matches_numpy():
+    """Native C++ first-encounter extraction == NumPy fallback."""
+    from fdapde_core_tpu.native import first_encounter_unique_native, native_available
+
+    assert native_available(), "g++ toolchain expected in this environment"
+    rng = np.random.default_rng(7)
+    keys = np.sort(rng.integers(0, 500, size=(5000, 2)).astype(np.int32), axis=1)
+    uniq_n, ids_n = first_encounter_unique_native(keys)
+    # numpy fallback path (reproduce inline to avoid the native dispatch)
+    _, first_idx, inverse = np.unique(keys, axis=0, return_index=True, return_inverse=True)
+    inverse = inverse.reshape(-1)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    ids_np = rank[inverse].astype(np.int32)
+    uniq_np = keys[np.sort(first_idx)]
+    np.testing.assert_array_equal(ids_n, ids_np)
+    np.testing.assert_array_equal(uniq_n, uniq_np)

@@ -120,3 +120,25 @@ def test_halo_dia_solver_matches_single_chip():
         solver = HaloDIASolver(D, make_device_mesh(n_dev))
         x, res, k = solver.solve(b_mod, (~mask).astype(jnp.float64), rtol=1e-12)
         assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
+
+
+def test_models_sharded_driver():
+    """High-level driver: halo-DIA strategy on a structured mesh, 8 devices,
+    matches the single-chip PDE solve."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.models import solve_elliptic_sharded
+
+    mesh = unit_square_mesh(20)
+    pde = fdm.PDE(mesh, -fdm.laplacian(), forcing=lambda x: 4.0, order=1)
+    coords = pde.dof_coords()
+    g = 1 - coords[:, 0] ** 2 - coords[:, 1] ** 2
+    pde.set_dirichlet_bc(g)
+    pde.init()
+    pde.solve()
+
+    x, info = solve_elliptic_sharded(
+        mesh, -fdm.laplacian(), lambda p: 4.0, g,
+        device_mesh=make_device_mesh(8), rtol=1e-12,
+    )
+    assert info["strategy"] == "halo_dia"
+    assert np.abs(np.asarray(x) - np.asarray(pde.solution())).max() < 1e-8
