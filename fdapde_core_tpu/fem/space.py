@@ -29,8 +29,13 @@ class FEMSpace:
     """Lagrange finite-element space of order R over a triangulation."""
 
     def __init__(self, mesh, order: int = 1):
-        if order not in (1, 2):
-            raise NotImplementedError("FEM orders 1 and 2 are supported (as upstream: lagrangian_basis.h:94)")
+        if order not in (1, 2, 3):
+            raise NotImplementedError(
+                "FEM orders 1-3 are supported (the reference enumerates "
+                "dofs only up to 2, lagrangian_basis.h:94)"
+            )
+        if order == 3 and mesh.local_dim != 2:
+            raise NotImplementedError("order 3 is available for 2D meshes")
         self.mesh = mesh
         self.order = order
         M = mesh.local_dim
@@ -42,7 +47,7 @@ class FEMSpace:
             self.dofs = mesh.cells
             self.n_dofs = mesh.n_nodes
             self.boundary_dofs = mesh.boundary_node_markers().copy()
-        else:
+        elif order == 2:
             edge_dofs = mesh.n_nodes + mesh.cell_to_edges  # (C, n_edges_per_cell)
             self.dofs = np.concatenate([mesh.cells, edge_dofs], axis=1).astype(
                 np.int32
@@ -51,6 +56,35 @@ class FEMSpace:
             self.boundary_dofs = np.concatenate(
                 [mesh.boundary_node_markers(), mesh.boundary_edges]
             )
+        else:  # order 3 (2D): 2 dofs per edge (orientation-consistent) + 1 interior
+            from ..utils.combinatorics import combinations
+
+            C = mesh.n_cells
+            pattern = combinations(2, M + 1)  # lex local edges
+            cells = mesh.cells
+            c2e = mesh.cell_to_edges
+            edge_slots = np.zeros((C, 2 * pattern.shape[0]), dtype=np.int64)
+            edges = mesh.edges  # rows sorted (u < v); dofs along u -> v
+            for j, (a, b) in enumerate(pattern):
+                e = c2e[:, j]
+                ga, gb = cells[:, a], cells[:, b]
+                d1 = mesh.n_nodes + 2 * e  # at 1/3 from min(u,v)
+                d2 = d1 + 1  # at 2/3
+                fwd = ga < gb  # local direction matches the sorted edge
+                edge_slots[:, 2 * j] = np.where(fwd, d1, d2)
+                edge_slots[:, 2 * j + 1] = np.where(fwd, d2, d1)
+            interior = (mesh.n_nodes + 2 * mesh.n_edges + np.arange(C))[:, None]
+            self.dofs = np.concatenate(
+                [cells, edge_slots, interior], axis=1
+            ).astype(np.int32)
+            self.n_dofs = mesh.n_nodes + 2 * mesh.n_edges + C
+            self.boundary_dofs = np.concatenate(
+                [
+                    mesh.boundary_node_markers(),
+                    np.repeat(mesh.boundary_edges, 2),
+                    np.zeros(C, dtype=bool),
+                ]
+            )
 
     # -- coordinates ---------------------------------------------------------
     @cached_property
@@ -58,8 +92,18 @@ class FEMSpace:
         """Physical coordinates of each dof (lagrangian_basis.h:159-183)."""
         if self.order == 1:
             return self.mesh.nodes
-        mids = self.mesh.nodes[self.mesh.edges].mean(axis=1)  # edge midpoints
-        return np.concatenate([self.mesh.nodes, mids], axis=0)
+        if self.order == 2:
+            mids = self.mesh.nodes[self.mesh.edges].mean(axis=1)
+            return np.concatenate([self.mesh.nodes, mids], axis=0)
+        # order 3: thirds along each sorted edge, then cell barycenters
+        u = self.mesh.nodes[self.mesh.edges[:, 0]]
+        v = self.mesh.nodes[self.mesh.edges[:, 1]]
+        pts = np.empty((2 * self.mesh.n_edges, self.mesh.embed_dim))
+        pts[0::2] = u + (v - u) / 3.0
+        pts[1::2] = u + 2.0 * (v - u) / 3.0
+        return np.concatenate(
+            [self.mesh.nodes, pts, self.mesh.cell_barycenters], axis=0
+        )
 
     @cached_property
     def quadrature_nodes(self) -> np.ndarray:

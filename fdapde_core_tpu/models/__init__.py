@@ -16,6 +16,7 @@ from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
 from .space_time import SeparableOperator, solve_space_time
 from .sharded_driver import solve_elliptic_sharded
+from .regression import SmoothingRegression
 
 __all__ = [
     "PDE",
@@ -24,4 +25,5 @@ __all__ = [
     "solve_space_time",
     "ShardedPoisson",
     "solve_elliptic_sharded",
+    "SmoothingRegression",
 ]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["HaloDIASolver"]
+__all__ = ["HaloDIASolver", "HaloDIAParabolic"]
 
 
 class HaloDIASolver:
@@ -127,3 +127,127 @@ class HaloDIASolver:
         free = self._pad(jnp.asarray(free_mask, self.data.dtype))
         x, res, k = self._solve_jit(b, free, rtol, maxiter=maxiter)
         return x[: self.n], res, k
+
+
+class HaloDIAParabolic:
+    """Distributed implicit-Euler stepping over DIA operators.
+
+    K = M/dt + A (both DIA, same offset set); each step solves
+    K u_{t+1} = (M/dt) u_t + F_{t+1} with boundary values pinned — the
+    sharded counterpart of fem/solvers.solve_parabolic, with the entire
+    `lax.scan` over time inside one shard_map region (per-step comm: the
+    halo strips of the SpMVs + psum'd dot products).
+    """
+
+    def __init__(self, A_dia, M_dia, dt: float, device_mesh: Mesh):
+        assert A_dia.offsets == M_dia.offsets, "operators must share offsets"
+        self.K = HaloDIASolver(
+            type(A_dia)(A_dia.data + M_dia.data / dt, A_dia.offsets, A_dia.n),
+            device_mesh,
+        )
+        sh = NamedSharding(device_mesh, P(None, "shard"))
+        pad = self.K.n_pad - M_dia.n
+        self.Mdata = jax.device_put(
+            jnp.pad(M_dia.data / dt, ((0, 0), (0, pad))), sh
+        )
+        self.device_mesh = device_mesh
+        self._jit = jax.jit(self._run, static_argnames=("maxiter",))
+
+    def _run(self, F, G, u0, free, rtol, maxiter):
+        K = self.K
+        H, nloc, nshards = K.H, K.block, K.P
+        offsets = K.offsets
+        fwd = [(i, i + 1) for i in range(nshards - 1)]
+        bwd = [(i + 1, i) for i in range(nshards - 1)]
+
+        def shard_fn(kdata, mdata, F, G, u0, free):
+            def halo_extend(x):
+                left = jax.lax.ppermute(x[-H:], "shard", perm=fwd)
+                right = jax.lax.ppermute(x[:H], "shard", perm=bwd)
+                return jnp.concatenate([left, x, right])
+
+            def spmv(data, x):
+                ext = halo_extend(x)
+                y = jnp.zeros_like(x)
+                for k, d in enumerate(offsets):
+                    y = y + data[k] * jax.lax.dynamic_slice_in_dim(ext, H + d, nloc)
+                return y
+
+            def dot(a, c):
+                return jax.lax.psum(jnp.vdot(a, c), "shard")
+
+            diag = kdata[offsets.index(0)]
+            inv_diag = jnp.where(
+                jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0
+            ) * free + (1 - free)
+
+            def Ax(x):
+                y = spmv(kdata, x * free)
+                return y * free + x * (1 - free)
+
+            def cg(b, x0):
+                r0 = b - Ax(x0)
+                z0 = inv_diag * r0
+                bnorm = jnp.sqrt(dot(b, b))
+                tol = rtol * bnorm
+
+                def cond(s):
+                    x, r, z, p, rz, k = s
+                    rn = jnp.sqrt(dot(r, r))
+                    return (rn > tol) & (k < maxiter) & jnp.isfinite(rn)
+
+                def body(s):
+                    x, r, z, p, rz, k = s
+                    Ap = Ax(p)
+                    alpha = rz / dot(p, Ap)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = inv_diag * r
+                    rz_new = dot(r, z)
+                    p = z + (rz_new / rz) * p
+                    return (x, r, z, p, rz_new, k + 1)
+
+                x, *_ = jax.lax.while_loop(
+                    cond, body, (x0, r0, z0, z0, dot(r0, z0), 0)
+                )
+                return x
+
+            def step(u, inputs):
+                f_next, g_next = inputs
+                gm = g_next * (1 - free)
+                rhs = spmv(mdata, u) + f_next
+                # move boundary columns to the RHS (unmasked K action on gm)
+                col = spmv(kdata, gm)
+                b_mod = (rhs - col) * free + gm
+                u_next = cg(b_mod, jnp.where(free > 0, u, gm))
+                return u_next, u_next
+
+            _, us = jax.lax.scan(step, u0, (F, G))
+            return us
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.device_mesh,
+            in_specs=(
+                P(None, "shard"),
+                P(None, "shard"),
+                P(None, "shard"),
+                P(None, "shard"),
+                P("shard"),
+                P("shard"),
+            ),
+            out_specs=P(None, "shard"),
+        )(self.K.data, self.Mdata, F, G, u0, free)
+
+    def solve(self, F, G, u0, free_mask, rtol=1e-10, maxiter=500):
+        """F, G: (n, m) forcing / Dirichlet data per time instant (columns
+        AFTER the initial one, i.e. m = n_steps); u0: initial condition.
+        Returns (n, m) trajectory (excluding u0)."""
+        K = self.K
+        pad = K.n_pad - K.n
+        Fp = jnp.pad(jnp.asarray(F, K.data.dtype), ((0, pad), (0, 0))).T  # (m, n_pad)
+        Gp = jnp.pad(jnp.asarray(G, K.data.dtype), ((0, pad), (0, 0))).T
+        u0p = K._pad(u0)
+        free = K._pad(jnp.asarray(free_mask, K.data.dtype))
+        us = self._jit(Fp, Gp, u0p, free, rtol, maxiter=maxiter)
+        return us[:, : K.n].T

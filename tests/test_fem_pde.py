@@ -228,3 +228,46 @@ def test_variable_diffusion_mixed_bc():
     )
     err = np.abs(np.asarray(x) - gex).max()
     assert err < 5e-5, err
+
+
+def test_p3_cubic_exact():
+    """P3 elements (order-3 dof enumeration goes beyond the reference's
+    order<=2 support, lagrangian_basis.h:94): cubic solutions are exact."""
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+
+    mesh = unit_square_mesh(8)
+    pde = fdm.PDE(
+        mesh,
+        -fdm.laplacian(),
+        forcing=lambda x: -(6 * x[0] + 6 * x[1]),
+        order=3,
+        solver_rtol=1e-13,
+    )
+    coords = pde.dof_coords()
+    assert pde.n_dofs == mesh.n_nodes + 2 * mesh.n_edges + mesh.n_cells
+    g = coords[:, 0] ** 3 + coords[:, 1] ** 3
+    pde.set_dirichlet_bc(g)
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 1e-16
+
+
+def test_p3_continuity_partition_of_unity(unit_square):
+    """P3 basis: partition of unity at random points (checks the
+    orientation-consistent edge-dof assignment on an unstructured mesh)."""
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.evaluation import eval_basis_pointwise
+
+    space = FEMSpace(unit_square, 3)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.05, 0.95, size=(50, 2))
+    Psi, _ = eval_basis_pointwise(space, pts)
+    np.testing.assert_allclose(
+        np.asarray(Psi @ np.ones(space.n_dofs)), 1.0, atol=1e-10
+    )
+    # and a cubic function interpolated at dofs is reproduced pointwise
+    coords = space.dof_coords
+    c = coords[:, 0] ** 3 - 2 * coords[:, 1] ** 3 + coords[:, 0] * coords[:, 1]
+    vals = np.asarray(Psi @ c)
+    want = pts[:, 0] ** 3 - 2 * pts[:, 1] ** 3 + pts[:, 0] * pts[:, 1]
+    np.testing.assert_allclose(vals, want, atol=1e-9)

@@ -142,3 +142,44 @@ def test_models_sharded_driver():
     )
     assert info["strategy"] == "halo_dia"
     assert np.abs(np.asarray(x) - np.asarray(pde.solution())).max() < 1e-8
+
+
+def test_halo_parabolic_matches_single_chip():
+    """Distributed implicit Euler (scan inside shard_map) == single-chip
+    parabolic solver, 8 devices."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.fem.solvers import solve_parabolic
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.parallel.halo import HaloDIAParabolic
+
+    mesh = unit_square_mesh(12)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    M = assemble_matrix(space, fdm.reaction(1.0))
+    coords = space.dof_coords
+    times = np.linspace(0.0, 0.2, 9)
+    dt = float(times[1] - times[0])
+
+    def exact(x, t):
+        return np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1]) * np.exp(-t)
+
+    g = jnp.asarray(exact(coords[:, None, :], times[None, :]))
+    u0 = jnp.asarray(exact(coords, 0.0))
+    qn = space.quadrature_nodes
+    f = (2 * np.pi**2 - 1.0) * exact(qn[:, None, :], times[None, :])
+    F = assemble_forcing(space, f)
+    mask = jnp.asarray(space.boundary_dofs)
+
+    ref = solve_parabolic(A, M, F, mask, g, u0, jnp.asarray(times), rtol=1e-12)
+
+    offs = unique_offsets(space.dofs)
+    Ad = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    Md = dia_from_coo(M.rows, M.cols, M.vals, space.n_dofs, offs)
+    solver = HaloDIAParabolic(Ad, Md, dt, make_device_mesh(8))
+    us = solver.solve(
+        F[:, 1:], g[:, 1:], u0, (~mask).astype(jnp.float64), rtol=1e-12
+    )
+    got = np.concatenate([np.asarray(u0)[:, None], np.asarray(us)], axis=1)
+    assert np.abs(got - np.asarray(ref)).max() < 1e-8
