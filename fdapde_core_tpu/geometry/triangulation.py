@@ -255,6 +255,36 @@ class Triangulation:
         """Ids of cells having `node_id` as a vertex (triangulation.h:257-260)."""
         return np.nonzero((self.cells == node_id).any(axis=1))[0]
 
+    def surface(self) -> "Triangulation":
+        """Boundary surface of a 3D mesh as a 2.5D triangulation.
+
+        Counterpart of Triangulation<3,3>::surface (triangulation.h:447-471):
+        boundary faces become cells of a Triangulation<2,3>, with nodes
+        renumbered compactly. Returns the surface mesh; its `parent_nodes`
+        attribute maps surface node ids back to volume node ids.
+        """
+        assert self.local_dim == 3 and self.embed_dim == 3
+        bf = self.facets[self.boundary_facets]  # (k, 3) volume node ids
+        used = np.unique(bf.reshape(-1))
+        remap = np.full(self.n_nodes, -1, dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        surf = Triangulation(self.nodes[used], remap[bf].astype(np.int32))
+        surf.parent_nodes = used
+        return surf
+
+    def face_to_edges(self) -> np.ndarray:
+        """For each facet of a 3D mesh, the ids of its 3 edges
+        (triangulation.h face_to_edges_)."""
+        assert self.local_dim == 3
+        edge_map = {tuple(e): i for i, e in enumerate(map(tuple, self.edges))}
+        faces = self.facets
+        out = np.zeros((faces.shape[0], 3), dtype=np.int64)
+        for r, f in enumerate(faces):
+            for c, (a, b) in enumerate([(0, 1), (0, 2), (1, 2)]):
+                key = (min(f[a], f[b]), max(f[a], f[b]))
+                out[r, c] = edge_map[key]
+        return out
+
     # -- misc ----------------------------------------------------------------
     def __repr__(self):
         return (

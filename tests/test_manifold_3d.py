@@ -104,3 +104,52 @@ def test_3d_p2_quadratic(unit_sphere):
     pde.init()
     pde.solve()
     assert pde.l2_error(g) < 1e-12
+
+
+def test_surface_extraction(unit_sphere):
+    """Triangulation<3,3>::surface parity (triangulation.h:447-471)."""
+    surf = unit_sphere.surface()
+    assert surf.local_dim == 2 and surf.embed_dim == 3
+    assert surf.n_cells == int(unit_sphere.boundary_facets.sum())
+    # extracted surface is watertight: every edge shared by exactly 2 faces
+    assert not surf.boundary_facets.any()
+    # surface nodes sit on the volume boundary
+    assert unit_sphere.boundary_node_markers()[surf.parent_nodes].all()
+    # area close to the sphere's surface (coarse facets)
+    assert abs(surf.measure() - 4 * np.pi) < 1.0
+
+
+def test_face_to_edges(unit_sphere):
+    f2e = unit_sphere.face_to_edges()
+    assert f2e.shape == (unit_sphere.n_facets, 3)
+    # each face's edges consist of its own vertex pairs
+    faces = unit_sphere.facets
+    edges = unit_sphere.edges
+    for r in np.random.default_rng(0).integers(0, len(faces), 20):
+        got = {tuple(edges[e]) for e in f2e[r]}
+        want = {
+            (min(faces[r][a], faces[r][b]), max(faces[r][a], faces[r][b]))
+            for a, b in [(0, 1), (0, 2), (1, 2)]
+        }
+        assert got == want
+
+
+def test_laplace_beltrami_on_extracted_sphere(unit_sphere):
+    """Solve (-Lap_S + 1) u = 3 z on the extracted sphere surface.
+
+    z is a degree-1 spherical harmonic: -Lap_S z = 2 z on the unit sphere,
+    so u = z exactly (up to facet geometry error). Closed manifold: no
+    boundary conditions; reaction term keeps the system SPD."""
+    surf = unit_sphere.surface()
+    pde = fdm.PDE(
+        surf,
+        -fdm.laplacian() + fdm.reaction(1.0),
+        forcing=lambda x: 3.0 * x[2] / np.linalg.norm(x),
+        order=1,
+        solver_rtol=1e-12,
+    )
+    pde.init()
+    pde.solve()
+    exact = surf.nodes[:, 2] / np.linalg.norm(surf.nodes, axis=1)
+    err = np.abs(np.asarray(pde.solution()) - exact)
+    assert err.max() < 0.05, err.max()  # faceted-geometry error only
