@@ -106,11 +106,23 @@ _KIND = {
 }
 
 
-def assemble_matrix(space, op) -> SparseMatrix:
+def assemble_matrix(space, op, layout: str = "aos") -> SparseMatrix:
     """Discretize a DifferentialOp over a FEMSpace -> sparse n_dofs^2 matrix.
 
     Counterpart of Assembler::discretize_operator (fem_assembler.h:52-120).
+
+    layout="soa" routes through the cell-axis-last path (ops/soa_assembly.py)
+    — required on TPU beyond ~1M cells, where (C, nq, nb, N) intermediates
+    tile-pad ~50x in HBM.
     """
+    if layout == "soa":
+        from ..ops.soa_assembly import assemble_soa_values
+
+        rows, cols, _ = space.scatter
+        vals = assemble_soa_values(space, op)
+        return SparseMatrix(
+            jnp.asarray(rows), jnp.asarray(cols), vals, (space.n_dofs, space.n_dofs)
+        )
     terms = []
     for scale, leaf in op.spatial_terms:
         if isinstance(leaf, BiLaplacian):

@@ -102,9 +102,11 @@ class CellLocator:
         counts = (ends - starts) * inside_box
         pt_idx = np.repeat(np.arange(n), counts)
         if pt_idx.size:
-            cand = np.concatenate(
-                [self.bin_cells[s:e] for s, e, k in zip(starts, ends, inside_box) if k]
-            )
+            # ragged arange: flat candidate positions without a Python loop
+            total = int(counts.sum())
+            resets = np.repeat(np.cumsum(counts) - counts, counts)
+            pos = np.arange(total) - resets + np.repeat(starts, counts)
+            cand = self.bin_cells[pos]
             hit = contains(self.mesh, cand, points[pt_idx])
             # keep first hit per point
             hp, hc = pt_idx[hit], cand[hit]

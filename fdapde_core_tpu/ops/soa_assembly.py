@@ -32,15 +32,43 @@ def gather_coords_soa(nodes, cells_t):
 def affine_maps_soa(nodes, cells_t):
     """C-last affine maps: (J, invJ, measure) with J[n][m] a (C,) array.
 
-    Mirrors geometry/affine.py (simplex.h:184-195) for M == N in {1,2,3};
-    manifold cases pending.
+    Mirrors geometry/affine.py (simplex.h:184-195) for M == N in {1,2,3} and
+    the manifold cases (2,3) and (1,2)/(1,3) via the Gram pseudo-inverse.
+    invJ is indexed [m][n] (the (M, N) inverse / pseudo-inverse).
     """
     coords = gather_coords_soa(nodes, cells_t)
     k = len(coords)  # M + 1 vertices
     N = len(coords[0])
     M = k - 1
-    assert M == N, "SoA path currently supports non-manifold meshes"
     J = [[coords[m + 1][n] - coords[0][n] for m in range(M)] for n in range(N)]
+    if M != N:
+        # Gram pseudo-inverse: invJ = (J^T J)^{-1} J^T  (simplex.h:190)
+        G = [
+            [
+                sum(J[n][m1] * J[n][m2] for n in range(N))
+                for m2 in range(M)
+            ]
+            for m1 in range(M)
+        ]
+        if M == 1:
+            detG = G[0][0]
+            invG = [[1.0 / detG]]
+            measure = jnp.sqrt(detG)  # segment length (simplex.h:192)
+        elif M == 2:
+            detG = G[0][0] * G[1][1] - G[0][1] * G[1][0]
+            invG = [
+                [G[1][1] / detG, -G[0][1] / detG],
+                [-G[1][0] / detG, G[0][0] / detG],
+            ]
+            # area = 0.5 ||J0 x J1|| = 0.5 sqrt(det G)  (simplex.h:191)
+            measure = 0.5 * jnp.sqrt(detG)
+        else:
+            raise NotImplementedError((M, N))
+        inv = [
+            [sum(invG[m][m2] * J[n][m2] for m2 in range(M)) for n in range(N)]
+            for m in range(M)
+        ]
+        return J, inv, measure
     if M == 1:
         det = J[0][0]
         inv = [[1.0 / det]]
@@ -72,10 +100,13 @@ def affine_maps_soa(nodes, cells_t):
     return J, inv, measure
 
 
-def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w):
+def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w, coeff_q=None):
     """(nb, nb) grid of (C,) local-matrix entries for one operator term.
 
-    kind/coeff as in fem/assembler.local_matrices (constant coefficients).
+    kind/coeff as in fem/assembler.local_matrices. Space-varying
+    coefficients come through `coeff_q` (then `coeff` is ignored):
+    reaction: coeff_q[q] -> (C,); advection: coeff_q[q][n] -> (C,);
+    diffusion: coeff_q[q][n1][n2] -> (C,).
     phi_tab (nq, nb), grad_tab (nq, nb, M), w (nq,): host constants.
     """
     phi_tab = np.asarray(phi_tab)
@@ -87,6 +118,19 @@ def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w):
     N = len(inv[0])
 
     if kind == "reaction":
+        if coeff_q is not None:
+            out = [[None] * nb for _ in range(nb)]
+            for i in range(nb):
+                for j in range(nb):
+                    acc = None
+                    for q in range(nq):
+                        s = float(phi_tab[q, i] * phi_tab[q, j] * w[q])
+                        if s == 0.0:
+                            continue
+                        term = coeff_q[q] * s
+                        acc = term if acc is None else acc + term
+                    out[i][j] = acc * measure
+            return out
         c = 1.0 if coeff is None else float(coeff)
         gram = phi_tab.T @ (w[:, None] * phi_tab)  # (nb, nb) scalars
         return [
@@ -106,22 +150,31 @@ def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w):
 
     out = [[None for _ in range(nb)] for _ in range(nb)]
     if kind in ("laplacian", "diffusion"):
-        K = None if kind == "laplacian" else np.asarray(coeff, dtype=np.float64)
+        K = (
+            None
+            if (kind == "laplacian" or coeff_q is not None)
+            else np.asarray(coeff, dtype=np.float64)
+        )
         for i in range(nb):
             for j in range(nb):
                 acc = None
                 for q in range(nq):
                     for n1 in range(N):
                         a = pg(q, i, n1)
-                        if K is None:
+                        if kind == "laplacian":
                             b = pg(q, j, n1)
                             term = a * b * float(w[q])
                         else:
                             term = None
                             for n2 in range(N):
-                                if K[n1, n2] == 0.0:
+                                kval = (
+                                    coeff_q[q][n1][n2]
+                                    if coeff_q is not None
+                                    else float(K[n1, n2])
+                                )
+                                if coeff_q is None and kval == 0.0:
                                     continue
-                                t2 = pg(q, j, n2) * float(K[n1, n2])
+                                t2 = pg(q, j, n2) * kval
                                 term = t2 if term is None else term + t2
                             if term is None:
                                 continue
@@ -130,7 +183,7 @@ def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w):
                 out[i][j] = -(acc) * measure  # leading minus (laplacian.h:37-44)
         return out
     if kind == "advection":
-        b = np.asarray(coeff, dtype=np.float64)
+        b = None if coeff_q is not None else np.asarray(coeff, dtype=np.float64)
         for i in range(nb):
             for j in range(nb):
                 acc = None
@@ -140,9 +193,10 @@ def local_matrices_soa(kind, coeff, nodes, cells_t, phi_tab, grad_tab, w):
                         continue
                     term = None
                     for n1 in range(N):
-                        if b[n1] == 0.0:
+                        bval = coeff_q[q][n1] if coeff_q is not None else float(b[n1])
+                        if coeff_q is None and bval == 0.0:
                             continue
-                        t2 = pg(q, j, n1) * float(b[n1])
+                        t2 = pg(q, j, n1) * bval
                         term = t2 if term is None else term + t2
                     if term is None:
                         continue
@@ -167,20 +221,43 @@ def assemble_soa_values(space, op, nodes=None, cells_t=None):
     grid = None
     for scale, leaf in op.spatial_terms:
         if isinstance(leaf, Laplacian):
-            kind, coeff = "laplacian", None
+            kind, coeff, ckind = "laplacian", None, None
         elif isinstance(leaf, Diffusion):
-            kind, coeff = "diffusion", leaf.K
+            kind, coeff, ckind = "diffusion", leaf.K, "matrix"
         elif isinstance(leaf, Advection):
-            kind, coeff = "advection", leaf.b
+            kind, coeff, ckind = "advection", leaf.b, "vector"
         elif isinstance(leaf, Reaction):
-            kind, coeff = "reaction", leaf.c
+            kind, coeff, ckind = "reaction", leaf.c, "scalar"
         else:
             raise ValueError(leaf)
-        if callable(coeff):
-            raise ValueError("SoA path currently supports constant coefficients")
+        # space-varying coefficients: evaluate to (C, nq, ...) then restructure
+        # into per-quadrature-node lists of (C,) arrays (cell axis last)
+        coeff_q = None
+        if coeff is not None and ckind is not None:
+            from ..fem.assembler import prepare_coefficient
+
+            varying, cval = prepare_coefficient(space, coeff, ckind)
+            if varying:
+                nq = space.n_quad
+                if ckind == "scalar":
+                    coeff_q = [cval[:, q] for q in range(nq)]
+                elif ckind == "vector":
+                    coeff_q = [
+                        [cval[:, q, n] for n in range(cval.shape[2])]
+                        for q in range(nq)
+                    ]
+                else:
+                    coeff_q = [
+                        [
+                            [cval[:, q, n1, n2] for n2 in range(cval.shape[3])]
+                            for n1 in range(cval.shape[2])
+                        ]
+                        for q in range(nq)
+                    ]
+                coeff = None
         term = local_matrices_soa(
             kind, coeff, nodes, cells_t, space.phi_tab, space.grad_tab,
-            space.quad.weights,
+            space.quad.weights, coeff_q=coeff_q,
         )
         if grid is None:
             grid = [[scale * term[i][j] for j in range(nb)] for i in range(nb)]

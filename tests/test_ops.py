@@ -125,3 +125,24 @@ def test_grid_dia_matches_flat_dia():
     np.testing.assert_allclose(
         np.asarray(G.diagonal()), np.asarray(D.diagonal()), atol=1e-14
     )
+
+
+def test_soa_assembly_space_varying_and_manifold(surface):
+    """SoA path: space-varying coefficients and 2.5D manifold meshes match
+    the standard path."""
+    # space-varying composed operator on a 2D mesh
+    mesh = unit_square_mesh(8)
+    space = FEMSpace(mesh, 1)
+    K = lambda x: (1 + x[0] ** 2) * np.eye(2)
+    b = lambda x: np.array([x[1], -x[0]])
+    c = lambda x: 1.0 + x[0] * x[1]
+    op = -fdm.diffusion(K) + fdm.advection(b) + fdm.reaction(c)
+    A = assemble_matrix(space, op)
+    B = assemble_matrix(space, op, layout="soa")
+    assert np.abs(A.toarray() - B.toarray()).max() < 1e-12
+
+    # Laplace-Beltrami stiffness on the 2.5D surface fixture
+    sspace = FEMSpace(surface, 1)
+    As = assemble_matrix(sspace, -fdm.laplacian())
+    Bs = assemble_matrix(sspace, -fdm.laplacian(), layout="soa")
+    assert np.abs(As.toarray() - Bs.toarray()).max() < 1e-12
