@@ -31,7 +31,19 @@ import jax as _jax
 if _os.environ.get("FDAPDE_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
-from . import fields, geometry, linear_algebra, optimization, pde, utils  # noqa: E402
+from . import (  # noqa: E402
+    fem,
+    fields,
+    geometry,
+    linear_algebra,
+    models,
+    ops,
+    optimization,
+    parallel,
+    pde,
+    splines,
+    utils,
+)
 from .geometry import Interval, LinearNetwork, Triangulation  # noqa: E402
 from .pde import (  # noqa: E402
     PDE,

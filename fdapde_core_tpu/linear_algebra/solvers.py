@@ -24,7 +24,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "bicgstab", "gmres", "SolveInfo"]
+__all__ = ["cg", "bicgstab", "gmres", "cg_differentiable", "SolveInfo"]
 
 
 class SolveInfo(NamedTuple):
@@ -190,6 +190,28 @@ def dense_solve(A, b):
     Ab = jax.lax.fori_loop(0, n, elim, Ab)
     x = Ab[:, n:]
     return x[:, 0] if vec else x
+
+
+def cg_differentiable(matvec, b, M_inv=None, rtol=1e-12, maxiter=None, symmetric=True):
+    """CG solve with implicit differentiation (lax.custom_linear_solve).
+
+    Gradients of the solution w.r.t. any parameter closed over by `matvec`
+    or entering `b` are computed by ADJOINT SOLVES instead of differentiating
+    through the Krylov iterations — the JAX-native enabler for
+    PDE-constrained optimization / parameter estimation (e.g. fitting
+    diffusion coefficients to data), which the reference cannot express.
+
+    matvec must be a jax-traceable linear callable; for symmetric systems the
+    transpose solve reuses the same operator.
+    """
+
+    def solve(mv, rhs):
+        x, _ = cg(mv, rhs, M_inv=M_inv, rtol=rtol, maxiter=maxiter)
+        return x
+
+    return jax.lax.custom_linear_solve(
+        matvec, jnp.asarray(b), solve=solve, symmetric=symmetric
+    )
 
 
 def iterative_refinement(A, b, inner_solve, n_refine: int = 3):

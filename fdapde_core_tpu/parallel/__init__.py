@@ -17,6 +17,7 @@ SpMV costs one `psum` over ICI. Owned-dof partitioning with halo
 `ppermute` exchange is the planned v2 (SURVEY.md §7 phase 5).
 """
 
+from .halo import HaloDIAParabolic, HaloDIASolver
 from .partition import morton_order, partition_elements
 from .sharded import ShardedPoisson, make_device_mesh
 
@@ -25,4 +26,6 @@ __all__ = [
     "partition_elements",
     "ShardedPoisson",
     "make_device_mesh",
+    "HaloDIASolver",
+    "HaloDIAParabolic",
 ]
