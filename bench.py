@@ -28,6 +28,9 @@ import sys
 import time
 
 os.environ["FDAPDE_TPU_X64"] = "0"  # f32 fast path on the chip
+# persist compiled programs across processes where the backend honors it
+# (first-compile latency through the dev harness is minutes per program)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
 
 BASELINE_ELEMENTS_PER_S = 5.0e7
 
