@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Benchmark: 2D Poisson P1 assemble + CG on the available accelerator.
 
+Full size matches the BASELINE.md north star: 10M dofs (20M cells).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
@@ -37,7 +39,7 @@ BASELINE_ELEMENTS_PER_S = 5.0e7
 
 def main():
     small = "--small" in sys.argv
-    n = 256 if small else 2236  # 2 n^2 cells: 131k small, 10.0M full
+    n = 256 if small else 3163  # 2 n^2 cells: 131k small, 20.0M full (10M dofs)
 
     import jax
     import jax.numpy as jnp

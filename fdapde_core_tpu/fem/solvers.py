@@ -94,7 +94,7 @@ def solve_parabolic(
         def mass_apply(v):
             return mdiag * v
 
-        K = A.with_vals(A.vals) + _diag_sparse(mdiag)
+        K = A + _diag_sparse(mdiag)
     else:
         def mass_apply(v):
             return Mass @ v / dt

@@ -57,24 +57,25 @@ class CellLocator:
         self.res = resolution
         span = np.where(self.gmax > self.gmin, self.gmax - self.gmin, 1.0)
         self.scale = self.res / span
-        # bin ranges per cell
-        lo_bin = self._bin(self.lo)
+        # bin ranges per cell; register each cell in all bins its bbox
+        # overlaps — fully vectorized (ragged expansion over the span grid)
+        lo_bin = self._bin(self.lo)  # (C, N)
         hi_bin = self._bin(self.hi)
-        # register each cell in all bins its bbox overlaps
-        cell_ids, bin_ids = [], []
-        ranges = [np.arange(self.res) for _ in range(N)]
-        for c in range(mesh.n_cells):
-            axes = [
-                np.arange(lo_bin[c, d], hi_bin[c, d] + 1) for d in range(N)
-            ]
-            grid = np.meshgrid(*axes, indexing="ij")
-            flat = np.ravel_multi_index(
-                [g.reshape(-1) for g in grid], (self.res,) * N
-            )
-            cell_ids.append(np.full(flat.size, c, dtype=np.int32))
-            bin_ids.append(flat.astype(np.int64))
-        cell_ids = np.concatenate(cell_ids)
-        bin_ids = np.concatenate(bin_ids)
+        spans = hi_bin - lo_bin + 1
+        counts = spans.prod(axis=1)
+        total = int(counts.sum())
+        cell_ids = np.repeat(np.arange(mesh.n_cells, dtype=np.int32), counts)
+        resets = np.repeat(np.cumsum(counts) - counts, counts)
+        local = np.arange(total, dtype=np.int64) - resets  # rank within cell
+        spans_rep = spans[cell_ids]
+        lo_rep = lo_bin[cell_ids]
+        # decode row-major local rank into per-axis offsets
+        bin_ids = np.zeros(total, dtype=np.int64)
+        divisor = np.ones(total, dtype=np.int64)
+        for d in range(N - 1, -1, -1):
+            off = (local // divisor) % spans_rep[:, d]
+            bin_ids += (lo_rep[:, d] + off) * self.res ** (N - 1 - d)
+            divisor *= spans_rep[:, d]
         order = np.argsort(bin_ids, kind="stable")
         self.bin_cells = cell_ids[order]
         counts = np.bincount(bin_ids, minlength=self.res**N)

@@ -18,7 +18,6 @@ SURVEY.md) marks `converged=False` without crashing.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

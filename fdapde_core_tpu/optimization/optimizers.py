@@ -18,7 +18,6 @@ Each returns an `OptimizeResult(x, value, n_iter)`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

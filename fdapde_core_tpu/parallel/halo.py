@@ -13,7 +13,6 @@ communication drops from a full-vector psum to two H-wide strips.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
