@@ -143,11 +143,23 @@ def main():
 
     @jax.jit
     def cg_fixed_dia(D, free, b, n_iter=100):
-        def Ax(x):
-            y = D @ (x * free)
-            return y * free + x * (1 - free)
+        # fold the Dirichlet masking into the operator data once:
+        # A' = F A F (rows and columns of boundary dofs zeroed), so the CG
+        # body needs no per-iteration mask multiplies (2 fewer 40MB passes)
+        freeg = free.reshape(D.shape2d)
+        masked_layers = []
+        for k, (di, dj) in enumerate(D.offsets2d):
+            shifted_free = jax.lax.dynamic_slice(
+                jnp.pad(freeg, 1), (1 + di, 1 + dj), D.shape2d
+            )
+            masked_layers.append(D.data[k] * freeg * shifted_free)
+        Dm = type(D)(jnp.stack(masked_layers), D.offsets2d, D.shape2d)
+        mask = 1 - free
 
-        diag = D.diagonal()
+        def Ax(x):
+            return (Dm @ x) + x * mask
+
+        diag = D.diagonal() * free + mask
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
         r0 = b
         z0 = inv_diag * r0

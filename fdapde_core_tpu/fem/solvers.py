@@ -72,7 +72,8 @@ def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None):
 
 
 def solve_parabolic(
-    A, Mass, F, mask, g, u0, times, rtol=1e-12, maxiter=None, lumped=False
+    A, Mass, F, mask, g, u0, times, rtol=1e-12, maxiter=None, lumped=False,
+    symmetric=True,
 ):
     """Implicit-Euler time stepping (fem_linear_parabolic_solver.h:37-72).
 
@@ -108,12 +109,14 @@ def solve_parabolic(
     g = jnp.asarray(g)
     u0 = jnp.asarray(u0).reshape(-1)
 
+    solver = cg if symmetric else bicgstab
+
     def step(u_prev, inputs):
         f_next, g_next = inputs
         rhs = mass_apply(u_prev) + f_next
         b_mod = sys.rhs(rhs, g_next)
         x0 = jnp.where(mask, g_next, u_prev)
-        u_next, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
+        u_next, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
         return u_next, u_next
 
     _, us = jax.lax.scan(step, u0, (F[:, 1:].T, g[:, 1:].T))

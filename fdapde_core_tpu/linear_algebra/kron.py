@@ -26,6 +26,12 @@ def kron(A, B):
     dense x dense -> dense (jnp.kron); SparseMatrix x SparseMatrix -> sparse
     (kronecker_product.h:27-80 semantics).
     """
+    if isinstance(A, SparseMatrix) != isinstance(B, SparseMatrix):
+        raise TypeError(
+            "kron needs both operands sparse or both dense "
+            "(kronecker_product.h supports dense x dense and sparse x sparse); "
+            "densify one side or use kron_matvec for the matrix-free product"
+        )
     if isinstance(A, SparseMatrix) and isinstance(B, SparseMatrix):
         ra, ca, va = np.asarray(A.rows), np.asarray(A.cols), A.vals
         rb, cb, vb = np.asarray(B.rows), np.asarray(B.cols), B.vals

@@ -214,6 +214,7 @@ class PDE:
                 rtol=self.solver_rtol,
                 maxiter=self.solver_maxiter,
                 lumped=self.lumped_mass,
+                symmetric=self.operator.is_symmetric,
             )
             self.success = True
         return self._solution

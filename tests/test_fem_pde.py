@@ -271,3 +271,35 @@ def test_p3_continuity_partition_of_unity(unit_square):
     vals = np.asarray(Psi @ c)
     want = pts[:, 0] ** 3 - 2 * pts[:, 1] ** 3 + pts[:, 0] * pts[:, 1]
     np.testing.assert_allclose(vals, want, atol=1e-9)
+
+
+def test_parabolic_advection_diffusion():
+    """Parabolic with a non-symmetric spatial operator (BiCGStab inner
+    solves): dt(u) - Lap(u) + b.grad(u) = f with manufactured solution."""
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+
+    mesh = unit_square_mesh(24)
+    beta = np.array([1.0, 0.5])
+    times = np.linspace(0.0, 0.5, 26)
+    L = fdm.dt() - fdm.laplacian() + fdm.advection(beta)
+    assert not L.is_symmetric
+
+    def exact(x, t):
+        return np.sin(PI * x[..., 0]) * np.sin(PI * x[..., 1]) * np.exp(-t)
+
+    def forcing(x, t):
+        u = exact(x, t)
+        dux = PI * np.cos(PI * x[..., 0]) * np.sin(PI * x[..., 1]) * np.exp(-t)
+        duy = PI * np.sin(PI * x[..., 0]) * np.cos(PI * x[..., 1]) * np.exp(-t)
+        return -u + 2 * PI * PI * u + beta[0] * dux + beta[1] * duy
+
+    pde = fdm.PDE(mesh, L, times=times, order=1)
+    coords = pde.dof_coords()
+    g = exact(coords[:, None, :], times[None, :])
+    pde.set_dirichlet_bc(g)
+    pde.set_initial_condition(exact(coords, 0.0))
+    qn = pde.quadrature_nodes()
+    pde.set_forcing(forcing(qn[:, None, :], times[None, :]))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 5e-4
