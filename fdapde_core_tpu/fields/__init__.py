@@ -9,7 +9,13 @@ differences (field_derivatives.h:35-111, default step 1e-3) as fallback and
 as an explicitly requestable mode.
 """
 
-from .fields import (
+from .fields import (  # noqa: F401
+    cos,
+    exp,
+    log,
+    sin,
+    sqrt,
+    tan,
     DifferentiableScalarField,
     DiscretizedField,
     MatrixField,

@@ -30,6 +30,12 @@ __all__ = [
     "DifferentiableScalarField",
     "TwiceDifferentiableScalarField",
     "DiscretizedField",
+    "sin",
+    "cos",
+    "tan",
+    "exp",
+    "log",
+    "sqrt",
 ]
 
 
@@ -293,3 +299,20 @@ class MatrixField:
         if arr.ndim == 1:
             return self.matvec(arr)
         return MatrixField.from_callable(lambda x: self(x) @ arr)
+
+
+def _unary(fn):
+    def wrapper(field):
+        f = _lift(field)
+        return ScalarField(lambda x: fn(f(x)))
+
+    return wrapper
+
+
+# unary math on scalar expressions (scalar_expressions.h sin/cos/tan/exp/log)
+sin = _unary(jnp.sin)
+cos = _unary(jnp.cos)
+tan = _unary(jnp.tan)
+exp = _unary(jnp.exp)
+log = _unary(jnp.log)
+sqrt = _unary(jnp.sqrt)

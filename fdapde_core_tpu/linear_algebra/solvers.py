@@ -97,16 +97,19 @@ def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
 
     r0 = b - op(x0)
     rhat = r0  # shadow residual
-    state0 = (x0, r0, r0, jnp.array(1.0, b.dtype), jnp.array(1.0, b.dtype), jnp.array(1.0, b.dtype), jnp.zeros_like(b), jnp.zeros_like(b), 0)
-    # state: x, r, p, rho, alpha, omega, v, p_prev(unused placeholder), k
+    one = jnp.array(1.0, b.dtype)
+    state0 = (x0, r0, jnp.zeros_like(b), one, one, one, jnp.zeros_like(b), 0)
+    # state: x, r, p, rho, alpha, omega, v, k
+    # (p = v = 0, rho = alpha = omega = 1 makes the first body evaluation
+    # reduce to the standard p_1 = r_0 initialization)
 
     def cond(state):
-        x, r, p, rho, alpha, omega, v, _, k = state
+        x, r, p, rho, alpha, omega, v, k = state
         rnorm = jnp.linalg.norm(r)
         return (rnorm > tol) & (k < maxiter) & jnp.isfinite(rnorm)
 
     def body(state):
-        x, r, p, rho, alpha, omega, v, _, k = state
+        x, r, p, rho, alpha, omega, v, k = state
         rho_new = jnp.vdot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
@@ -120,9 +123,8 @@ def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
         omega = jnp.where(tt > 0, jnp.vdot(t, s) / tt, 0.0)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        return (x, r, p, rho_new, alpha, omega, v, _, k + 1)
+        return (x, r, p, rho_new, alpha, omega, v, k + 1)
 
-    # first iteration initializes p = r (rho path handles it via rho=alpha=omega=1)
     out = jax.lax.while_loop(cond, body, state0)
     x, r = out[0], out[1]
     k = out[-1]

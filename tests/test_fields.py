@@ -104,3 +104,18 @@ def test_matrix_field():
     np.testing.assert_allclose(np.asarray(mv(x)), [2.0, 5.0])
     prod = K @ K
     np.testing.assert_allclose(np.asarray(prod(x)), [[4.0, 0.0], [0.0, 25.0]])
+
+
+def test_unary_math_functions():
+    from fdapde_core_tpu import fields as ff
+
+    f = ScalarField(lambda x: x[0])
+    g = ff.sin(f) * ff.exp(f) + ff.cos(f) / ff.sqrt(f + 4.0)
+    x = jnp.array([0.5])
+    want = np.sin(0.5) * np.exp(0.5) + np.cos(0.5) / np.sqrt(4.5)
+    assert np.isclose(float(g(x)), want)
+    # derivatives flow through the composition
+    d = g.derive()(x)
+    h = 1e-7
+    fd = (g(jnp.array([0.5 + h])) - g(jnp.array([0.5 - h]))) / (2 * h)
+    assert np.isclose(float(d[0]), float(fd), rtol=1e-5)
