@@ -75,3 +75,20 @@ class GridDIAMatrix:
     def diagonal(self):
         k = self.offsets2d.index((0, 0))
         return self.data[k].reshape(-1)
+
+    def with_dirichlet(self, free_flat):
+        """Fold Dirichlet masking into the data: A' = F A F.
+
+        free_flat: (n,) 1.0 on free dofs, 0.0 on pinned ones. The masked
+        operator satisfies  A' x + x * (1 - free) == F(A(Fx)) + pinned rows
+        as identity — so solvers need no per-iteration mask multiplies
+        (two fewer full passes per CG iteration; see bench.py)."""
+        mx, my = self.shape2d
+        freeg = jnp.asarray(free_flat).reshape(mx, my)
+        H = max(max(abs(a), abs(b)) for a, b in self.offsets2d)
+        fp = jnp.pad(freeg, H)
+        layers = []
+        for k, (di, dj) in enumerate(self.offsets2d):
+            shifted = jax.lax.dynamic_slice(fp, (H + di, H + dj), (mx, my))
+            layers.append(self.data[k] * freeg * shifted)
+        return GridDIAMatrix(jnp.stack(layers), self.offsets2d, self.shape2d)

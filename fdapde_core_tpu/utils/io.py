@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-__all__ = ["read_csv", "read_mtx", "load_mesh_csv"]
+__all__ = ["read_csv", "read_csv_sparse", "read_mtx", "load_mesh_csv"]
 
 
 def read_csv(path: str, dtype=np.float64) -> np.ndarray:
@@ -41,6 +41,24 @@ def read_csv(path: str, dtype=np.float64) -> np.ndarray:
                 ]
             )
     return np.asarray(rows, dtype=np.float64).astype(dtype)
+
+
+def read_csv_sparse(path: str, shape=None):
+    """Parse a COO-triplet CSV (row, col, value; 1-indexed) into a sparse
+    matrix — the reference's `parse_file<Eigen::Sparse>` format used for
+    network neighbor matrices (csv_reader.h, mesh_loader.h:82).
+
+    Returns a `linear_algebra.SparseMatrix`.
+    """
+    from ..linear_algebra.sparse import SparseMatrix
+
+    raw = read_csv(path)
+    rows = raw[:, 0].astype(np.int64) - 1
+    cols = raw[:, 1].astype(np.int64) - 1
+    vals = raw[:, 2]
+    if shape is None:
+        shape = (int(rows.max()) + 1, int(cols.max()) + 1)
+    return SparseMatrix.from_coo(rows, cols, vals, shape)
 
 
 def read_mtx(path: str) -> np.ndarray:

@@ -231,3 +231,18 @@ def test_native_topology_matches_numpy():
     uniq_np = keys[np.sort(first_idx)]
     np.testing.assert_array_equal(ids_n, ids_np)
     np.testing.assert_array_equal(uniq_n, uniq_np)
+
+
+def test_network_sparse_neighbors_csv(mesh_dir):
+    """The reference stores 1.5D network adjacency as sparse COO CSV
+    (mesh_loader.h:82); it must agree with the derived adjacency."""
+    from fdapde_core_tpu.utils.io import read_csv_sparse
+
+    net = load_mesh("network")
+    N = read_csv_sparse(
+        f"{mesh_dir}/network/neigh.csv", shape=(net.n_cells, net.n_cells)
+    ).toarray()
+    for c in (0, 7, 100, 199):
+        mine = set(net.cell_neighbors(c).tolist())
+        ref = set(np.nonzero(N[c])[0].tolist()) - {c}
+        assert mine == ref, (c, mine, ref)

@@ -183,3 +183,35 @@ def test_halo_parabolic_matches_single_chip():
     )
     got = np.concatenate([np.asarray(u0)[:, None], np.asarray(us)], axis=1)
     assert np.abs(got - np.asarray(ref)).max() < 1e-8
+
+
+def test_halo_grid_dia_matches_single_chip():
+    """Row-sharded 2D-stencil CG on 8 devices == single-chip masked solve."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.fem.solvers import DirichletSystem, solve_elliptic
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+    from fdapde_core_tpu.parallel import HaloGridDIASolver
+
+    mesh = unit_square_mesh(31)  # mx = 32 rows over 8 shards -> Rb = 4
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    F = assemble_forcing(space, lambda x: 4.0)
+    coords = space.dof_coords
+    g = jnp.asarray(1 - coords[:, 0] ** 2 - coords[:, 1] ** 2)
+    mask = jnp.asarray(space.boundary_dofs)
+    ref, _ = solve_elliptic(A, F, mask, g, rtol=1e-12)
+
+    offs = unique_offsets(space.dofs)
+    G = GridDIAMatrix.from_dia(
+        dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs), (32, 32)
+    )
+    free = (~mask).astype(jnp.float64)
+    b_mod = DirichletSystem(A, mask).rhs(F, g)
+    for n_dev in (1, 8):
+        solver = HaloGridDIASolver(G, free, make_device_mesh(n_dev))
+        x, res, k = solver.solve(b_mod, rtol=1e-12)
+        # solver returns interior solution + g on pinned dofs via identity rows
+        assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
