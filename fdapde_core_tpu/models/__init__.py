@@ -14,7 +14,7 @@ package collects the corresponding ready-to-use drivers of the TPU build:
 from ..fem.nonlinear import solve_semilinear
 from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
-from .space_time import SeparableOperator, solve_space_time
+from .space_time import SeparableOperator, SpaceTimeSmoothing, solve_space_time
 from .sharded_driver import solve_elliptic_sharded
 from .regression import SmoothingRegression
 
@@ -23,6 +23,7 @@ __all__ = [
     "solve_semilinear",
     "SeparableOperator",
     "solve_space_time",
+    "SpaceTimeSmoothing",
     "ShardedPoisson",
     "solve_elliptic_sharded",
     "SmoothingRegression",

@@ -12,12 +12,13 @@ Kronecker factors and every matvec is two batched matmuls per term
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..linear_algebra.kron import kron_matvec
 from ..linear_algebra.solvers import bicgstab, cg
 from ..linear_algebra.sparse import SparseMatrix
 
-__all__ = ["SeparableOperator", "solve_space_time"]
+__all__ = ["SeparableOperator", "solve_space_time", "SpaceTimeSmoothing"]
 
 
 class SeparableOperator:
@@ -61,3 +62,75 @@ def solve_space_time(op: SeparableOperator, b, symmetric=True, rtol=1e-10, maxit
     solver = cg if symmetric else bicgstab
     x, info = solver(op, jnp.asarray(b), M_inv=lambda r: inv * r, rtol=rtol, maxiter=maxiter)
     return x, info
+
+
+class SpaceTimeSmoothing:
+    """Separable space-time field estimation (spline-in-time x FEM-in-space).
+
+    The downstream fdaPDE space-time model on a monitoring design (fixed
+    spatial locations p_i observed at all instants t_j): estimate
+    f(p, t) = sum_{uv} c_{uv} phi_u(t) psi_v(p) minimizing
+
+        ||Y - Phi C Psi^T||_F^2 + lam_s * <(Mt (x) As) c, c>
+                                 + lam_t * <(Pt (x) Ms) c, c>
+
+    with As/Ms the FEM stiffness/mass on the spatial mesh, Mt/Pt the spline
+    mass/bilaplacian penalty in time. On the grid design the normal
+    equations are a SUM OF KRONECKER PRODUCTS —
+
+        [(Phi^T Phi) (x) (Psi^T Psi) + lam_s Mt (x) As + lam_t Pt (x) Ms] c
+            = vec(Phi^T Y Psi)
+
+    — solved matrix-free (every matvec is a few small matmuls, MXU-shaped).
+    """
+
+    def __init__(self, mesh, time_interval, fem_order=1, spline_order=3):
+        from ..fem.assembler import assemble_matrix
+        from ..fem.space import FEMSpace
+        from ..pde.operators import laplacian, reaction
+        from ..splines.assembler import assemble_mass, assemble_operator
+        from ..splines.space import SplineSpace
+        from ..pde.operators import bilaplacian
+
+        self.space = FEMSpace(mesh, fem_order)
+        self.tspace = SplineSpace(time_interval, spline_order)
+        self.As = assemble_matrix(self.space, -laplacian())
+        self.Ms = assemble_matrix(self.space, reaction(1.0))
+        self.Mt = assemble_mass(self.tspace)
+        self.Pt = assemble_operator(self.tspace, -bilaplacian())
+
+    def fit(self, locs, times, Y, lam_s, lam_t, rtol=1e-10, maxiter=20000):
+        """locs (n_i, d) spatial points; times (n_j,); Y (n_i, n_j)."""
+        from ..fem.evaluation import eval_basis_pointwise
+
+        Psi, _ = eval_basis_pointwise(self.space, np.asarray(locs))
+        Phi, _ = self.tspace.eval(np.asarray(times))
+        PsiTPsi = jnp.asarray(Psi.to_scipy().T @ Psi.to_scipy().toarray())
+        PhiTPhi = jnp.asarray(Phi.to_scipy().T @ Phi.to_scipy().toarray())
+        from ..linear_algebra.sparse import SparseMatrix
+
+        op = SeparableOperator(
+            [
+                (SparseMatrix.from_dense(np.asarray(PhiTPhi)),
+                 SparseMatrix.from_dense(np.asarray(PsiTPsi))),
+                (lam_t * self.Pt, self.Ms),
+                (lam_s * self.Mt, self.As),
+            ]
+        )
+        Yj = jnp.asarray(Y, self.As.dtype)
+        rhs_mat = Phi.rmatvec(Yj.T)  # (nt_basis, n_i)
+        rhs = Psi.rmatvec(rhs_mat.T).T  # -> (nt_basis, ns)
+        self._op = op
+        c, info = solve_space_time(op, rhs.reshape(-1), rtol=rtol, maxiter=maxiter)
+        self.coefficients_ = c.reshape(self.tspace.n_dofs, self.space.n_dofs)
+        self.solve_info_ = info
+        return self.coefficients_
+
+    def predict(self, locs, times):
+        """Field values at the (locs x times) grid: (n_i, n_j)."""
+        from ..fem.evaluation import eval_basis_pointwise
+
+        Psi, _ = eval_basis_pointwise(self.space, np.asarray(locs))
+        Phi, _ = self.tspace.eval(np.asarray(times))
+        tmp = Psi @ self.coefficients_.T  # (n_i, nt_basis)
+        return (Phi @ tmp.T).T  # (n_i, n_j)

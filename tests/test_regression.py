@@ -40,3 +40,32 @@ def test_lambda_grid_selection():
     # extreme under/over-smoothing must lose to a middle lambda
     assert best in (1e-2, 1.0)
     assert errs[np.argmin(errs)] < errs[-1]
+
+
+def test_space_time_smoothing():
+    """BASELINE config 5: spline-in-time x FEM-in-space smoothing on a
+    monitoring grid recovers a separable field from noisy data."""
+    from fdapde_core_tpu.geometry import Interval
+    from fdapde_core_tpu.models import SpaceTimeSmoothing
+
+    rng = np.random.default_rng(0)
+    n_sites, n_times = 400, 12
+    locs = rng.uniform(0.05, 0.95, size=(n_sites, 2))
+    times = np.linspace(0.0, 1.0, n_times)
+
+    def truth(p, t):
+        return np.sin(PI * p[..., 0:1]) * np.sin(PI * p[..., 1:2]) * np.exp(-t[None, :])
+
+    Y = truth(locs, times) + 0.1 * rng.normal(size=(n_sites, n_times))
+
+    model = SpaceTimeSmoothing(
+        unit_square_mesh(12), Interval(0.0, 1.0, 6), fem_order=1, spline_order=3
+    )
+    model.fit(locs, times, Y, lam_s=1.0, lam_t=0.1, rtol=1e-10)
+    assert bool(model.solve_info_.converged)
+
+    grid = rng.uniform(0.15, 0.85, size=(100, 2))
+    t_eval = np.linspace(0.1, 0.9, 7)
+    pred = np.asarray(model.predict(grid, t_eval))
+    rmse = float(np.sqrt(((pred - truth(grid, t_eval)) ** 2).mean()))
+    assert rmse < 0.06, rmse  # beats the 0.1 noise level
