@@ -160,6 +160,10 @@ class Triangulation:
         In 2D edges are facets; in 3D an edge is on the boundary iff it
         belongs to some boundary face (triangulation.h:319-399 semantics).
         """
+        if self.local_dim == 1:
+            # 1D "edges" are the cells themselves; their midpoint dofs are
+            # always interior
+            return np.zeros(self.n_edges, dtype=bool)
         if self.local_dim == 2:
             return self._facet_data[3]
         # 3D: mark edges of boundary faces
