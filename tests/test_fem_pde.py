@@ -303,3 +303,20 @@ def test_parabolic_advection_diffusion():
     pde.init()
     pde.solve()
     assert pde.l2_error(g) < 5e-4
+
+
+def test_c_shaped_nonconvex_solve():
+    """Poisson on the non-convex c_shaped reference mesh: harmonic linear
+    solution exact; grid point location handles the concavity."""
+    mesh = load_mesh("c_shaped")
+    pde = fdm.PDE(mesh, -fdm.laplacian(), order=1)
+    coords = pde.dof_coords()
+    g = 2.0 * coords[:, 0] - coords[:, 1]
+    pde.set_dirichlet_bc(g)
+    pde.set_forcing(np.zeros((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    assert pde.l2_error(g) < 1e-14
+    # a point in the concave notch must be reported outside
+    inside = mesh.locate(mesh.cell_barycenters[:5])
+    assert (inside == np.arange(5)).all()

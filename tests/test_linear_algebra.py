@@ -311,3 +311,38 @@ def test_differentiable_fem_coefficient_gradient():
     eps = 1e-5
     fd = (loss(2.0 + eps) - loss(2.0 - eps)) / (2 * eps)
     assert abs(float(g) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_coefficient_estimation_inverse_problem():
+    """PDE-constrained estimation: recover a diffusion coefficient kappa*
+    from observations of the solution by gradient descent through the
+    differentiable solve."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+    from fdapde_core_tpu.linear_algebra.solvers import cg_differentiable
+
+    mesh = unit_square_mesh(10)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    F = assemble_forcing(space, lambda x: 4.0)
+    mask = jnp.asarray(space.boundary_dofs)
+    free = (~mask).astype(F.dtype)
+
+    def solve_for(kappa):
+        def matvec(v):
+            return kappa * (A @ (v * free)) * free + v * mask
+
+        return cg_differentiable(matvec, F * free, rtol=1e-13)
+
+    kappa_true = 3.0
+    u_obs = solve_for(kappa_true)
+
+    def loss(kappa):
+        return jnp.sum((solve_for(kappa) - u_obs) ** 2)
+
+    from fdapde_core_tpu.optimization import newton
+
+    res = newton(loss, jnp.array([1.0]), tol=1e-12, max_iter=50)
+    assert abs(float(res.x[0]) - kappa_true) < 1e-6, float(res.x[0])
