@@ -26,8 +26,16 @@ from .sparse import SparseMatrix
 __all__ = ["fspai"]
 
 
-def fspai(A, alpha: int = 10, beta: int = 10, epsilon: float = 0.005) -> SparseMatrix:
-    """Approximate inverse Cholesky factor L of SPD matrix A (L L^T ~= A^{-1})."""
+def fspai(A, alpha: int = 10, beta: int = 10, epsilon: float = 0.005, native: bool = True) -> SparseMatrix:
+    """Approximate inverse Cholesky factor L of SPD matrix A (L L^T ~= A^{-1}).
+
+    Dispatches to the native C++ implementation (native/fspai.cpp) when the
+    toolchain is available; the NumPy path below is the reference fallback.
+    """
+    if native:
+        out = _fspai_native(A, alpha, beta, epsilon)
+        if out is not None:
+            return out
     from scipy.sparse import csc_matrix
 
     if isinstance(A, SparseMatrix):
@@ -89,3 +97,33 @@ def fspai(A, alpha: int = 10, beta: int = 10, epsilon: float = 0.005) -> SparseM
     return SparseMatrix.from_coo(
         np.asarray(rows_out), np.asarray(cols_out), np.asarray(vals_out), (n, n)
     )
+
+
+def _fspai_native(A, alpha, beta, epsilon):
+    from ..native.build import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    As = (A.to_scipy() if isinstance(A, SparseMatrix) else None)
+    if As is None:
+        from scipy.sparse import csr_matrix
+
+        As = csr_matrix(np.asarray(A))
+    As = As.tocsr()
+    n = As.shape[0]
+    indptr = As.indptr.astype(np.int64)
+    indices = As.indices.astype(np.int32)
+    values = As.data.astype(np.float64)
+    cap = n * (1 + alpha * beta)
+    rows = np.empty(cap, dtype=np.int32)
+    cols = np.empty(cap, dtype=np.int32)
+    vals = np.empty(cap, dtype=np.float64)
+    nnz = lib.fspai_csr(
+        indptr.ctypes.data, indices.ctypes.data, values.ctypes.data,
+        n, alpha, beta, float(epsilon),
+        rows.ctypes.data, cols.ctypes.data, vals.ctypes.data,
+    )
+    if nnz < 0:
+        return None
+    return SparseMatrix.from_coo(rows[:nnz], cols[:nnz], vals[:nnz], (n, n))

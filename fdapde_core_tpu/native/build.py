@@ -16,19 +16,23 @@ _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "topology.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "topology.cpp"),
+    os.path.join(os.path.dirname(__file__), "fspai.cpp"),
+]
 _OUT = os.path.join(os.path.dirname(__file__), "_native.so")
 
 
 def _compile() -> str | None:
-    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= newest_src:
         return _OUT
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", _OUT],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *_SRCS, "-o", _OUT],
             check=True,
             capture_output=True,
-            timeout=120,
+            timeout=180,
         )
         return _OUT
     except Exception:
@@ -60,6 +64,19 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_int64,
                 ctypes.c_int32,
+            ]
+            lib.fspai_csr.restype = ctypes.c_int64
+            lib.fspai_csr.argtypes = [
+                ctypes.c_void_p,  # indptr
+                ctypes.c_void_p,  # indices
+                ctypes.c_void_p,  # values
+                ctypes.c_int64,   # n
+                ctypes.c_int32,   # alpha
+                ctypes.c_int32,   # beta
+                ctypes.c_double,  # epsilon
+                ctypes.c_void_p,  # rows_out
+                ctypes.c_void_p,  # cols_out
+                ctypes.c_void_p,  # vals_out
             ]
             _LIB = lib
         except OSError:
