@@ -45,18 +45,24 @@ def main():
     import jax.numpy as jnp
 
     from fdapde_core_tpu.linear_algebra.dia import dia_from_coo
+    from fdapde_core_tpu.ops.closed_form import SYM_TO_FULL
     from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
-    from fdapde_core_tpu.ops.pallas_assembly import TILE, p1_stiffness_2d
+    from fdapde_core_tpu.ops.pallas_assembly import (
+        EDGE_TILE_S,
+        p1_stiffness_edges,
+    )
 
     dtype = jnp.float32
     m = n + 1
     n_dofs = m * m
     n_cells = 2 * n * n
-    C_pad = ((n_cells + TILE - 1) // TILE) * TILE
+    C_pad = ((n_cells + 128 * EDGE_TILE_S - 1) // (128 * EDGE_TILE_S)) * (
+        128 * EDGE_TILE_S
+    )
 
     @jax.jit
     def build():
-        """Structured mesh in SoA layout: cells (3, C_pad), coords (6, C_pad).
+        """Structured mesh in SoA layout: cells (3, C_pad), edges (4, L, 128).
 
         Same connectivity as geometry/structured.py: quad (i, j) with
         lower-left node a = i*m + j splits into (a, b, a+1), (b, b+1, a+1),
@@ -91,30 +97,38 @@ def main():
         # give padded cells a nondegenerate dummy triangle (det != 0)
         x2 = jnp.where(live > 0, x2, x1 + 1.0)
         y3 = jnp.where(live > 0, y3, y1 + 1.0)
-        coords = jnp.stack([x1, y1, x2, y2, x3, y3], axis=0)  # (6, C_pad)
+        # edge vectors u = p2-p1, v = p3-p1 in the padding-free (4, L, 128)
+        # layout (ops/pallas_assembly.p1_stiffness_edges)
+        edges = jnp.stack(
+            [x2 - x1, y2 - y1, x3 - x1, y3 - y1], axis=0
+        ).reshape(4, C_pad // 128, 128)
         nid = jnp.arange(n_dofs, dtype=jnp.int32)
         xb, yb = coord(nid)
         on_bnd = (xb == 0) | (xb == 1) | (yb == 0) | (yb == 1)
-        return cells, coords, live, on_bnd, coords[0, 0]
+        return cells, edges, live, on_bnd, edges[0, 0, 0]
 
     ASM_REPS = 20
 
     @jax.jit
-    def assemble(coords):
-        """(9, C_pad) local stiffness via the fused Pallas kernel."""
-        A9 = p1_stiffness_2d(coords)
-        return A9, A9[0, 0]  # scalar witness: fetching it fences execution
+    def assemble(edges):
+        """(6, C/128, 128) packed-symmetric local stiffness (Pallas kernel)."""
+        A6 = p1_stiffness_edges(edges)
+        return A6, A6[0, 0, 0]  # scalar witness: fetching it fences execution
 
     @jax.jit
-    def assemble_reps(coords):
+    def assemble_reps(edges):
         """ASM_REPS kernel invocations inside one jit: amortizes the ~30ms
-        host-fence roundtrip of the dev harness out of the measurement. The
-        +k*1e-30 perturbation creates a loop-carried data dependency so the
-        compiler cannot hoist the kernel out of the loop."""
+        host-fence roundtrip of the dev harness out of the measurement.
+
+        Soundness: the kernel is an opaque pallas custom call, so XLA cannot
+        dead-code-eliminate unread output elements (it CAN inside its own
+        fusions — never time fused-XLA stages with a scalar witness). The
+        loop-varying eps enters through SMEM inside the kernel: defeats
+        loop-invariant hoisting with zero extra memory traffic."""
 
         def body(k, acc):
-            A9 = p1_stiffness_2d(coords + k.astype(dtype) * 1e-30)
-            return acc + A9[0, 0]
+            A6 = p1_stiffness_edges(edges, eps=k.astype(dtype) * 1e-30)
+            return acc + A6[0, 0, 0]
 
         return jax.lax.fori_loop(0, ASM_REPS, body, jnp.float32(0.0))
 
@@ -122,13 +136,14 @@ def main():
     OFFSETS = (-m, -(m - 1), -1, 0, 1, m - 1, m)
 
     @jax.jit
-    def to_dia(A9, cells, live):
+    def to_dia(A6, cells, live):
+        A = A6.reshape(6, -1)  # packed symmetric rows, flat cell axis
         rows, cols, vals = [], [], []
         for i in range(3):
             for j in range(3):
                 rows.append(cells[i])
                 cols.append(cells[j])
-                vals.append(A9[3 * i + j] * live)
+                vals.append(A[SYM_TO_FULL[3 * i + j]] * live)
         D = dia_from_coo(
             jnp.concatenate(rows),
             jnp.concatenate(cols),
@@ -186,17 +201,17 @@ def main():
 
     # ---- build mesh on device ----
     t0 = time.time()
-    cells, coords, live, on_bnd, w0 = build()
+    cells, edges, live, on_bnd, w0 = build()
     float(w0)
     t_build = time.time() - t0
 
     # ---- assembly throughput (Pallas kernel, in-jit repetitions) ----
-    A9, w1 = assemble(coords)
-    float(w1)  # materialize A9 for the DIA stage
-    w = assemble_reps(coords)
+    A6, w1 = assemble(edges)
+    float(w1)  # materialize A6 for the DIA stage
+    w = assemble_reps(edges)
     float(w)  # compile + warmup
     t0 = time.time()
-    w = assemble_reps(coords)
+    w = assemble_reps(edges)
     float(w)
     t_wall = time.time() - t0
     # subtract the single-fence cost measured on an empty-ish program
@@ -204,10 +219,10 @@ def main():
     elements_per_s = n_cells / t_asm
 
     # ---- DIA conversion (one-time scatter) ----
-    D, w2 = to_dia(A9, cells, live)
+    D, w2 = to_dia(A6, cells, live)
     float(w2)
     t0 = time.time()
-    D, w2 = to_dia(A9, cells, live)
+    D, w2 = to_dia(A6, cells, live)
     float(w2)
     t_dia = time.time() - t0
 

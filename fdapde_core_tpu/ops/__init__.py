@@ -9,6 +9,14 @@ The hot paths of the framework (SURVEY.md §2.10 mapping):
   reduction), avoiding `segment_sum`'s scatter-add, which serializes on TPU.
 """
 
+from .closed_form import SYM_TO_FULL, p1_stiffness_2d_sym, pack_cell_axis
 from .ell import build_ell_adjacency, ell_spmv, local_matvec
 
-__all__ = ["build_ell_adjacency", "ell_spmv", "local_matvec"]
+__all__ = [
+    "SYM_TO_FULL",
+    "build_ell_adjacency",
+    "ell_spmv",
+    "local_matvec",
+    "p1_stiffness_2d_sym",
+    "pack_cell_axis",
+]

@@ -21,8 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["p1_stiffness_2d"]
+__all__ = ["p1_stiffness_2d", "p1_stiffness_edges"]
 
 TILE = 64 * 1024  # large tiles amortize per-block overhead (1.8x vs 512, measured)
 
@@ -65,3 +66,72 @@ def p1_stiffness_2d(coords_t: jnp.ndarray, interpret: bool | None = None):
         out_shape=jax.ShapeDtypeStruct((9, C), coords_t.dtype),
         interpret=interpret,
     )(coords_t)
+
+
+# ---------------------------------------------------------------------------
+# Edge-vector variant on the padding-free 3D layout (the fast path).
+#
+# Measured facts driving the design (benchmarks/micro_assembly{3..6}.py,
+# TPU v5e, 20M cells, f32):
+# - (rows, C) 2D layouts tile-pad sublanes (6->8, 9->16) in HBM; the
+#   (rows, C/128, 128) 3D layout has the minor two dims tile exactly: rows
+#   become a pure major dim, zero padding.
+# - the local stiffness is translation invariant, so the kernel takes the
+#   EDGE VECTORS u = p2-p1, v = p3-p1 (4 rows) instead of raw coordinates
+#   (6 rows): 33% less input traffic and fewer VPU ops. b/c coefficient
+#   vectors (fem closed form, see p1_stiffness_2d above) become
+#   b = (uy-vy, vy, -uy), c = (vx-ux, -vx, ux), det = ux*vy - vx*uy.
+# - plain XLA loses here: its elementwise fusion recomputes det/inv per
+#   OUTPUT ROW and re-reads all input rows per output row (measured 8.3 ms
+#   vs 3.9 ms for this kernel).
+# ---------------------------------------------------------------------------
+
+EDGE_TILE_S = 1024  # sublane block of the (4, L, 128) layout
+
+
+def _edges_kernel(s_ref, e_ref, out_ref):
+    s = s_ref[0]
+    ux, uy, vx, vy = e_ref[0] + s, e_ref[1], e_ref[2], e_ref[3]
+    det = ux * vy - vx * uy
+    inv = 1.0 / (2.0 * jnp.abs(det))
+    b1, b2, b3 = uy - vy, vy, -uy
+    c1, c2, c3 = vx - ux, -vx, ux
+    out_ref[0] = (b1 * b1 + c1 * c1) * inv
+    out_ref[1] = (b1 * b2 + c1 * c2) * inv
+    out_ref[2] = (b1 * b3 + c1 * c3) * inv
+    out_ref[3] = (b2 * b2 + c2 * c2) * inv
+    out_ref[4] = (b2 * b3 + c2 * c3) * inv
+    out_ref[5] = (b3 * b3 + c3 * c3) * inv
+
+
+def p1_stiffness_edges(edges, eps=None, interpret: bool | None = None):
+    """Packed symmetric P1 stiffness from edge vectors (3D layout).
+
+    edges: (4, L, 128) rows (ux, uy, vx, vy) = (p2-p1, p3-p1) per cell,
+    L a multiple of EDGE_TILE_S. Returns (6, L, 128) packed rows
+    [a11, a12, a13, a22, a23, a33] of the (positive) form int grad.grad
+    (expand with ops.closed_form.SYM_TO_FULL).
+
+    eps: optional scalar added to row 0 inside the kernel — benchmark
+    harnesses pass a loop-varying value to defeat loop-invariant hoisting
+    with zero extra memory traffic; production passes None (0.0).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, L, lanes = edges.shape
+    assert lanes == 128 and L % EDGE_TILE_S == 0, (
+        f"pad the packed cell axis to a multiple of {EDGE_TILE_S}"
+    )
+    s = jnp.zeros((1,), edges.dtype) if eps is None else jnp.reshape(eps, (1,))
+    S = EDGE_TILE_S
+    return pl.pallas_call(
+        _edges_kernel,
+        grid=(L // S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, S, 128), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((6, S, 128), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((6, L, 128), edges.dtype),
+        interpret=interpret,
+    )(s, edges)

@@ -146,3 +146,70 @@ def test_soa_assembly_space_varying_and_manifold(surface):
     As = assemble_matrix(sspace, -fdm.laplacian())
     Bs = assemble_matrix(sspace, -fdm.laplacian(), layout="soa")
     assert np.abs(As.toarray() - Bs.toarray()).max() < 1e-12
+
+
+def test_closed_form_sym_matches_einsum():
+    """XLA closed-form packed-symmetric kernel == quadrature einsum path."""
+    from fdapde_core_tpu.geometry.affine import affine_maps
+    from fdapde_core_tpu.ops.closed_form import (
+        SYM_TO_FULL,
+        p1_stiffness_2d_sym,
+        pack_cell_axis,
+    )
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 1)
+    _, invJ, measure = affine_maps(
+        jnp.asarray(mesh.nodes), jnp.asarray(mesh.cells)
+    )
+    ref = -local_matrices(
+        "laplacian", None, False,
+        jnp.asarray(space.phi_tab), jnp.asarray(space.grad_tab),
+        jnp.asarray(space.quad.weights), invJ, measure,
+    )
+    coords = mesh.nodes[mesh.cells].reshape(mesh.n_cells, 6).T  # (6, C)
+    C = mesh.n_cells
+    pad = (-C) % 128
+    fill = np.tile(coords[:, :1], (1, pad)) + np.array(
+        [[0], [0], [1], [0], [0], [1]]
+    )
+    coords = np.concatenate([coords, fill], axis=1)
+    out6 = p1_stiffness_2d_sym(pack_cell_axis(jnp.asarray(coords)))
+    flat = np.asarray(out6).reshape(6, -1)[:, :C]
+    got = flat[list(SYM_TO_FULL)].T.reshape(C, 3, 3)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-12, atol=1e-13)
+
+
+def test_pallas_p1_edges_matches_einsum():
+    """Edge-vector pallas kernel == quadrature einsum path (interpret mode)."""
+    from fdapde_core_tpu.geometry.affine import affine_maps
+    from fdapde_core_tpu.ops.closed_form import SYM_TO_FULL
+    from fdapde_core_tpu.ops.pallas_assembly import (
+        EDGE_TILE_S,
+        p1_stiffness_edges,
+    )
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 1)
+    _, invJ, measure = affine_maps(
+        jnp.asarray(mesh.nodes, jnp.float32), jnp.asarray(mesh.cells)
+    )
+    ref = -local_matrices(
+        "laplacian", None, False,
+        jnp.asarray(space.phi_tab, jnp.float32),
+        jnp.asarray(space.grad_tab, jnp.float32),
+        jnp.asarray(space.quad.weights, jnp.float32), invJ, measure,
+    )
+    p = mesh.nodes[mesh.cells]  # (C, 3, 2)
+    ev = np.stack(
+        [p[:, 1, 0] - p[:, 0, 0], p[:, 1, 1] - p[:, 0, 1],
+         p[:, 2, 0] - p[:, 0, 0], p[:, 2, 1] - p[:, 0, 1]]
+    )  # (4, C)
+    C = mesh.n_cells
+    pad = (-C) % (128 * EDGE_TILE_S)
+    fill = np.tile(np.array([[1.0], [0.0], [0.0], [1.0]]), (1, pad))
+    ev = np.concatenate([ev, fill], axis=1).reshape(4, -1, 128)
+    out6 = p1_stiffness_edges(jnp.asarray(ev, jnp.float32))
+    flat = np.asarray(out6).reshape(6, -1)[:, :C]
+    got = flat[list(SYM_TO_FULL)].T.reshape(C, 3, 3)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=1e-6)
