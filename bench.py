@@ -46,7 +46,11 @@ def main():
 
     from fdapde_core_tpu.linear_algebra.dia import dia_from_coo
     from fdapde_core_tpu.ops.closed_form import SYM_TO_FULL
-    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+    from fdapde_core_tpu.ops.grid_cg import grid_cg
+    from fdapde_core_tpu.ops.grid_dia import (
+        GridDIAMatrix,
+        prune_zero_offsets_grid,
+    )
     from fdapde_core_tpu.ops.pallas_assembly import (
         EDGE_TILE_S,
         p1_stiffness_edges,
@@ -156,44 +160,17 @@ def main():
         G = GridDIAMatrix.from_dia(D, (m, m))
         return G, G.data[0, 0, 0]
 
+    # CG: fold Dirichlet + identity into the stencil data once, prune
+    # exact-zero layers (the criss-cross P1 stencil is numerically 5-point:
+    # hypotenuse coupling is exactly 0), then run the padded-state CG
+    # (ops/grid_cg.py; static slices, no per-iteration pad/mask passes).
     @jax.jit
-    def cg_fixed_dia(D, free, b, n_iter=100):
-        # fold the Dirichlet masking into the operator data once:
-        # A' = F A F (rows and columns of boundary dofs zeroed), so the CG
-        # body needs no per-iteration mask multiplies (2 fewer 40MB passes)
-        freeg = free.reshape(D.shape2d)
-        masked_layers = []
-        for k, (di, dj) in enumerate(D.offsets2d):
-            shifted_free = jax.lax.dynamic_slice(
-                jnp.pad(freeg, 1), (1 + di, 1 + dj), D.shape2d
-            )
-            masked_layers.append(D.data[k] * freeg * shifted_free)
-        Dm = type(D)(jnp.stack(masked_layers), D.offsets2d, D.shape2d)
-        mask = 1 - free
+    def fold_bc(D, free):
+        G = D.with_dirichlet_identity(free)
+        return G, G.data[0, 0, 0]
 
-        def Ax(x):
-            return (Dm @ x) + x * mask
-
-        diag = D.diagonal() * free + mask
-        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
-        r0 = b
-        z0 = inv_diag * r0
-
-        def body(k, state):
-            x, r, z, p, rz = state
-            Ap = Ax(p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = inv_diag * r
-            rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
-            return (x, r, z, p, rz_new)
-
-        x, r, *_ = jax.lax.fori_loop(
-            0, n_iter, body, (jnp.zeros_like(b), r0, z0, z0, jnp.vdot(r0, z0))
-        )
-        return x, jnp.linalg.norm(r)
+    def cg_fixed(G, b, n_iter, data_dtype=None):
+        return grid_cg(G, b, n_iter, data_dtype=data_dtype)
 
     # Execution fences: on the dev harness `block_until_ready` returns
     # before remote execution finishes; fetching a data-dependent scalar
@@ -230,13 +207,32 @@ def main():
     free = (~on_bnd).astype(dtype)
     b = jnp.ones(n_dofs, dtype) * free
     CG_ITERS = 500
-    x, res = cg_fixed_dia(D, free, b, CG_ITERS)
+    G, wg = fold_bc(D, free)
+    float(wg)
+    G = prune_zero_offsets_grid(G)  # 7 -> 5 layers (exact zeros only)
+    n_layers = len(G.offsets2d)
+
+    run_cg = jax.jit(lambda Gm, bb: cg_fixed(Gm, bb, CG_ITERS))
+    x, res = run_cg(G, b)
     float(res)  # compile + warmup
     t0 = time.time()
-    x, res = cg_fixed_dia(D, free, b, CG_ITERS)
+    x, res = run_cg(G, b)
     float(res)
     t_cg = time.time() - t0
     cg_iters_per_s = CG_ITERS / t_cg
+
+    # reduced-precision stencil storage (lossless here: uniform-grid P1
+    # entries are small exact binary fractions; see ops/grid_cg.py)
+    run_cg16 = jax.jit(
+        lambda Gm, bb: cg_fixed(Gm, bb, CG_ITERS, data_dtype=jnp.bfloat16)
+    )
+    x16, res16 = run_cg16(G, b)
+    float(res16)
+    t0 = time.time()
+    x16, res16 = run_cg16(G, b)
+    float(res16)
+    t_cg16 = time.time() - t0
+    cg16_iters_per_s = CG_ITERS / t_cg16
 
     # correctness spot check: interior row sums of the 5-point-like stencil
     # vanish (constants in the kernel of the Neumann operator)
@@ -254,12 +250,15 @@ def main():
         "n_cells": n_cells,
         "n_dofs": n_dofs,
         "cg_iters_per_s": round(cg_iters_per_s, 1),
+        "cg_bf16_data_iters_per_s": round(cg16_iters_per_s, 1),
+        "cg_stencil_layers": n_layers,
         "assembly_s": round(t_asm, 6),
         "dia_convert_s": round(t_dia, 6),
         "cg_iters_timed": CG_ITERS,
         "cg_timed_s": round(t_cg, 6),
         "device_mesh_build_s": round(t_build, 4),
         "final_cg_residual": float(res),
+        "final_cg_bf16_residual": float(res16),
         "interior_rowsum_max": rowsum,
         "device": str(jax.devices()[0]),
         "dtype": "float32",

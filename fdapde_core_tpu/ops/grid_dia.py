@@ -92,3 +92,36 @@ class GridDIAMatrix:
             shifted = jax.lax.dynamic_slice(fp, (H + di, H + dj), (mx, my))
             layers.append(self.data[k] * freeg * shifted)
         return GridDIAMatrix(jnp.stack(layers), self.offsets2d, self.shape2d)
+
+    def with_dirichlet_identity(self, free_flat):
+        """A' = F A F + (I - F): masked operator WITH identity on pinned dofs
+        folded into the center layer, so solvers need neither per-iteration
+        mask multiplies nor the `+ x * (1 - free)` term (one less full grid
+        read per SpMV vs with_dirichlet). Same solutions as the reference's
+        row surgery (fem_solver_base.h:144-155) for rhs with bc values."""
+        masked = self.with_dirichlet(free_flat)
+        mx, my = self.shape2d
+        pinned = 1.0 - jnp.asarray(free_flat).reshape(mx, my)
+        k0 = masked.offsets2d.index((0, 0))
+        data = masked.data.at[k0].add(pinned)
+        return GridDIAMatrix(data, masked.offsets2d, masked.shape2d)
+
+
+def prune_zero_offsets_grid(G: GridDIAMatrix, tol: float = 0.0) -> GridDIAMatrix:
+    """Drop all-zero stencil layers (see linear_algebra.dia.prune_zero_offsets).
+
+    Exact-zero layers are common: right-triangle P1 meshes have zero
+    hypotenuse coupling, so the structurally-7-point stencil is numerically
+    5-point — each dropped layer saves a full grid read per SpMV.
+    """
+    import numpy as np
+
+    absmax = np.asarray(jnp.max(jnp.abs(G.data), axis=(1, 2)))
+    keep = [k for k in range(len(G.offsets2d)) if absmax[k] > tol]
+    if len(keep) == len(G.offsets2d):
+        return G
+    return GridDIAMatrix(
+        G.data[jnp.asarray(keep)],
+        tuple(G.offsets2d[k] for k in keep),
+        G.shape2d,
+    )

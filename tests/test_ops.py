@@ -213,3 +213,72 @@ def test_pallas_p1_edges_matches_einsum():
     flat = np.asarray(out6).reshape(6, -1)[:, :C]
     got = flat[list(SYM_TO_FULL)].T.reshape(C, 3, 3)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=1e-6)
+
+
+def test_grid_cg_padded_and_pruning():
+    """Padded-state grid CG == reference CG solution; pruning + Dirichlet
+    identity fold preserve the operator."""
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_cg import grid_cg
+    from fdapde_core_tpu.ops.grid_dia import (
+        GridDIAMatrix,
+        prune_zero_offsets_grid,
+    )
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    G = GridDIAMatrix.from_dia(D, (17, 17))
+
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    Gm = G.with_dirichlet_identity(free)
+    # identity fold == with_dirichlet + (1-free) on the diagonal
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    ref_mv = np.asarray(G.with_dirichlet(free) @ x) + np.asarray(
+        (1 - free) * x
+    )
+    np.testing.assert_allclose(np.asarray(Gm @ x), ref_mv, atol=1e-13)
+
+    # pruning drops the exact-zero hypotenuse layers and preserves matvecs
+    Gp = prune_zero_offsets_grid(Gm)
+    assert len(Gp.offsets2d) < len(Gm.offsets2d)
+    np.testing.assert_allclose(np.asarray(Gp @ x), ref_mv, atol=1e-13)
+
+    # padded-state CG solves the Dirichlet problem
+    b = jnp.asarray(free)  # f = 1 on interior, u = 0 on boundary
+    xs, res = grid_cg(Gp, b, 400)
+    assert float(res) < 1e-10
+    # against a dense solve
+    import numpy.linalg as npl
+
+    dense = np.asarray(Gp.data)
+    n = space.n_dofs
+    M = np.zeros((n, n))
+    mx, my = Gp.shape2d
+    for k, (di, dj) in enumerate(Gp.offsets2d):
+        for i in range(mx):
+            for j in range(my):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < mx and 0 <= jj < my:
+                    M[i * my + j, ii * my + jj] = dense[k, i, j]
+    ref = npl.solve(M, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(xs), ref, atol=1e-8)
+
+
+def test_dia_prune_zero_offsets():
+    from fdapde_core_tpu.linear_algebra.dia import (
+        DIAMatrix,
+        prune_zero_offsets,
+    )
+
+    data = jnp.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 2.0, 3.0], [4.0, 5.0, 0.0]]
+    )
+    D = DIAMatrix(data, (-1, 0, 1), 3)
+    P = prune_zero_offsets(D)
+    assert P.offsets == (0, 1)
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(P @ x), np.asarray(D @ x))
