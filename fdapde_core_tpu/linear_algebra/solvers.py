@@ -136,29 +136,96 @@ def gmres(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None, restart
     """Restarted GMRES(m) for general systems (SURVEY.md §7.3: the
     memory-heavier alternative to BiCGStab for advection-dominated problems).
 
-    Wraps jax.scipy.sparse.linalg.gmres (batched Arnoldi under jit) in this
-    module's (x, SolveInfo) interface; the iteration count is not exposed by
-    the backend and reported as -1.
+    Native implementation (right-preconditioned, so residual norms refer to
+    the ORIGINAL system): per cycle, `restart` Arnoldi steps with twice-
+    iterated classical Gram-Schmidt (CGS2 — two (m+1, n) matvecs per step,
+    MXU/VPU-friendly, orthogonality loss of MGS without its serial inner
+    loop) and Givens-rotation least squares. All control flow is
+    lax.while_loop/fori_loop; breakdown and post-convergence steps are
+    guarded (safe divisions), so fixed-shape cycles never produce NaN.
+    Reports iterations = completed cycles x restart.
     """
     op = _as_operator(A)
-    pre = _as_operator(M_inv) if M_inv is not None else None
+    pre = _as_operator(M_inv) if M_inv is not None else _identity
     b = jnp.asarray(b)
+    n = b.shape[0]
+    m = min(restart, n)
     if maxiter is None:
-        maxiter = 20 * b.shape[0]
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        op,
-        b,
-        x0=x0,
-        tol=rtol,
-        atol=atol,
-        restart=restart,
-        maxiter=max(1, maxiter // restart),
-        M=pre,
-        solve_method="batched",
+        maxiter = 20 * n
+    max_cycles = max(1, -(-maxiter // m))
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def _safe(z):
+        return jnp.where(z == 0, jnp.ones_like(z), z)
+
+    def cycle(x):
+        r = b - op(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / _safe(beta))
+        R = jnp.zeros((m + 1, m), b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        cs = jnp.zeros(m, b.dtype)
+        sn = jnp.zeros(m, b.dtype)
+
+        def inner(j, carry):
+            V, R, g, cs, sn = carry
+            w = op(pre(V[j]))
+            mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+            h1 = (V @ w) * mask
+            w = w - V.T @ h1
+            h2 = (V @ w) * mask  # CGS2 re-orthogonalization
+            w = w - V.T @ h2
+            h = h1 + h2
+            hnext = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / _safe(hnext))
+            hcol = h.at[j + 1].set(hnext)
+
+            def rot(i, hv):
+                hi, hi1 = hv[i], hv[i + 1]
+                return hv.at[i].set(cs[i] * hi + sn[i] * hi1).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hi1
+                )
+
+            hcol = jax.lax.fori_loop(0, j, rot, hcol)
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c_new = jnp.where(denom == 0, 1.0, hcol[j] / _safe(denom))
+            s_new = jnp.where(denom == 0, 0.0, hcol[j + 1] / _safe(denom))
+            hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            R = R.at[:, j].set(hcol)
+            return V, R, g, cs, sn
+
+        V, R, g, cs, sn = jax.lax.fori_loop(
+            0, m, inner, (V, R, g, cs, sn)
+        )
+
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            yi = (g[i] - R[i, :] @ y) / _safe(R[i, i])
+            yi = jnp.where(R[i, i] == 0, 0.0, yi)
+            return y.at[i].set(yi)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
+        return x + pre(V[:m].T @ y)
+
+    def cond(state):
+        x, k, rnorm = state
+        return (rnorm > tol) & (k < max_cycles) & jnp.isfinite(rnorm)
+
+    def body(state):
+        x, k, _ = state
+        x = cycle(x)
+        return x, k + 1, jnp.linalg.norm(b - op(x))
+
+    x, k, rnorm = jax.lax.while_loop(
+        cond, body, (x0, 0, jnp.linalg.norm(b - op(x0)))
     )
-    rnorm = jnp.linalg.norm(b - op(x))
-    tol = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
-    return x, SolveInfo(jnp.array(-1), rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+    return x, SolveInfo(k * m, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
 
 
 def dense_solve(A, b):

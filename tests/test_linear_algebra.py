@@ -368,3 +368,35 @@ def test_fspai_native_matches_python_quality():
     # factor is lower triangular with positive diagonal
     assert np.allclose(np.triu(Ln, 1), 0)
     assert (np.diag(Ln) > 0).all()
+
+
+def test_gmres_reports_iterations_and_preconditioning():
+    """Native GMRES(m): iteration count exposed; Jacobi preconditioning and
+    warm starts work; post-convergence cycles do not NaN."""
+    from fdapde_core_tpu.linear_algebra import gmres
+
+    rng = np.random.default_rng(5)
+    n = 60
+    a = np.diag(np.linspace(1.0, 50.0, n)) + 0.3 * rng.normal(size=(n, n))
+    b = rng.normal(size=n)
+    A = SparseMatrix.from_dense(a)
+    x, info = gmres(A, jnp.asarray(b), rtol=1e-11, restart=25)
+    assert bool(info.converged)
+    assert int(info.iterations) > 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-6)
+
+    # Jacobi right preconditioning converges too (and no NaN even with a
+    # generous maxiter that runs cycles past convergence)
+    dinv = jnp.asarray(1.0 / np.diag(a))
+    x2, info2 = gmres(
+        A, jnp.asarray(b), M_inv=lambda v: dinv * v, rtol=1e-11, restart=25,
+        maxiter=10_000,
+    )
+    assert bool(info2.converged)
+    assert np.isfinite(np.asarray(x2)).all()
+    np.testing.assert_allclose(np.asarray(x2), np.linalg.solve(a, b), atol=1e-6)
+
+    # warm start from the solution converges in 0 cycles
+    x3, info3 = gmres(A, jnp.asarray(b), x0=x, rtol=1e-9, restart=25)
+    assert bool(info3.converged)
+    assert int(info3.iterations) == 0

@@ -215,3 +215,45 @@ def test_halo_grid_dia_matches_single_chip():
         x, res, k = solver.solve(b_mod, rtol=1e-12)
         # solver returns interior solution + g on pinned dofs via identity rows
         assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
+
+
+def test_halo_dia_p2_via_rcm_matches_single_chip():
+    """Sharded P2 elliptic solve: RCM dof reordering restores DIA locality
+    (parity numbering has H ~ n_dofs; RCM gives H = O(bandwidth)), then the
+    halo CG on 8 devices matches the single-chip reference solve."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.fem.solvers import DirichletSystem, solve_elliptic
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.parallel.halo import HaloDIASolver
+    from fdapde_core_tpu.parallel.reorder import permute_system, rcm_permutation
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 2)
+    A = assemble_matrix(space, -fdm.laplacian())
+    F = assemble_forcing(space, lambda x: 4.0)
+    coords = space.dof_coords
+    g = jnp.asarray(1 - coords[:, 0] ** 2 - coords[:, 1] ** 2)
+    mask = jnp.asarray(space.boundary_dofs)
+
+    ref, info = solve_elliptic(A, F, mask, g, rtol=1e-12)
+
+    n = space.n_dofs
+    perm, inv = rcm_permutation(np.asarray(A.rows), np.asarray(A.cols), n)
+    offs_raw = unique_offsets(space.dofs)
+    offs = unique_offsets(inv[space.dofs])
+    assert max(abs(o) for o in offs) < max(abs(o) for o in offs_raw) // 4
+
+    rp, cp, vp = permute_system(perm, inv, A.rows, A.cols, A.vals)
+    D = dia_from_coo(jnp.asarray(rp), jnp.asarray(cp), vp, n, offs)
+    sys = DirichletSystem(A, mask)
+    b_mod = np.asarray(sys.rhs(F, g))
+    free = (~np.asarray(mask)).astype(np.float64)
+    for n_dev in (1, 8):
+        solver = HaloDIASolver(D, make_device_mesh(n_dev))
+        xp, res, k = solver.solve(
+            jnp.asarray(b_mod[perm]), jnp.asarray(free[perm]), rtol=1e-12
+        )
+        x = np.asarray(xp)[inv]
+        assert np.abs(x - np.asarray(ref)).max() < 1e-8, n_dev
