@@ -282,3 +282,36 @@ def test_dia_prune_zero_offsets():
     assert P.offsets == (0, 1)
     x = jnp.asarray([1.0, 2.0, 3.0])
     np.testing.assert_allclose(np.asarray(P @ x), np.asarray(D @ x))
+
+
+def test_p1_grid_stencil_matches_dia_from_coo():
+    """Scatter-free structured stencil conversion == generic segment-sum DIA."""
+    from fdapde_core_tpu.geometry.affine import affine_maps
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.closed_form import p1_stiffness_2d_sym
+    from fdapde_core_tpu.ops.grid_assembly import p1_grid_stencil
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+
+    n = 12
+    mesh = unit_square_mesh(n)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    G_ref = GridDIAMatrix.from_dia(D, (n + 1, n + 1))
+
+    coords = mesh.nodes[mesh.cells].reshape(mesh.n_cells, 6).T  # (6, C)
+    A6 = p1_stiffness_2d_sym(jnp.asarray(coords))
+    G = p1_grid_stencil(A6, n)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(G @ x), np.asarray(G_ref @ x), atol=1e-12
+    )
+    # layer-by-layer equality (align offset orderings)
+    for k, o in enumerate(G.offsets2d):
+        kr = G_ref.offsets2d.index(o)
+        np.testing.assert_allclose(
+            np.asarray(G.data[k]), np.asarray(G_ref.data[kr]), atol=1e-13
+        )
