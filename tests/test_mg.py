@@ -1,0 +1,104 @@
+"""Geometric multigrid (ops/grid_mg.py): Galerkin coarsening, V-cycle
+preconditioner SPD-ness, h-independent MG-CG convergence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import fdapde_core_tpu as fdm
+from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+from fdapde_core_tpu.fem.assembler import assemble_forcing
+from fdapde_core_tpu.geometry.structured import unit_square_mesh
+from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+from fdapde_core_tpu.ops.grid_dia import (
+    GridDIAMatrix,
+    prune_zero_offsets_grid,
+)
+from fdapde_core_tpu.ops.grid_mg import (
+    GridMG,
+    galerkin_coarsen,
+    mg_preconditioned_cg,
+)
+
+
+def _poisson_grid(n):
+    mesh = unit_square_mesh(n)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    G = prune_zero_offsets_grid(
+        GridDIAMatrix.from_dia(D, (n + 1, n + 1)).with_dirichlet_identity(free)
+    )
+    b = jnp.asarray(assemble_forcing(space, lambda x: 1.0)).reshape(-1) * free
+    return G, b
+
+
+def _dense_from_grid(G):
+    mx, my = G.shape2d
+    n = mx * my
+    M = np.zeros((n, n))
+    data = np.asarray(G.data)
+    for k, (di, dj) in enumerate(G.offsets2d):
+        for i in range(mx):
+            for j in range(my):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < mx and 0 <= jj < my:
+                    M[i * my + j, ii * my + jj] = data[k, i, j]
+    return M
+
+
+def test_galerkin_coarsen_is_ptap():
+    """A_c == P^T A P with the explicit dense bilinear prolongation."""
+    n = 8
+    G, _ = _poisson_grid(n)
+    Gc = galerkin_coarsen(G)
+    m, mc = n + 1, n // 2 + 1
+    W = {-1: 0.5, 0: 1.0, 1: 0.5}
+    P = np.zeros((m * m, mc * mc))
+    for I in range(mc):
+        for J in range(mc):
+            for a in (-1, 0, 1):
+                for b in (-1, 0, 1):
+                    i, j = 2 * I + a, 2 * J + b
+                    if 0 <= i < m and 0 <= j < m:
+                        P[i * m + j, I * mc + J] = W[a] * W[b]
+    Af = _dense_from_grid(G)
+    Ac_ref = P.T @ Af @ P
+    Ac = _dense_from_grid(Gc)
+    np.testing.assert_allclose(Ac, Ac_ref, atol=1e-12)
+
+
+def test_v_cycle_is_spd_preconditioner():
+    """<u, M v> == <M u, v> and <v, M v> > 0 (validity inside CG)."""
+    G, _ = _poisson_grid(16)
+    mg = GridMG.build(G, coarse_n=4)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=G.n))
+    v = jnp.asarray(rng.normal(size=G.n))
+    Mu = mg.v_cycle(u)
+    Mv = mg.v_cycle(v)
+    s1 = float(jnp.vdot(u, Mv))
+    s2 = float(jnp.vdot(Mu, v))
+    assert abs(s1 - s2) < 1e-10 * max(abs(s1), 1.0)
+    assert float(jnp.vdot(v, Mv)) > 0
+
+
+def test_mgcg_h_independent_convergence():
+    """Iteration count stays ~constant across mesh refinement, solution
+    matches a long Jacobi-CG reference."""
+    from fdapde_core_tpu.ops.grid_cg import grid_cg
+
+    iters = {}
+    for n in (16, 32, 64):
+        G, b = _poisson_grid(n)
+        x, rel, k = mg_preconditioned_cg(
+            G, b, rtol=1e-10, maxiter=100, coarse_n=4
+        )
+        iters[n] = int(k)
+        assert float(rel) < 1e-10
+        xr, _ = grid_cg(G, b, 20000)
+        err = np.abs(np.asarray(x) - np.asarray(xr)).max()
+        assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
+    assert max(iters.values()) <= 10, iters
+    assert max(iters.values()) - min(iters.values()) <= 2, iters
