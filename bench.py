@@ -30,6 +30,8 @@ import sys
 import time
 
 os.environ["FDAPDE_TPU_X64"] = "0"  # f32 fast path on the chip
+# (x64 is flipped on mid-run, AFTER all pallas stages, for the f64-refined
+# multigrid metric only: pallas index maps fail Mosaic lowering under x64)
 # persist compiled programs across processes where the backend honors it
 # (first-compile latency through the dev harness is minutes per program)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
@@ -39,13 +41,15 @@ BASELINE_ELEMENTS_PER_S = 5.0e7
 
 def main():
     small = "--small" in sys.argv
-    n = 256 if small else 3163  # 2 n^2 cells: 131k small, 20.0M full (10M dofs)
+    # n divisible by 2^k so the multigrid hierarchy coarsens deeply
+    n = 256 if small else 3200  # 2 n^2 cells: 131k small, 20.5M full (10.2M dofs)
 
     import jax
     import jax.numpy as jnp
 
     from fdapde_core_tpu.ops.grid_assembly import p1_grid_stencil
     from fdapde_core_tpu.ops.grid_cg import grid_cg
+    from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg, _stencil
     from fdapde_core_tpu.ops.grid_dia import prune_zero_offsets_grid
     from fdapde_core_tpu.ops.pallas_assembly import (
         EDGE_TILE_S,
@@ -214,6 +218,61 @@ def main():
     t_cg16 = time.time() - t0
     cg16_iters_per_s = CG_ITERS / t_cg16
 
+    # ---- multigrid-preconditioned solve (h-independent iterations) ----
+    t0 = time.time()
+    mg = GridMG.build(G, coarse_n=32)
+    float(mg.datas[-1][0, 0, 0])
+    t_mg_build = time.time() - t0
+
+    run_mg = jax.jit(
+        lambda Gm, mgm, bb: mg_preconditioned_cg(
+            Gm, bb, rtol=1e-12, maxiter=40, mg=mgm
+        )
+    )
+    xm, mrel, mk = run_mg(G, mg, b)
+    float(mrel)
+    t0 = time.time()
+    xm, mrel, mk = run_mg(G, mg, b)
+    mrelv, mkv = float(mrel), int(mk)
+    t_mg = time.time() - t0
+
+    # f64-refined: true f64-grade residual with f32 inner MG-CG work.
+    # x64 goes live only now — every pallas call is behind us.
+    jax.config.update("jax_enable_x64", True)
+    data64 = G.data.astype(jnp.float64)
+    offs = G.offsets2d
+    b64 = jnp.asarray(b, jnp.float64)
+
+    @jax.jit
+    def refined(data64, Gm, mgm, b64):
+        bn2 = jnp.sum(b64 * b64)
+
+        def cond(s):
+            x, rn2, k = s
+            return (rn2 > 1e-18 * bn2) & (k < 12)
+
+        def body(s):
+            x, _, k = s
+            r = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
+            dx, _, _ = mg_preconditioned_cg(
+                Gm, r.astype(dtype), rtol=1e-30, maxiter=8, mg=mgm
+            )
+            x = x + dx.astype(jnp.float64)
+            r2 = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
+            return (x, jnp.sum(r2 * r2), k + 1)
+
+        x, rn2, k = jax.lax.while_loop(
+            cond, body, (jnp.zeros_like(b64), bn2, 0)
+        )
+        return x, jnp.sqrt(rn2 / bn2), k
+
+    xr, rrel, rk = refined(data64, G, mg, b64)
+    float(rrel)
+    t0 = time.time()
+    xr, rrel, rk = refined(data64, G, mg, b64)
+    rrelv, rkv = float(rrel), int(rk)
+    t_refined = time.time() - t0
+
     # correctness spot check: interior row sums of the 5-point-like stencil
     # vanish (constants in the kernel of the Neumann operator)
     @jax.jit
@@ -239,6 +298,14 @@ def main():
         "device_mesh_build_s": round(t_build, 4),
         "final_cg_residual": float(res),
         "final_cg_bf16_residual": float(res16),
+        "mg_levels": mg.n_levels,
+        "mg_build_s": round(t_mg_build, 3),
+        "mg_solve_s": round(t_mg, 3),
+        "mg_iters": mkv,
+        "mg_true_rel_res_f32": mrelv,
+        "mg_refined_solve_s": round(t_refined, 3),
+        "mg_refined_cycles": rkv,
+        "mg_refined_true_rel_res": rrelv,
         "interior_rowsum_max": rowsum,
         "device": str(jax.devices()[0]),
         "dtype": "float32",

@@ -8,7 +8,10 @@ package collects the corresponding ready-to-use drivers of the TPU build:
 - `solve_semilinear`: Newton outer loop for semilinear problems,
 - `SeparableOperator` / `solve_space_time`: Kronecker-structured space-time
   systems (spline-in-time x FEM-in-space), solved matrix-free,
-- `ShardedPoisson` (re-export): the multi-chip pipeline.
+- `ShardedPoisson` (re-export): the multi-chip pipeline,
+- `StructuredPoisson`: the structured-grid fast path (edge-vector Pallas
+  assembly -> scatter-free stencil -> multigrid CG, optional f64
+  refinement).
 """
 
 from ..fem.nonlinear import solve_semilinear
@@ -16,6 +19,7 @@ from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
 from .space_time import SeparableOperator, SpaceTimeSmoothing, solve_space_time
 from .sharded_driver import solve_elliptic_sharded
+from .structured import StructuredPoisson
 from .regression import SmoothingRegression
 
 __all__ = [
@@ -26,5 +30,6 @@ __all__ = [
     "SpaceTimeSmoothing",
     "ShardedPoisson",
     "solve_elliptic_sharded",
+    "StructuredPoisson",
     "SmoothingRegression",
 ]

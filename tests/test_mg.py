@@ -102,3 +102,78 @@ def test_mgcg_h_independent_convergence():
         assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
     assert max(iters.values()) <= 10, iters
     assert max(iters.values()) - min(iters.values()) <= 2, iters
+
+
+def test_structured_poisson_model_matches_general_path():
+    """StructuredPoisson (fast pipeline incl. MG) == the general PDE path."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.models import StructuredPoisson
+
+    n = 16
+    model = StructuredPoisson(n, dtype=jnp.float64, coarse_n=4)
+
+    # f = 1, homogeneous Dirichlet, vs the general assembler/solver
+    x, rel, k = model.solve(rtol=1e-11, maxiter=60)
+    assert float(rel) < 1e-11 and int(k) <= 12
+
+    mesh = unit_square_mesh(n)
+    pde = fdm.PDE(mesh, -fdm.laplacian(), order=1)
+    pde.set_dirichlet_bc(np.zeros(pde.n_dofs))
+    pde.set_forcing(np.ones((pde.quadrature_nodes().shape[0], 1)))
+    pde.init()
+    pde.solve()
+    ref = np.asarray(pde.solution()).reshape(-1)
+    assert np.abs(np.asarray(x) - ref).max() < 1e-10
+
+    # harmonic reproduction: f = 0, g = x + y -> u == g
+    g = mesh.nodes.sum(axis=1)
+    b = model.rhs(0.0, g=jnp.asarray(g))
+    xh, relh, kh = model.solve(b=b, rtol=1e-11, maxiter=60)
+    assert np.abs(np.asarray(xh) - g).max() < 1e-10
+
+    # f64 refinement wrapper converges too (x64 is on in the test env)
+    xr, relr, kr = model.solve(refine=True, rtol=1e-11)
+    assert float(relr) < 1e-11
+    assert np.abs(np.asarray(xr) - ref).max() < 1e-10
+
+
+def test_mgcg_variable_coefficient_diffusion():
+    """Galerkin coarsening needs no rediscretization: MG-CG converges fast
+    for variable anisotropic diffusion (full 7-point stencil, no zero
+    layers to prune)."""
+
+    def K(x):
+        return np.array(
+            [[1.0 + 2.0 * x[0] ** 2, 0.3 * x[0] * x[1]],
+             [0.3 * x[0] * x[1], 1.0 + x[1] ** 2]]
+        )
+
+    iters = {}
+    for n in (16, 32):
+        mesh = unit_square_mesh(n)
+        space = FEMSpace(mesh, 1)
+        A = assemble_matrix(space, -fdm.diffusion(K))
+        offs = unique_offsets(space.dofs)
+        D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+        free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+        G = prune_zero_offsets_grid(
+            GridDIAMatrix.from_dia(D, (n + 1, n + 1)).with_dirichlet_identity(
+                free
+            )
+        )
+        assert len(G.offsets2d) == 7  # anisotropy keeps the hypotenuse layer
+        b = (
+            jnp.asarray(assemble_forcing(space, lambda x: 1.0)).reshape(-1)
+            * free
+        )
+        x, rel, k = mg_preconditioned_cg(
+            G, b, rtol=1e-10, maxiter=100, coarse_n=4
+        )
+        iters[n] = int(k)
+        assert float(rel) < 1e-10
+        from fdapde_core_tpu.ops.grid_cg import grid_cg
+
+        xr, _ = grid_cg(G, b, 30000)
+        err = np.abs(np.asarray(x) - np.asarray(xr)).max()
+        assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
+    assert max(iters.values()) <= 14, iters
