@@ -257,3 +257,44 @@ def test_halo_dia_p2_via_rcm_matches_single_chip():
         )
         x = np.asarray(xp)[inv]
         assert np.abs(x - np.asarray(ref)).max() < 1e-8, n_dev
+
+
+def test_sharded_multigrid_matches_single_chip():
+    """Row-sharded V-cycle MG-CG == replicated MG-CG == long Jacobi-CG, on
+    1 and 8 virtual devices, with >= 2 sharded levels exercised."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_forcing, assemble_matrix
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_cg import grid_cg
+    from fdapde_core_tpu.ops.grid_dia import (
+        GridDIAMatrix,
+        prune_zero_offsets_grid,
+    )
+    from fdapde_core_tpu.ops.grid_mg import mg_preconditioned_cg
+    from fdapde_core_tpu.parallel.mg import ShardedGridMG
+
+    n = 64
+    mesh = unit_square_mesh(n)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    G = prune_zero_offsets_grid(
+        GridDIAMatrix.from_dia(D, (n + 1, n + 1)).with_dirichlet_identity(free)
+    )
+    b = jnp.asarray(assemble_forcing(space, lambda x: 1.0)).reshape(-1) * free
+
+    ref, _ = grid_cg(G, b, 20000)
+    x1, rel1, k1 = mg_preconditioned_cg(G, b, rtol=1e-10, maxiter=60,
+                                        coarse_n=8)
+    assert np.abs(np.asarray(x1) - np.asarray(ref)).max() < 1e-9
+
+    for n_dev in (1, 8):
+        smg = ShardedGridMG(G, make_device_mesh(n_dev), repl_rows=16,
+                            coarse_n=8)
+        assert smg.T >= 2  # at least two sharded levels in this config
+        xs, rel, k = smg.solve(b, rtol=1e-10, maxiter=60)
+        assert np.abs(np.asarray(xs) - np.asarray(ref)).max() < 1e-9, n_dev
+        assert int(k) <= int(k1) + 3, (int(k), int(k1))
