@@ -19,6 +19,7 @@ _TRIED = False
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "topology.cpp"),
     os.path.join(os.path.dirname(__file__), "fspai.cpp"),
+    os.path.join(os.path.dirname(__file__), "rcm.cpp"),
 ]
 _OUT = os.path.join(os.path.dirname(__file__), "_native.so")
 
@@ -77,6 +78,13 @@ def get_lib():
                 ctypes.c_void_p,  # rows_out
                 ctypes.c_void_p,  # cols_out
                 ctypes.c_void_p,  # vals_out
+            ]
+            lib.rcm_order.restype = ctypes.c_int64
+            lib.rcm_order.argtypes = [
+                ctypes.c_void_p,  # indptr (int64)
+                ctypes.c_void_p,  # indices (int64)
+                ctypes.c_int64,   # n
+                ctypes.c_void_p,  # perm_out (int64)
             ]
             _LIB = lib
         except OSError:

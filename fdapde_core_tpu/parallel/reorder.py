@@ -37,14 +37,45 @@ def _adjacency_csr(rows, cols, n: int):
     return indptr, cc.astype(np.int64)
 
 
+def _rcm_native(indptr, adj, n: int):
+    """Native C++ RCM (None when the library is unavailable)."""
+    try:
+        from ..native.build import get_lib
+    except Exception:  # pragma: no cover - import robustness
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rcm_order"):
+        return None
+    import ctypes
+
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    adj = np.ascontiguousarray(adj, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    got = lib.rcm_order(
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        adj.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        perm.ctypes.data_as(ctypes.c_void_p),
+    )
+    return perm if got == n else None
+
+
 def rcm_permutation(rows, cols, n: int):
     """Reverse Cuthill–McKee ordering of the graph with edges (rows, cols).
 
     Returns (perm, inv): perm[new] = old (gather order), inv[old] = new.
     BFS from a minimum-degree node per component, neighbors visited in
-    increasing-degree order, final order reversed.
+    increasing-degree order, final order reversed. Uses the native C++
+    kernel (native/rcm.cpp, identical tie-breaking) when available; the
+    NumPy BFS below is the fallback.
     """
     indptr, adj = _adjacency_csr(rows, cols, n)
+    native = _rcm_native(indptr, adj, n)
+    if native is not None:
+        perm = native
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n, dtype=np.int64)
+        return perm, inv
     degree = np.diff(indptr)
     visited = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)
