@@ -12,7 +12,7 @@ import numpy as np
 
 from .triangulation import Triangulation
 
-__all__ = ["unit_square_mesh", "unit_interval_mesh"]
+__all__ = ["unit_square_mesh", "unit_interval_mesh", "unit_cube_mesh"]
 
 
 def unit_square_mesh(n: int) -> Triangulation:
@@ -39,3 +39,47 @@ def unit_interval_mesh(n: int):
     from .interval import Interval
 
     return Interval(0.0, 1.0, n)
+
+
+def unit_cube_mesh(n: int) -> Triangulation:
+    """Freudenthal (Kuhn) triangulation of [0,1]^3: (n+1)^3 nodes, 6 n^3 tets.
+
+    Each cube (i, j, k) splits into the 6 tets tracing monotone lattice
+    paths from corner (0,0,0) to (1,1,1) — one per permutation of the axis
+    order, all positively oriented and face-to-face conforming. Node id of
+    lattice point (i, j, k) is i m^2 + j m + k, m = n + 1. Cells are listed
+    grouped by permutation type (all n^3 type-0 cubes first, ...), which
+    the structured 3D stencil conversion (ops/grid3d.py) relies on.
+    """
+    import itertools
+
+    m = n + 1
+    xs = np.linspace(0.0, 1.0, m)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    nodes = np.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], axis=1)
+
+    i, j, k = np.meshgrid(
+        np.arange(n), np.arange(n), np.arange(n), indexing="ij"
+    )
+    base = (i * m * m + j * m + k).reshape(-1)  # corner (0,0,0) of each cube
+    step = np.array([m * m, m, 1])  # node-id increment per +1 in (i, j, k)
+
+    def parity(p):
+        return (p in ((0, 1, 2), (1, 2, 0), (2, 0, 1)))
+
+    blocks = []
+    for perm in itertools.permutations(range(3)):
+        v0 = base
+        v1 = v0 + step[perm[0]]
+        v2 = v1 + step[perm[1]]
+        v3 = v2 + step[perm[2]]
+        if parity(perm):
+            blocks.append(np.stack([v0, v1, v2, v3], axis=1))
+        else:  # odd permutation: swap two vertices -> positive orientation
+            blocks.append(np.stack([v0, v2, v1, v3], axis=1))
+    cells = np.concatenate(blocks, axis=0).astype(np.int32)
+
+    on_bnd = (
+        (nodes == 0.0) | (nodes == 1.0)
+    ).any(axis=1)
+    return Triangulation(nodes, cells, on_bnd)

@@ -63,3 +63,49 @@ def p1_stiffness_2d_sym(coords: jnp.ndarray) -> jnp.ndarray:
             (b3 * b3 + c3 * c3) * inv,
         ]
     )
+
+
+# -- 3D (P1 tetrahedra) ------------------------------------------------------
+
+# row-major (4,4) index -> packed symmetric index
+# [a00,a01,a02,a03,a11,a12,a13,a22,a23,a33]
+SYM4_TO_FULL = (0, 1, 2, 3, 1, 4, 5, 6, 2, 5, 7, 8, 3, 6, 8, 9)
+
+
+def p1_stiffness_3d_sym(edges: "jnp.ndarray") -> "jnp.ndarray":
+    """Packed symmetric P1 tet stiffness of int grad.grad from edge vectors.
+
+    edges: (9, ...) rows (ux,uy,uz, vx,vy,vz, wx,wy,wz) with u = p1-p0,
+    v = p2-p0, w = p3-p0. Closed form: with c1 = v x w, c2 = w x u,
+    c3 = u x v and c0 = -(c1+c2+c3), A_ij = (c_i . c_j) / (6 |det|),
+    det = u . (v x w) (the reference evaluates the same form by quadrature,
+    fem_assembler.h:79-110). Returns (10, ...) packed rows; expand with
+    SYM4_TO_FULL.
+    """
+    u = edges[0:3]
+    v = edges[3:6]
+    w = edges[6:9]
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    c1 = cross(v, w)
+    c2 = cross(w, u)
+    c3 = cross(u, v)
+    c0 = tuple(-(c1[d] + c2[d] + c3[d]) for d in range(3))
+    det = u[0] * c1[0] + u[1] * c1[1] + u[2] * c1[2]
+    inv = 1.0 / (6.0 * jnp.abs(det))
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    cs = (c0, c1, c2, c3)
+    rows = []
+    for i in range(4):
+        for j in range(i, 4):
+            rows.append(dot(cs[i], cs[j]) * inv)
+    return jnp.stack(rows)

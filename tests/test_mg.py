@@ -177,3 +177,64 @@ def test_mgcg_variable_coefficient_diffusion():
         err = np.abs(np.asarray(x) - np.asarray(xr)).max()
         assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
     assert max(iters.values()) <= 14, iters
+
+
+def test_3d_cube_stencil_fast_path():
+    """Freudenthal cube mesh: closed-form tet assembly -> scatter-free 3D
+    stencil == assembled sparse operator; pruned 7-point CG == general
+    elliptic solve; harmonic reproduction."""
+    from fdapde_core_tpu.fem.solvers import solve_elliptic
+    from fdapde_core_tpu.geometry.structured import unit_cube_mesh
+    from fdapde_core_tpu.ops.closed_form import p1_stiffness_3d_sym
+    from fdapde_core_tpu.ops.grid3d import (
+        grid_cg3d,
+        p1_cube_stencil,
+        prune_zero_offsets_grid3d,
+    )
+
+    n = 6
+    mesh = unit_cube_mesh(n)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    p = mesh.nodes[mesh.cells]
+    e = np.concatenate(
+        [(p[:, 1] - p[:, 0]).T, (p[:, 2] - p[:, 0]).T, (p[:, 3] - p[:, 0]).T],
+        axis=0,
+    )
+    A10 = p1_stiffness_3d_sym(jnp.asarray(e))
+    G = p1_cube_stencil(A10, n)
+    assert len(G.offsets3d) == 15
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=space.n_dofs))
+    assert np.abs(np.asarray(G @ x) - np.asarray(A @ x)).max() < 1e-12
+
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    Gm = prune_zero_offsets_grid3d(G.with_dirichlet_identity(free))
+    assert len(Gm.offsets3d) == 7  # uniform Freudenthal == 7-point Laplacian
+
+    F = assemble_forcing(space, lambda x: 1.0)
+    mask = jnp.asarray(space.boundary_dofs)
+    ref, _ = solve_elliptic(A, F, mask, jnp.zeros(space.n_dofs), rtol=1e-12)
+    xs, res = grid_cg3d(Gm, jnp.asarray(F).reshape(-1) * free, 600)
+    assert np.abs(np.asarray(xs) - np.asarray(ref)).max() < 1e-9
+
+    # harmonic reproduction through the raw operator lifting
+    g = jnp.asarray(mesh.nodes @ np.array([1.0, 2.0, -1.0]))
+    glift = (1 - free) * g
+    b = free * (0.0 - (G @ glift)) + glift
+    xh, _ = grid_cg3d(Gm, b, 600)
+    assert np.abs(np.asarray(xh) - np.asarray(g)).max() < 1e-9
+
+
+def test_unit_cube_mesh_geometry():
+    from fdapde_core_tpu.geometry.structured import unit_cube_mesh
+
+    mesh = unit_cube_mesh(4)
+    assert mesh.nodes.shape == (125, 3) and mesh.cells.shape == (384, 4)
+    p = mesh.nodes[mesh.cells]
+    u, v, w = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]
+    vol = np.einsum("ij,ij->i", u, np.cross(v, w)) / 6
+    assert (vol > 0).all()
+    np.testing.assert_allclose(vol.sum(), 1.0, atol=1e-12)
+    assert mesh.boundary_nodes.sum() == 125 - 27  # interior 3^3
