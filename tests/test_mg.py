@@ -238,3 +238,71 @@ def test_unit_cube_mesh_geometry():
     assert (vol > 0).all()
     np.testing.assert_allclose(vol.sum(), 1.0, atol=1e-12)
     assert mesh.boundary_nodes.sum() == 125 - 27  # interior 3^3
+
+
+def _poisson_cube(n):
+    from fdapde_core_tpu.geometry.structured import unit_cube_mesh
+    from fdapde_core_tpu.ops.closed_form import p1_stiffness_3d_sym
+    from fdapde_core_tpu.ops.grid3d import (
+        p1_cube_stencil,
+        prune_zero_offsets_grid3d,
+    )
+
+    mesh = unit_cube_mesh(n)
+    p = mesh.nodes[mesh.cells]
+    e = np.concatenate(
+        [(p[:, 1] - p[:, 0]).T, (p[:, 2] - p[:, 0]).T, (p[:, 3] - p[:, 0]).T],
+        axis=0,
+    )
+    A10 = p1_stiffness_3d_sym(jnp.asarray(e))
+    G = p1_cube_stencil(A10, n)
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    Gm = prune_zero_offsets_grid3d(G.with_dirichlet_identity(free))
+    b = free * (1.0 / n ** 3)
+    return Gm, b
+
+
+def test_galerkin_coarsen3d_is_ptap():
+    """3D A_c == P^T A P against the explicit trilinear prolongation,
+    exercised matrix-free: for random coarse vectors u, v it must hold
+    v^T A_c u == (P v)^T A (P u)."""
+    from fdapde_core_tpu.ops.grid_mg3d import (
+        _prolong3,
+        galerkin_coarsen3d,
+    )
+
+    n = 6
+    Gm, _ = _poisson_cube(n)
+    Gc = galerkin_coarsen3d(Gm)
+    m, mc = n + 1, n // 2 + 1
+    assert Gc.shape3d == (mc, mc, mc) and len(Gc.offsets3d) == 27
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        u = jnp.asarray(rng.normal(size=(mc, mc, mc)))
+        v = jnp.asarray(rng.normal(size=(mc, mc, mc)))
+        lhs = float(jnp.sum(v * (Gc @ u.reshape(-1)).reshape(mc, mc, mc)))
+        Pu = _prolong3(u, m).reshape(-1)
+        Pv = _prolong3(v, m).reshape(-1)
+        rhs = float(jnp.sum(Pv * (Gm @ Pu)))
+        assert abs(lhs - rhs) < 1e-12 * max(1.0, abs(rhs))
+
+
+def test_3d_multigrid_h_independent():
+    """3D MG-CG: solution matches long Jacobi-CG; iteration count stays
+    small and flat across refinements (h-independence)."""
+    from fdapde_core_tpu.ops.grid3d import grid_cg3d
+    from fdapde_core_tpu.ops.grid_mg3d import GridMG3D, mg_preconditioned_cg3d
+
+    iters = {}
+    for n in (8, 16):
+        Gm, b = _poisson_cube(n)
+        mg = GridMG3D.build(Gm, coarse_n=4)
+        x, rel, k = mg_preconditioned_cg3d(
+            Gm, b, rtol=1e-11, maxiter=60, mg=mg
+        )
+        iters[n] = int(k)
+        assert float(rel) < 1e-10
+        xr, _ = grid_cg3d(Gm, b, 4000)
+        err = np.abs(np.asarray(x) - np.asarray(xr)).max()
+        assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
+    assert max(iters.values()) <= 14, iters
