@@ -21,8 +21,10 @@ from .halo import HaloDIAParabolic, HaloDIASolver
 from .halo_grid import HaloGridDIASolver
 from .partition import morton_order, partition_elements
 from .sharded import ShardedPoisson, make_device_mesh
+from .space_time import ShardedSpaceTime
 
 __all__ = [
+    "ShardedSpaceTime",
     "morton_order",
     "partition_elements",
     "ShardedPoisson",

@@ -315,3 +315,35 @@ def test_p1_grid_stencil_matches_dia_from_coo():
         np.testing.assert_allclose(
             np.asarray(G.data[k]), np.asarray(G_ref.data[kr]), atol=1e-13
         )
+
+
+def test_grid_cg_refined_mixed_precision():
+    """bf16-inner iterative refinement reaches f32-grade residuals.
+
+    The inner CG runs every vector in bfloat16 (half the HBM traffic of
+    the f32 body); the outer loop recomputes the residual in f32 and
+    accumulates corrections there, so bf16's 8-bit mantissa only limits
+    per-cycle progress, not the attainable accuracy."""
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_cg import grid_cg, grid_cg_refined
+    from fdapde_core_tpu.ops.grid_dia import (
+        GridDIAMatrix,
+        prune_zero_offsets_grid,
+    )
+
+    mesh = unit_square_mesh(16)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    offs = unique_offsets(space.dofs)
+    D = dia_from_coo(A.rows, A.cols, A.vals, space.n_dofs, offs)
+    G = GridDIAMatrix.from_dia(D, (17, 17))
+    free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+    Gp = prune_zero_offsets_grid(G.with_dirichlet_identity(free))
+
+    b = jnp.asarray(free)
+    x_ref, res_ref = grid_cg(Gp, b, 400)
+    x_mix, res_mix = grid_cg_refined(Gp, b, n_outer=10, n_inner=40)
+    assert float(res_mix) < 1e-5 * float(jnp.linalg.norm(b))
+    np.testing.assert_allclose(
+        np.asarray(x_mix), np.asarray(x_ref), atol=5e-5
+    )

@@ -336,3 +336,47 @@ def test_rcm_native_matches_python():
     perm_nat, inv_nat = reorder.rcm_permutation(rows, cols, n)
     np.testing.assert_array_equal(perm_nat, perm_py)
     np.testing.assert_array_equal(inv_nat, inv_py)
+
+
+def test_time_sharded_space_time_matches_single_chip():
+    """Time-sharded Kronecker CG (SURVEY SS5.7) == unsharded SeparableOperator
+    solve: banded spline-like time factors, sparse FEM space factors."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+    from fdapde_core_tpu.models.space_time import (
+        SeparableOperator,
+        solve_space_time,
+    )
+    from fdapde_core_tpu.parallel.space_time import ShardedSpaceTime
+
+    mesh = unit_square_mesh(5)
+    space = FEMSpace(mesh, 1)
+    S_stiff = assemble_matrix(space, -fdm.laplacian())
+    S_mass = assemble_matrix(space, fdm.reaction(1.0))
+
+    n_t = 19  # not divisible by 8: exercises time padding
+    # banded SPD time factors (tridiagonal stiffness + mass, bandwidth 1 —
+    # the cubic-spline case has bandwidth 3, same code path)
+    main = 2.0 * np.ones(n_t)
+    off = -1.0 * np.ones(n_t - 1)
+    T_stiff = np.diag(main) + np.diag(off, 1) + np.diag(off, -1)
+    T_mass = (
+        np.diag(4.0 * np.ones(n_t))
+        + np.diag(np.ones(n_t - 1), 1)
+        + np.diag(np.ones(n_t - 1), -1)
+    ) / 6.0
+
+    terms = [(T_mass, S_stiff), (T_stiff, S_mass)]
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=n_t * space.n_dofs)
+
+    op = SeparableOperator(terms)
+    x_ref, info = solve_space_time(op, jnp.asarray(b), rtol=1e-12)
+
+    solver = ShardedSpaceTime(terms, make_device_mesh(8))
+    assert solver.H == 1
+    x_sh, res, iters = solver.solve(jnp.asarray(b), rtol=1e-12)
+    assert int(iters) > 0
+    np.testing.assert_allclose(
+        np.asarray(x_sh), np.asarray(x_ref), rtol=0, atol=1e-8
+    )

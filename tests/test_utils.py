@@ -102,3 +102,24 @@ def test_read_reference_csv(mesh_dir):
     pts = read_csv(f"{mesh_dir}/unit_square/points.csv")
     assert pts.shape == (3600, 2)
     assert pts[1, 0] == pytest.approx(0.01694915254237288)
+
+
+def test_almost_equal_and_log1pexp():
+    """Scalar helpers from utils/symbols.h:167-185: absolute-or-relative
+    closeness and the 4-branch stable log(1+exp)."""
+    import numpy as np
+    from fdapde_core_tpu.utils import almost_equal, log1pexp
+
+    assert almost_equal(1.0, 1.0 + 1e-15)
+    assert not almost_equal(1.0, 1.0 + 1e-10)
+    # relative branch: large magnitudes compare relatively
+    assert almost_equal(1e10, 1e10 * (1 + 1e-15))
+    assert almost_equal(np.ones(3), np.ones(3) + 1e-15)
+
+    xs = np.array([-100.0, -37.5, -5.0, 0.0, 10.0, 20.0, 33.0, 40.0, 700.0])
+    got = np.asarray(log1pexp(xs), dtype=float)
+    want = np.array([np.exp(x) if x <= -37 else np.log1p(np.exp(min(x, 700)))
+                     if x <= 18 else (x + np.exp(-x) if x <= 33.3 else x)
+                     for x in xs])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert np.isfinite(float(log1pexp(1e6)))
