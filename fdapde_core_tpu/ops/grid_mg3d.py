@@ -85,10 +85,12 @@ def galerkin_coarsen3d(G: GridDIA3D) -> GridDIA3D:
 
 
 def _stencil3(data, offsets3d, x, m):
+    # layers cast up to the vector dtype: bf16 storage streams half the
+    # bytes, the convert fuses into the multiply (see 2D grid_mg.astype)
     xp = jnp.pad(x, 1)
     acc = None
     for k, (di, dj, dk) in enumerate(offsets3d):
-        t = data[k] * jax.lax.slice(
+        t = data[k].astype(x.dtype) * jax.lax.slice(
             xp, (1 + di, 1 + dj, 1 + dk), (1 + di + m, 1 + dj + m, 1 + dk + m)
         )
         acc = t if acc is None else acc + t
@@ -150,6 +152,16 @@ class GridMG3D:
     def tree_unflatten(cls, aux, leaves):
         return cls(list(leaves), *aux)
 
+    def astype(self, dtype):
+        """Hierarchy with stencil layers STORED in `dtype` (bf16 halves
+        smoother/residual layer traffic); vector arithmetic keeps the
+        caller's precision — see ops/grid_mg.GridMG.astype."""
+        return GridMG3D(
+            [d.astype(dtype) for d in self.datas],
+            self.offsets, self.shapes, self.omega, self.nu,
+            self.coarse_iters,
+        )
+
     @classmethod
     def build(cls, G: GridDIA3D, coarse_n: int = 8, omega: float = 0.8,
               nu: int = 2, coarse_iters: int = 64):
@@ -186,7 +198,7 @@ class GridMG3D:
 
     def _smooth(self, lvl, x, b):
         data, offs, m = self.datas[lvl], self.offsets[lvl], self.shapes[lvl]
-        inv_diag = 1.0 / data[offs.index((0, 0, 0))]
+        inv_diag = 1.0 / data[offs.index((0, 0, 0))].astype(b.dtype)
         for _ in range(self.nu):
             x = x + self.omega * inv_diag * (b - _stencil3(data, offs, x, m))
         return x

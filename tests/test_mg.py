@@ -306,3 +306,58 @@ def test_3d_multigrid_h_independent():
         err = np.abs(np.asarray(x) - np.asarray(xr)).max()
         assert err < 1e-9 * max(1.0, np.abs(np.asarray(xr)).max())
     assert max(iters.values()) <= 14, iters
+
+
+def test_mg_bf16_storage_keeps_h_independence():
+    """bf16 STENCIL STORAGE (f32/f64 vector arithmetic) must not degrade
+    the V-cycle: same iteration count and residual as full-precision MG
+    across refinements. (Full-bf16 V-cycle arithmetic is not offered — it
+    measured 7 -> 17 iterations from n=64 to n=128.)"""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+    from fdapde_core_tpu.linear_algebra.dia import dia_from_coo, unique_offsets
+    from fdapde_core_tpu.ops.grid_dia import (
+        GridDIAMatrix,
+        prune_zero_offsets_grid,
+    )
+    from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg
+
+    for n in (32, 64):
+        mesh = unit_square_mesh(n)
+        sp = FEMSpace(mesh, 1)
+        A = assemble_matrix(sp, -fdm.laplacian())
+        D = dia_from_coo(A.rows, A.cols, A.vals, sp.n_dofs, unique_offsets(sp.dofs))
+        G = GridDIAMatrix.from_dia(D, (n + 1, n + 1))
+        free = jnp.asarray(~mesh.boundary_nodes, jnp.float64)
+        Gp = prune_zero_offsets_grid(G.with_dirichlet_identity(free))
+        b = jnp.asarray(free)
+        mg = GridMG.build(Gp, coarse_n=8)
+        x_ref, rel_ref, k_ref = mg_preconditioned_cg(
+            Gp, b, rtol=1e-10, maxiter=60, mg=mg
+        )
+        x16, rel16, k16 = mg_preconditioned_cg(
+            Gp, b, rtol=1e-10, maxiter=60, mg=mg.astype(jnp.bfloat16)
+        )
+        assert int(k16) == int(k_ref)
+        assert float(rel16) < 1e-10
+        np.testing.assert_allclose(
+            np.asarray(x16), np.asarray(x_ref), atol=1e-8
+        )
+
+
+def test_3d_mg_bf16_storage():
+    """3D bf16-storage hierarchy: same iterations + residual as full
+    precision (vector arithmetic unchanged)."""
+    from fdapde_core_tpu.ops.grid_mg3d import GridMG3D, mg_preconditioned_cg3d
+
+    n = 16
+    Gm, b = _poisson_cube(n)
+    mg = GridMG3D.build(Gm, coarse_n=4)
+    x, rel, k = mg_preconditioned_cg3d(Gm, b, rtol=1e-11, maxiter=60, mg=mg)
+    x16, rel16, k16 = mg_preconditioned_cg3d(
+        Gm, b, rtol=1e-11, maxiter=60, mg=mg.astype(jnp.bfloat16)
+    )
+    assert abs(int(k16) - int(k)) <= 1
+    assert float(rel16) < 1e-10
+    np.testing.assert_allclose(np.asarray(x16), np.asarray(x), atol=1e-9)
