@@ -42,6 +42,49 @@ def test_lambda_grid_selection():
     assert errs[np.argmin(errs)] < errs[-1]
 
 
+def test_gcv_exact_matches_dense_smoother():
+    """Exact GCV trace == trace of the explicitly-formed smoother matrix."""
+    rng = np.random.default_rng(2)
+    locs = rng.uniform(0.0, 1.0, size=(120, 2))
+    y = _truth(locs) + 0.1 * rng.normal(size=120)
+    model = SmoothingRegression(unit_square_mesh(6), -fdm.laplacian())
+    lam = 0.5
+
+    score = model.gcv(locs, y, lam, exact=True)
+
+    # dense reference computation of S = Psi (Psi^T Psi + lam P)^{-1} Psi^T
+    from fdapde_core_tpu.fem.evaluation import eval_basis_pointwise
+
+    Psi, _ = eval_basis_pointwise(model.space, locs)
+    nd = model.space.n_dofs
+    Psid = np.zeros(Psi.shape)
+    np.add.at(Psid, (np.asarray(Psi.rows), np.asarray(Psi.cols)), np.asarray(Psi.vals))
+    Pd = np.zeros((nd, nd))
+    np.add.at(Pd, (np.asarray(model.P.rows), np.asarray(model.P.cols)), np.asarray(model.P.vals))
+    A = Psid.T @ Psid + lam * Pd
+    S = Psid @ np.linalg.solve(A, Psid.T)
+    n = len(y)
+    rss = float(((y - S @ y) ** 2).sum())
+    expected = n * rss / (n - np.trace(S)) ** 2
+    assert abs(score - expected) / expected < 1e-6
+
+
+def test_gcv_hutchinson_close_to_exact_and_selects_middle_lambda():
+    rng = np.random.default_rng(3)
+    locs = rng.uniform(0.0, 1.0, size=(600, 2))
+    y = _truth(locs) + 0.1 * rng.normal(size=600)
+    model = SmoothingRegression(unit_square_mesh(10), -fdm.laplacian())
+
+    exact = model.gcv(locs, y, 1.0, exact=True)
+    est = model.gcv(locs, y, 1.0, n_probes=32, seed=0)
+    assert abs(est - exact) / exact < 0.15  # stochastic trace tolerance
+
+    lambdas = [1e-8, 1e-2, 1.0, 1e5]
+    best, scores = model.select_lambda_gcv(locs, y, lambdas, n_probes=16)
+    assert best in (1e-2, 1.0), (best, scores)
+    assert hasattr(model, "coefficients_")  # refit at the argmin
+
+
 def test_space_time_smoothing():
     """BASELINE config 5: spline-in-time x FEM-in-space smoothing on a
     monitoring grid recovers a separable field from noisy data."""
