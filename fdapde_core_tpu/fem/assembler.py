@@ -51,8 +51,10 @@ def prepare_coefficient(space, value, kind: str):
     nq = space.n_quad
     N = space.mesh.embed_dim
     if callable(value):
+        from ..utils.callables import eval_at_points
+
         pts = space.quadrature_nodes  # (C*nq, N)
-        vals = np.asarray([value(p) for p in pts], dtype=np.float64)
+        vals = eval_at_points(value, pts)  # batch -> vmap -> loop tiers
         return True, jnp.asarray(vals.reshape((C, nq) + vals.shape[1:]))
     arr = np.asarray(value, dtype=np.float64)
     if kind == "scalar":
@@ -183,10 +185,10 @@ def assemble_forcing(space, f) -> jnp.ndarray:
     """
     C, nq = space.mesh.n_cells, space.n_quad
     if callable(f):
+        from ..utils.callables import eval_at_points
+
         pts = space.quadrature_nodes
-        fv = jnp.asarray(
-            np.asarray([f(p) for p in pts], dtype=np.float64).reshape(C, nq)
-        )
+        fv = jnp.asarray(eval_at_points(f, pts).reshape(C, nq))
         multi = False
     else:
         fv = jnp.asarray(np.asarray(f, dtype=np.float64))

@@ -81,9 +81,11 @@ def assemble_neumann(space, h, facet_mask: np.ndarray) -> np.ndarray:
     phys = coords[:, None, 0, :] + np.einsum("knd,qd->kqn", J, quad.nodes)
 
     if callable(h):
-        hv = np.asarray(
-            [h(p) for p in phys.reshape(-1, mesh.embed_dim)], dtype=np.float64
-        ).reshape(facet_ids.size, quad.num_nodes)
+        from ..utils.callables import eval_at_points
+
+        hv = eval_at_points(h, phys.reshape(-1, mesh.embed_dim)).reshape(
+            facet_ids.size, quad.num_nodes
+        )
     else:
         hv = np.full((facet_ids.size, quad.num_nodes), float(h))
 

@@ -45,7 +45,11 @@ def assemble_operator(space, op) -> SparseMatrix:
         if isinstance(leaf, Reaction):
             c = leaf.c
             if callable(c):
-                cvals = np.asarray([c(np.array([x])) for x in space.quad_points])
+                from ..utils.callables import eval_at_points
+
+                cvals = eval_at_points(
+                    c, np.asarray(space.quad_points).reshape(-1, 1)
+                )
                 acc = acc + scale * _gram(space, 0, 0, weight=cvals)
             else:
                 acc = acc + scale * float(c) * _gram(space, 0, 0)
@@ -72,7 +76,9 @@ def assemble_forcing(space, f) -> jnp.ndarray:
     the operators. `f` may be a callable or values at `space.quad_points`.
     """
     if callable(f):
-        fv = np.asarray([f(np.array([x])) for x in space.quad_points], dtype=np.float64)
+        from ..utils.callables import eval_at_points
+
+        fv = eval_at_points(f, np.asarray(space.quad_points).reshape(-1, 1))
     else:
         fv = np.asarray(f, dtype=np.float64).reshape(-1)
     B = jnp.asarray(space.basis.eval(space.quad_points))

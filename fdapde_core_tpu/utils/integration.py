@@ -31,9 +31,9 @@ def integrate_cells(mesh, f, order: int = 1) -> np.ndarray:
     phys, w, measure = quadrature_points(mesh, order)
     C, nq, N = phys.shape
     if callable(f):
-        vals = np.asarray(
-            [f(p) for p in phys.reshape(-1, N)], dtype=np.float64
-        ).reshape(C, nq)
+        from .callables import eval_at_points
+
+        vals = eval_at_points(f, phys.reshape(-1, N)).reshape(C, nq)
     else:
         vals = np.asarray(f, dtype=np.float64).reshape(C, nq)
     return (vals @ w) * measure
