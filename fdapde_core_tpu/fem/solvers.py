@@ -26,9 +26,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..linear_algebra.solvers import bicgstab, cg, jacobi_preconditioner
+from ..linear_algebra.solvers import bicgstab, cg, gmres, jacobi_preconditioner
 
-__all__ = ["DirichletSystem", "solve_elliptic", "solve_parabolic"]
+__all__ = ["DirichletSystem", "solve_elliptic", "solve_parabolic", "masked_matrix"]
 
 
 class DirichletSystem(NamedTuple):
@@ -56,19 +56,85 @@ class DirichletSystem(NamedTuple):
         return jnp.where(self.mask, 1.0, d)
 
 
-def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None):
+def masked_matrix(A, mask):
+    """A with Dirichlet rows/cols dropped and 1 on masked diagonal entries.
+
+    The explicit-sparse counterpart of DirichletSystem's on-the-fly masking;
+    used when a preconditioner setup (FSPAI, AMG) needs the actual masked
+    matrix entries. Assumes the diagonal is present in A's sparsity (always
+    true for FEM operators).
+    """
+    mask = jnp.asarray(mask)
+    keep = (~mask)[A.rows] & (~mask)[A.cols]
+    vals = jnp.where(keep, A.vals, 0.0)
+    vals = jnp.where((A.rows == A.cols) & mask[A.rows], 1.0, vals)
+    return A.with_vals(vals)
+
+
+def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None,
+                   recovery=True, preconditioner=None):
     """Solve A u = b with Dirichlet data g on `mask` dofs.
 
     Counterpart of FEMLinearEllipticSolver::solve
-    (fem_linear_elliptic_solver.h:34-50) with CG/BiCGStab in place of SparseLU.
+    (fem_linear_elliptic_solver.h:34-50) with CG/BiCGStab in place of
+    SparseLU. Solver selection: CG when the operator is symmetric, BiCGStab
+    otherwise; `preconditioner` overrides the default Jacobi (callable
+    M_inv(r), e.g. an AMG V-cycle from linear_algebra/amg.py).
+
+    Failure recovery (SURVEY §5.3 — the reference only sets success=false,
+    fem_linear_elliptic_solver.h:42-45): when the base Krylov solve reports
+    converged=False, escalate ONCE — GMRES(50) warm-started from the best
+    finite iterate, with an FSPAI approximate-inverse preconditioner
+    (linear_algebra/fspai.py) replacing Jacobi for symmetric systems small
+    enough to factor host-side. Pass recovery=False to reproduce the bare
+    reference behavior.
     """
     sys = DirichletSystem(A, mask)
-    pre = jacobi_preconditioner(sys.diagonal())
+    pre = preconditioner or jacobi_preconditioner(sys.diagonal())
     b_mod = sys.rhs(b, g)
     x0 = jnp.where(mask, g, 0.0)
     solver = cg if symmetric else bicgstab
     x, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
+    if recovery and not bool(info.converged):
+        x, info = _recover_elliptic(
+            A, sys, b_mod, x, x0, symmetric, rtol, maxiter, pre
+        )
     return x, info
+
+
+_FSPAI_RECOVERY_MAX_DOFS = 200_000  # host-side setup cost bound
+
+
+def _recover_elliptic(A, sys, b_mod, x, x0, symmetric, rtol, maxiter, pre):
+    """One escalation step: stronger solver (GMRES) and, when affordable,
+    a stronger preconditioner (FSPAI of the masked operator)."""
+    import warnings
+
+    # restart from the stalled iterate unless it is poisoned (NaN/Inf from a
+    # Krylov breakdown — e.g. BiCGStab alpha = rho / <rhat, v> with a zero
+    # denominator)
+    x_start = jnp.where(jnp.all(jnp.isfinite(x)), x, x0)
+    pre_strong = pre
+    if symmetric and sys.A.shape[0] <= _FSPAI_RECOVERY_MAX_DOFS:
+        try:
+            from ..linear_algebra.fspai import fspai
+
+            L = fspai(masked_matrix(A, sys.mask), alpha=8, beta=8, epsilon=1e-4)
+
+            def pre_strong(r):
+                return L @ L.rmatvec(r)
+        except Exception:  # keep Jacobi if the setup fails
+            pre_strong = pre
+    warnings.warn(
+        "elliptic solve did not converge; escalating to GMRES(50) "
+        f"({'FSPAI' if pre_strong is not pre else 'Jacobi'}-preconditioned)",
+        stacklevel=3,
+    )
+    x2, info2 = gmres(
+        sys, b_mod, M_inv=pre_strong, x0=x_start, rtol=rtol,
+        maxiter=maxiter, restart=50,
+    )
+    return x2, info2
 
 
 def solve_parabolic(
