@@ -90,7 +90,15 @@ def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None,
     reference behavior.
     """
     sys = DirichletSystem(A, mask)
-    pre = preconditioner or jacobi_preconditioner(sys.diagonal())
+    if preconditioner == "amg":
+        # smoothed-aggregation AMG of the masked operator: h-independent
+        # iteration counts on any (unstructured) mesh — the scalable
+        # replacement for the reference's SparseLU on general meshes
+        from ..linear_algebra.amg import AMG
+
+        pre = AMG.build(masked_matrix(A, mask)).v_cycle
+    else:
+        pre = preconditioner or jacobi_preconditioner(sys.diagonal())
     b_mod = sys.rhs(b, g)
     x0 = jnp.where(mask, g, 0.0)
     solver = cg if symmetric else bicgstab

@@ -15,7 +15,7 @@ import numpy as np
 
 MACHINE_EPSILON = 10 * np.finfo(np.float64).eps  # utils/symbols.h:164
 
-__all__ = ["CellLocator", "contains"]
+__all__ = ["CellLocator", "DeviceCellLocator", "contains"]
 
 
 def contains(mesh, cell_ids: np.ndarray, points: np.ndarray) -> np.ndarray:
@@ -86,6 +86,23 @@ class CellLocator:
         b = np.floor((pts - self.gmin) * self.scale).astype(np.int64)
         return np.clip(b, 0, self.res - 1)
 
+    def padded_bin_table(self):
+        """(n_bins, K) candidate table, -1 padded, K = max bin occupancy.
+
+        The static-shape form of (bin_offsets, bin_cells) consumed by
+        DeviceCellLocator."""
+        counts = np.diff(self.bin_offsets)
+        K = max(1, int(counts.max()))
+        n_bins = counts.size
+        table = np.full((n_bins, K), -1, dtype=np.int32)
+        # ragged fill without a Python loop
+        bins = np.repeat(np.arange(n_bins), counts)
+        slot = np.arange(self.bin_cells.size) - np.repeat(
+            self.bin_offsets[:-1], counts
+        )
+        table[bins, slot] = self.bin_cells
+        return table
+
     def locate(self, points: np.ndarray) -> np.ndarray:
         points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         n = points.shape[0]
@@ -114,3 +131,78 @@ class CellLocator:
             # reverse so earlier candidates win after assignment
             out[hp[::-1]] = hc[::-1]
         return out
+
+
+class DeviceCellLocator:
+    """Point location ON DEVICE: uniform-grid bins as dense arrays + one
+    vmapped exact containment test, all inside jit.
+
+    The device-scale replacement of the reference's per-point ADT tree
+    search (/root/reference/fdaPDE/geometry/tree_search.h:28-84): query
+    batches of millions of observation points (the Psi matrix feed,
+    lagrangian_basis.h:203-235) are located with O(K) static work per point
+    — a bin-table gather, K candidate invJ gathers, and an argmax — instead
+    of host pointer chasing. Exact semantics match CellLocator/`contains`
+    (simplex.h:115-127), including the manifold supporting-plane test.
+    """
+
+    def __init__(self, mesh, resolution: int | None = None):
+        import jax.numpy as jnp
+
+        from .affine import affine_maps_np
+
+        host = CellLocator(mesh, resolution)
+        self.mesh = mesh
+        self.res = host.res
+        table = host.padded_bin_table()
+        self.capacity = table.shape[1]
+        J, invJ, _ = affine_maps_np(mesh.nodes, mesh.cells)
+        self.table = jnp.asarray(table)  # (res^N, K)
+        self.invJ = jnp.asarray(invJ)  # (C, M, N)
+        self.J = jnp.asarray(J) if mesh.is_manifold else None
+        self.p0 = jnp.asarray(mesh.nodes[mesh.cells[:, 0]])  # (C, N)
+        self.gmin = jnp.asarray(host.gmin)
+        self.gmax = jnp.asarray(host.gmax)
+        self.scale = jnp.asarray(host.scale)
+        self.is_manifold = mesh.is_manifold
+
+    def locate(self, points):
+        """points (n, N) device array -> (n,) int32 cell ids (-1 outside).
+
+        Jit-safe: static shapes throughout; call under jax.jit for repeated
+        query batches.
+        """
+        import jax.numpy as jnp
+
+        points = jnp.atleast_2d(points)
+        n, N = points.shape
+        b = jnp.clip(
+            jnp.floor((points - self.gmin) * self.scale).astype(jnp.int32),
+            0,
+            self.res - 1,
+        )
+        # row-major flat bin id (matches CellLocator's encoding)
+        flat = b[:, 0]
+        for d in range(1, N):
+            flat = flat * self.res + b[:, d]
+        cand = self.table[flat]  # (n, K)
+        safe = jnp.maximum(cand, 0)
+        d = points[:, None, :] - self.p0[safe]  # (n, K, N)
+        z = jnp.einsum("nkmj,nkj->nkm", self.invJ[safe], d)  # (n, K, M)
+        z0 = 1.0 - z.sum(axis=-1)
+        eps = MACHINE_EPSILON
+        inside = (z >= -eps).all(axis=-1) & (z0 >= -eps) & (cand >= 0)
+        if self.is_manifold:
+            proj = self.p0[safe] + jnp.einsum(
+                "nkjm,nkm->nkj", self.J[safe], z
+            )
+            dist = jnp.linalg.norm(points[:, None, :] - proj, axis=-1)
+            inside &= dist <= eps
+        in_box = ((points >= self.gmin - eps) & (points <= self.gmax + eps)).all(
+            axis=1
+        )
+        inside &= in_box[:, None]
+        first = jnp.argmax(inside, axis=1)
+        found = inside.any(axis=1)
+        hit = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+        return jnp.where(found, hit, -1).astype(jnp.int32)

@@ -42,6 +42,7 @@ class PDE:
         solver_rtol: float = 1e-12,
         solver_maxiter: int | None = None,
         lumped_mass: bool = False,
+        solver_preconditioner=None,
     ):
         self.domain = domain
         self.operator = operator
@@ -51,6 +52,10 @@ class PDE:
         self.solver_rtol = solver_rtol
         self.solver_maxiter = solver_maxiter
         self.lumped_mass = lumped_mass
+        # None/callable M_inv(r), or "amg" (smoothed-aggregation V-cycle of
+        # the masked operator, linear_algebra/amg.py) for large unstructured
+        # meshes where Jacobi-CG iteration counts grow like O(1/h)
+        self.solver_preconditioner = solver_preconditioner
 
         if discretization == "fem":
             from ..fem.space import FEMSpace
@@ -186,6 +191,7 @@ class PDE:
                 symmetric=self.operator.is_symmetric,
                 rtol=self.solver_rtol,
                 maxiter=self.solver_maxiter,
+                preconditioner=self.solver_preconditioner,
             )
             self._solution = x
             self.solve_info = info
