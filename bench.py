@@ -1,20 +1,40 @@
 #!/usr/bin/env python
-"""Benchmark: 2D Poisson P1 assemble + CG on the available accelerator.
+"""Benchmark: 2D Poisson P1 assemble + solve on the available accelerator.
 
 Full size matches the BASELINE.md north star: 10M dofs (20M cells).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Design notes (learned on TPU v5e):
-- arrays keep the CELL/DOF axis LAST (struct-of-arrays): a (C, 3, 3) tensor
-  is tile-padded ~50x in HBM (minor dims pad to (8,128)); (9, C) pads only C,
-- the mesh is synthesized ON DEVICE (host->device transfer of a 10M-cell
-  mesh through the dev-harness relay dominates otherwise),
-- assembly uses the fused closed-form Pallas kernel (ops/pallas_assembly.py),
-- the CG SpMV uses DIA (offset-diagonal) storage: static shifts + fused
-  multiply-adds run at memory bandwidth, while generic gathers/scatters run
-  near-scalar (~1.5 G elem/s) on this hardware.
+Sections (later ones are time-budgeted and skipped gracefully if the
+harness's first-execution latency roulette eats the budget):
+  1. structured:   Pallas assembly throughput, stencil CG iters/s (f32 +
+                   bf16-stencil), Galerkin-MG solve, f64-refined solve.
+  2. perturbed:    the UNSTRUCTURED-GEOMETRY headline — every interior node
+                   pseudo-randomly displaced (deterministic hash, +-0.1 h),
+                   general per-cell geometry assembled by the same Pallas
+                   kernel, variable-coefficient 9-point stencil solved by
+                   Galerkin-coarsened MG-CG + f64 iterative refinement to
+                   ~1e-9 true relative residual. Rediscretization coarsening
+                   would be WRONG here; this exercises the Galerkin path.
+  3. general-path: genuine Delaunay topology (scipy) at ~0.5M dofs, host
+                   SA-AMG setup (linear_algebra/amg.py), AMG-PCG with
+                   gather-SpMV ON CHIP + f64 refinement — the
+                   arbitrary-mesh capability (Eigen SparseLU replacement,
+                   fem_linear_elliptic_solver.h:38-47) measured honestly.
+  4. space-time:   Kronecker CG (T1 (x) S0 + T0 (x) S1) at 1M space dofs x
+                   64 time knots, matrix-free stencil/matmul matvec.
+
+Design notes (learned on TPU v5e, BENCH_NOTES.md):
+- arrays keep the CELL/DOF axis LAST; generic gathers run near-scalar so
+  structured paths use DIA stencils (static shifts at memory bandwidth),
+- meshes are synthesized ON DEVICE (host->device relay is O(minutes)/100MB),
+- `block_until_ready` does not fence remote execution: fetch an in-jit
+  scalar via float(),
+- the harness's FIRST execution of any program has minutes-scale latency
+  variance (remote compile/queueing — measured 1 s..300 s for identical
+  compute); every timed stage is therefore warmed first, and the mesh-build
+  cold time is reported separately from the warm execution.
 
 vs_baseline compares element-assembly throughput against an estimated
 64-core multithreaded CPU-class port of the reference's Eigen assembly loop
@@ -31,12 +51,15 @@ import time
 
 os.environ["FDAPDE_TPU_X64"] = "0"  # f32 fast path on the chip
 # (x64 is flipped on mid-run, AFTER all pallas stages, for the f64-refined
-# multigrid metric only: pallas index maps fail Mosaic lowering under x64)
-# persist compiled programs across processes where the backend honors it
-# (first-compile latency through the dev harness is minutes per program)
+# metrics only: pallas index maps fail Mosaic lowering under x64)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
 
 BASELINE_ELEMENTS_PER_S = 5.0e7
+T_START = time.time()
+
+
+def elapsed():
+    return time.time() - T_START
 
 
 def main():
@@ -56,6 +79,7 @@ def main():
         p1_stiffness_edges,
     )
 
+    out = {}
     dtype = jnp.float32
     m = n + 1
     n_dofs = m * m
@@ -64,15 +88,14 @@ def main():
         128 * EDGE_TILE_S
     )
 
-    @jax.jit
-    def build():
-        """Structured mesh in SoA layout: edges (4, L, 128) + boundary mask.
-
-        Same connectivity as geometry/structured.py: quad (i, j) with
-        lower-left node a = i*m + j splits into (a, b, a+1), (b, b+1, a+1),
-        b = a + m. Cells beyond 2 n^2 are tile padding: they get a dummy
-        nondegenerate triangle (finite local matrices) and are sliced away
-        by the scatter-free stencil conversion (ops/grid_assembly.py).
+    def _mesh_edges(amp):
+        """Structured criss-cross mesh in SoA edge layout, with optional
+        deterministic pseudo-random interior-node displacement of +-amp/2
+        cells (amp <= 0.2 keeps every triangle non-degenerate: the area
+        perturbation bound is |d(det)| <= 8 eps h^2 for per-coordinate
+        displacement eps*h). amp is a TRACED argument: a nullary build
+        would be constant-folded by XLA into a couple-hundred-MB literal
+        whose upload through the remote harness costs minutes.
         """
         ij = jnp.arange(n * n, dtype=jnp.int32)
         i, j = ij // n, ij % n
@@ -87,12 +110,20 @@ def main():
         )  # (3, 2 n^2)
         pad = C_pad - n_cells
         cells = jnp.pad(cells, ((0, 0), (0, pad)))
-        live = jnp.pad(
-            jnp.ones(n_cells, dtype), (0, pad)
-        )  # 0 on padded cells
-        # vertex coordinates from node ids: node k -> ((k // m) / n, (k % m) / n)
+        live = jnp.pad(jnp.ones(n_cells, dtype), (0, pad))
+
         def coord(nid):
-            return (nid // m).astype(dtype) / n, (nid % m).astype(dtype) / n
+            gi = (nid // m).astype(dtype)
+            gj = (nid % m).astype(dtype)
+            interior = (
+                (gi > 0) & (gi < n) & (gj > 0) & (gj < n)
+            ).astype(dtype)
+            # shader-style hash: deterministic, jit-constant-free
+            hx = jnp.sin(gi * 12.9898 + gj * 78.233) * 43758.5453
+            hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
+            dx = (hx - jnp.floor(hx) - 0.5) * amp * interior
+            dy = (hy - jnp.floor(hy) - 0.5) * amp * interior
+            return (gi + dx) / n, (gj + dy) / n
 
         x1, y1 = coord(cells[0])
         x2, y2 = coord(cells[1])
@@ -100,15 +131,19 @@ def main():
         # give padded cells a nondegenerate dummy triangle (det != 0)
         x2 = jnp.where(live > 0, x2, x1 + 1.0)
         y3 = jnp.where(live > 0, y3, y1 + 1.0)
-        # edge vectors u = p2-p1, v = p3-p1 in the padding-free (4, L, 128)
-        # layout (ops/pallas_assembly.p1_stiffness_edges)
-        edges = jnp.stack(
-            [x2 - x1, y2 - y1, x3 - x1, y3 - y1], axis=0
-        ).reshape(4, C_pad // 128, 128)
+        u1, v1, u2, v2 = x2 - x1, y2 - y1, x3 - x1, y3 - y1
+        det = u1 * v2 - v1 * u2
+        min_det = jnp.min(jnp.where(live > 0, det, jnp.inf)) * (n * n)
+        edges = jnp.stack([u1, v1, u2, v2], axis=0).reshape(
+            4, C_pad // 128, 128
+        )
         nid = jnp.arange(n_dofs, dtype=jnp.int32)
-        xb, yb = coord(nid)
-        on_bnd = (xb == 0) | (xb == 1) | (yb == 0) | (yb == 1)
-        return edges, on_bnd, edges[0, 0, 0]
+        gi = (nid // m).astype(dtype)
+        gj = (nid % m).astype(dtype)
+        on_bnd = (gi == 0) | (gi == n) | (gj == 0) | (gj == n)
+        return edges, on_bnd, min_det
+
+    build = jax.jit(_mesh_edges)
 
     ASM_REPS = 20
 
@@ -124,10 +159,9 @@ def main():
         host-fence roundtrip of the dev harness out of the measurement.
 
         Soundness: the kernel is an opaque pallas custom call, so XLA cannot
-        dead-code-eliminate unread output elements (it CAN inside its own
-        fusions — never time fused-XLA stages with a scalar witness). The
-        loop-varying eps enters through SMEM inside the kernel: defeats
-        loop-invariant hoisting with zero extra memory traffic."""
+        dead-code-eliminate unread output elements. The loop-varying eps
+        enters through SMEM inside the kernel: defeats loop-invariant
+        hoisting with zero extra memory traffic."""
 
         def body(k, acc):
             A6 = p1_stiffness_edges(edges, eps=k.astype(dtype) * 1e-30)
@@ -137,36 +171,29 @@ def main():
 
     @jax.jit
     def to_stencil(A6):
-        # scatter-free conversion: the structured connectivity statically
-        # resolves every (cell type, i, j) slot to one stencil layer and a
-        # contiguous grid block — 18 fused slice-adds instead of a 180M-entry
-        # segment-sum (ops/grid_assembly.py; ~45x faster, measured)
+        # scatter-free conversion: 18 fused slice-adds instead of a
+        # 180M-entry segment-sum (ops/grid_assembly.py; ~45x measured)
         G = p1_grid_stencil(A6, n)
         return G, G.data[0, 0, 0]
 
-    # CG: fold Dirichlet + identity into the stencil data once, prune
-    # exact-zero layers (the criss-cross P1 stencil is numerically 5-point:
-    # hypotenuse coupling is exactly 0), then run the padded-state CG
-    # (ops/grid_cg.py; static slices, no per-iteration pad/mask passes).
     @jax.jit
     def fold_bc(D, free):
         G = D.with_dirichlet_identity(free)
         return G, G.data[0, 0, 0]
 
-    def cg_fixed(G, b, n_iter, data_dtype=None):
-        return grid_cg(G, b, n_iter, data_dtype=data_dtype)
+    # Execution fences: fetching an in-jit data-dependent scalar is the only
+    # reliable fence on this harness (see module docstring).
 
-    # Execution fences: on the dev harness `block_until_ready` returns
-    # before remote execution finishes; fetching a data-dependent scalar
-    # (computed INSIDE the jit, so no eager-op compile) is the reliable fence.
-
-    # ---- build mesh on device ----
+    # ---- 1. structured section -------------------------------------------
     t0 = time.time()
-    edges, on_bnd, w0 = build()
-    float(w0)
-    t_build = time.time() - t0
+    edges, on_bnd, mind = build(dtype(0.0))
+    float(mind)
+    t_build_cold = time.time() - t0  # includes remote first-exec latency
+    t0 = time.time()
+    edges, on_bnd, mind = build(dtype(0.0))
+    float(mind)
+    t_build = time.time() - t0  # the honest on-device mesh build time
 
-    # ---- assembly throughput (Pallas kernel, in-jit repetitions) ----
     A6, w1 = assemble(edges)
     float(w1)  # materialize A6 for the DIA stage
     w = assemble_reps(edges)
@@ -174,12 +201,9 @@ def main():
     t0 = time.time()
     w = assemble_reps(edges)
     float(w)
-    t_wall = time.time() - t0
-    # subtract the single-fence cost measured on an empty-ish program
-    t_asm = t_wall / ASM_REPS
+    t_asm = (time.time() - t0) / ASM_REPS
     elements_per_s = n_cells / t_asm
 
-    # ---- DIA conversion (one-time scatter) ----
     D, w2 = to_stencil(A6)
     float(w2)
     t0 = time.time()
@@ -187,38 +211,31 @@ def main():
     float(w2)
     t_dia = time.time() - t0
 
-    # ---- CG iteration throughput (500 iters amortize the host fence) ----
     free = (~on_bnd).astype(dtype)
     b = jnp.ones(n_dofs, dtype) * free
     CG_ITERS = 500
     G, wg = fold_bc(D, free)
     float(wg)
     G = prune_zero_offsets_grid(G)  # 7 -> 5 layers (exact zeros only)
-    n_layers = len(G.offsets2d)
 
-    run_cg = jax.jit(lambda Gm, bb: cg_fixed(Gm, bb, CG_ITERS))
+    run_cg = jax.jit(lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS))
     x, res = run_cg(G, b)
     float(res)  # compile + warmup
     t0 = time.time()
     x, res = run_cg(G, b)
     float(res)
-    t_cg = time.time() - t0
-    cg_iters_per_s = CG_ITERS / t_cg
+    cg_iters_per_s = CG_ITERS / (time.time() - t0)
 
-    # reduced-precision stencil storage (lossless here: uniform-grid P1
-    # entries are small exact binary fractions; see ops/grid_cg.py)
     run_cg16 = jax.jit(
-        lambda Gm, bb: cg_fixed(Gm, bb, CG_ITERS, data_dtype=jnp.bfloat16)
+        lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS, data_dtype=jnp.bfloat16)
     )
     x16, res16 = run_cg16(G, b)
     float(res16)
     t0 = time.time()
     x16, res16 = run_cg16(G, b)
     float(res16)
-    t_cg16 = time.time() - t0
-    cg16_iters_per_s = CG_ITERS / t_cg16
+    cg16_iters_per_s = CG_ITERS / (time.time() - t0)
 
-    # ---- multigrid-preconditioned solve (h-independent iterations) ----
     t0 = time.time()
     mg = GridMG.build(G, coarse_n=32)
     float(mg.datas[-1][0, 0, 0])
@@ -236,81 +253,448 @@ def main():
     mrelv, mkv = float(mrel), int(mk)
     t_mg = time.time() - t0
 
-    # f64-refined: true f64-grade residual with f32 inner MG-CG work.
-    # x64 goes live only now — every pallas call is behind us.
-    jax.config.update("jax_enable_x64", True)
-    data64 = G.data.astype(jnp.float64)
-    offs = G.offsets2d
-    b64 = jnp.asarray(b, jnp.float64)
-
-    @jax.jit
-    def refined(data64, Gm, mgm, b64):
-        bn2 = jnp.sum(b64 * b64)
-
-        def cond(s):
-            x, rn2, k = s
-            return (rn2 > 1e-18 * bn2) & (k < 12)
-
-        def body(s):
-            x, _, k = s
-            r = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
-            dx, _, _ = mg_preconditioned_cg(
-                Gm, r.astype(dtype), rtol=1e-30, maxiter=8, mg=mgm
-            )
-            x = x + dx.astype(jnp.float64)
-            r2 = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
-            return (x, jnp.sum(r2 * r2), k + 1)
-
-        x, rn2, k = jax.lax.while_loop(
-            cond, body, (jnp.zeros_like(b64), bn2, 0)
-        )
-        return x, jnp.sqrt(rn2 / bn2), k
-
-    xr, rrel, rk = refined(data64, G, mg, b64)
-    float(rrel)
-    t0 = time.time()
-    xr, rrel, rk = refined(data64, G, mg, b64)
-    rrelv, rkv = float(rrel), int(rk)
-    t_refined = time.time() - t0
-
-    # correctness spot check: interior row sums of the 5-point-like stencil
-    # vanish (constants in the kernel of the Neumann operator)
     @jax.jit
     def check(D, free):
         return jnp.abs((D @ jnp.ones(n_dofs, dtype)) * free).max()
 
     rowsum = float(check(D, free))
 
-    out = {
-        "metric": "p1_poisson_assembly_throughput",
-        "value": round(elements_per_s, 1),
-        "unit": "elements/s",
-        "vs_baseline": round(elements_per_s / BASELINE_ELEMENTS_PER_S, 3),
-        "n_cells": n_cells,
-        "n_dofs": n_dofs,
-        "cg_iters_per_s": round(cg_iters_per_s, 1),
-        "cg_bf16_data_iters_per_s": round(cg16_iters_per_s, 1),
-        "cg_stencil_layers": n_layers,
-        "assembly_s": round(t_asm, 6),
-        "dia_convert_s": round(t_dia, 6),
-        "cg_iters_timed": CG_ITERS,
-        "cg_timed_s": round(t_cg, 6),
-        "device_mesh_build_s": round(t_build, 4),
-        "final_cg_residual": float(res),
-        "final_cg_bf16_residual": float(res16),
-        "mg_levels": mg.n_levels,
-        "mg_build_s": round(t_mg_build, 3),
-        "mg_solve_s": round(t_mg, 3),
-        "mg_iters": mkv,
-        "mg_true_rel_res_f32": mrelv,
-        "mg_refined_solve_s": round(t_refined, 3),
-        "mg_refined_cycles": rkv,
-        "mg_refined_true_rel_res": rrelv,
-        "interior_rowsum_max": rowsum,
-        "device": str(jax.devices()[0]),
-        "dtype": "float32",
-    }
+    # ---- 2. perturbed-geometry (unstructured) section, f32 part ----------
+    AMP = dtype(0.2)  # +-0.1 h per coordinate; guaranteed non-degenerate
+    pedges, p_bnd, p_mind = build(AMP)
+    p_min_det = float(p_mind)  # scaled by n^2: structured value = 1.0
+    A6p, wp = assemble(pedges)  # same compiled program (shape-identical)
+    float(wp)
+    Dp, wp2 = to_stencil(A6p)
+    float(wp2)
+    Gp, wgp = fold_bc(Dp, free)
+    float(wgp)
+    Gp = prune_zero_offsets_grid(Gp)  # generic geometry: nothing prunes
+    p_layers = len(Gp.offsets2d)
+
+    t0 = time.time()
+    mgp = GridMG.build(Gp, coarse_n=32)
+    float(mgp.datas[-1][0, 0, 0])
+    p_mg_build_s = time.time() - t0
+
+    run_mg_p = jax.jit(
+        lambda Gm, mgm, bb: mg_preconditioned_cg(
+            Gm, bb, rtol=1e-12, maxiter=40, mg=mgm
+        )
+    )
+    xp, prel, pk = run_mg_p(Gp, mgp, b)
+    float(prel)
+    t0 = time.time()
+    xp, prel, pk = run_mg_p(Gp, mgp, b)
+    p_mg_rel, p_mg_iters = float(prel), int(pk)
+    p_mg_solve_s = time.time() - t0
+
+    # CG iteration throughput on the 7-layer variable stencil
+    run_cg_p = jax.jit(lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS))
+    xpc, respc = run_cg_p(Gp, b)
+    float(respc)
+    t0 = time.time()
+    xpc, respc = run_cg_p(Gp, b)
+    float(respc)
+    p_cg_iters_per_s = CG_ITERS / (time.time() - t0)
+
+    # ---- x64 flip: f64-refined solves (no pallas beyond this point) ------
+    jax.config.update("jax_enable_x64", True)
+
+    def refined_solve(Gm, mgm, bb, max_cycles=12, inner=8):
+        data64 = Gm.data.astype(jnp.float64)
+        offs = Gm.offsets2d
+        b64 = jnp.asarray(bb, jnp.float64)
+
+        @jax.jit
+        def refined(data64, Gm, mgm, b64):
+            bn2 = jnp.sum(b64 * b64)
+
+            def cond(s):
+                x, rn2, k = s
+                return (rn2 > 1e-18 * bn2) & (k < max_cycles)
+
+            def body(s):
+                x, _, k = s
+                r = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
+                dx, _, _ = mg_preconditioned_cg(
+                    Gm, r.astype(dtype), rtol=1e-30, maxiter=inner, mg=mgm
+                )
+                x = x + dx.astype(jnp.float64)
+                r2 = b64 - _stencil(data64, offs, x.reshape(m, m), m).reshape(-1)
+                return (x, jnp.sum(r2 * r2), k + 1)
+
+            x, rn2, k = jax.lax.while_loop(
+                cond, body, (jnp.zeros_like(b64), bn2, 0)
+            )
+            return x, jnp.sqrt(rn2 / bn2), k
+
+        xr, rrel, rk = refined(data64, Gm, mgm, b64)
+        float(rrel)  # warm
+        t0 = time.time()
+        xr, rrel, rk = refined(data64, Gm, mgm, b64)
+        rrelv, rkv = float(rrel), int(rk)
+        return time.time() - t0, rrelv, rkv
+
+    t_refined, rrelv, rkv = refined_solve(G, mg, b)
+    # variable-coefficient stencils converge slower per f32 inner solve:
+    # deeper inner MG-CG + more refinement cycles (measured: 8/12 stalls at
+    # ~4e-3, 16/24 reaches ~1e-9)
+    p_ref_s, p_ref_rel, p_ref_k = refined_solve(
+        Gp, mgp, b, max_cycles=24, inner=16
+    )
+
+    out.update(
+        {
+            "metric": "p1_poisson_assembly_throughput",
+            "value": round(elements_per_s, 1),
+            "unit": "elements/s",
+            "vs_baseline": round(elements_per_s / BASELINE_ELEMENTS_PER_S, 3),
+            "n_cells": n_cells,
+            "n_dofs": n_dofs,
+            "assembly_s": round(t_asm, 6),
+            "dia_convert_s": round(t_dia, 6),
+            "device_mesh_build_s": round(t_build, 4),
+            "device_mesh_build_cold_s": round(t_build_cold, 2),
+            "cg_iters_per_s": round(cg_iters_per_s, 1),
+            "cg_bf16_data_iters_per_s": round(cg16_iters_per_s, 1),
+            "final_cg_residual": float(res),
+            "final_cg_bf16_residual": float(res16),
+            "mg_levels": mg.n_levels,
+            "mg_build_s": round(t_mg_build, 3),
+            "mg_solve_s": round(t_mg, 3),
+            "mg_iters": mkv,
+            "mg_true_rel_res_f32": mrelv,
+            "mg_refined_solve_s": round(t_refined, 3),
+            "mg_refined_cycles": rkv,
+            "mg_refined_true_rel_res": rrelv,
+            "interior_rowsum_max": rowsum,
+            # unstructured-geometry headline (converged, end-to-end)
+            "unstr_n_dofs": n_dofs,
+            "unstr_min_cell_det": round(p_min_det, 4),
+            "unstr_stencil_layers": p_layers,
+            "unstr_cg_iters_per_s": round(p_cg_iters_per_s, 1),
+            "unstr_mg_build_s": round(p_mg_build_s, 3),
+            "unstr_mg_solve_s": round(p_mg_solve_s, 3),
+            "unstr_mg_iters": p_mg_iters,
+            "unstr_mg_true_rel_res_f32": p_mg_rel,
+            "unstr_refined_solve_s": round(p_ref_s, 3),
+            "unstr_refined_cycles": p_ref_k,
+            "unstr_refined_true_rel_res": p_ref_rel,
+            "device": str(jax.devices()[0]),
+            "dtype": "float32",
+        }
+    )
+
+    # ---- 3. general-path: Delaunay topology + SA-AMG on chip -------------
+    if elapsed() < 430 or small:
+        try:
+            out.update(_general_path_metrics(small))
+        except Exception as e:  # noqa: BLE001 — report, don't kill the JSON
+            out["general_path_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        out["general_path_skipped_s"] = round(elapsed(), 1)
+
+    # ---- 4. space-time Kronecker CG ---------------------------------------
+    if elapsed() < 620 or small:
+        try:
+            out.update(_space_time_metrics(small))
+        except Exception as e:  # noqa: BLE001
+            out["space_time_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        out["space_time_skipped_s"] = round(elapsed(), 1)
+
+    out["bench_total_s"] = round(elapsed(), 1)
     print(json.dumps(out))
+
+
+def _host_p1_stiffness(nodes, cells):
+    """Pure-NumPy P1 stiffness + boundary mask (host side: the general-path
+    section must not issue eager device ops on the remote harness)."""
+    import numpy as np
+
+    C = cells.shape[0]
+    p = nodes[cells]  # (C, 3, 2)
+    J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=2)
+    det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = 0.5 * np.abs(det)
+    inv_det = 1.0 / det
+    invJ = (
+        np.stack(
+            [
+                np.stack([J[:, 1, 1], -J[:, 0, 1]], 1),
+                np.stack([-J[:, 1, 0], J[:, 0, 0]], 1),
+            ],
+            axis=1,
+        )
+        * inv_det[:, None, None]
+    )
+    gref = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])  # (3, 2)
+    g = np.einsum("cmn,im->cin", invJ, gref)  # physical gradients (C,3,2)
+    loc = np.einsum("cin,cjn,c->cij", g, g, area)  # +grad.grad (the
+    # reference's -laplacian weak form sign, operators/laplacian.h:37-44)
+    rows = np.repeat(cells, 3, axis=1).reshape(-1)
+    cols = np.tile(cells, (1, 3)).reshape(-1)
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix(
+        (loc.reshape(-1), (rows, cols)), shape=(nodes.shape[0],) * 2
+    ).tocsr()
+    return A
+
+
+def _general_path_metrics(small):
+    """Genuine unstructured topology at scale, general (gather-SpMV) solve
+    path: host Delaunay + numpy assembly + SA-AMG setup; AMG-PCG + f64
+    refinement ON CHIP."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from scipy.spatial import Delaunay
+
+    from fdapde_core_tpu.linear_algebra.amg import AMG
+    from fdapde_core_tpu.linear_algebra.sparse import SparseMatrix
+
+    t_sec = time.time()
+    nx = 64 if small else 720  # (nx+1)^2 nodes: ~4.2k small, ~0.52M full
+    rng = np.random.default_rng(7)
+    ii, jj = np.meshgrid(np.arange(nx + 1), np.arange(nx + 1), indexing="ij")
+    pts = np.stack([ii, jj], axis=-1).reshape(-1, 2).astype(np.float64)
+    interior = (
+        (pts[:, 0] > 0) & (pts[:, 0] < nx) & (pts[:, 1] > 0) & (pts[:, 1] < nx)
+    )
+    pts[interior] += rng.uniform(-0.35, 0.35, size=(interior.sum(), 2))
+    pts /= nx
+    tri = Delaunay(pts)
+    cells = tri.simplices.astype(np.int32)
+    n = pts.shape[0]
+
+    t0 = time.time()
+    A = _host_p1_stiffness(pts, cells)
+    on_bnd = ~interior
+    # Dirichlet masking (fem/solvers.py semantics) at the scipy level
+    coo = A.tocoo()
+    keep = ~(on_bnd[coo.row] | on_bnd[coo.col])
+    vals = np.where(keep, coo.data, 0.0)
+    diag_fix = sp.coo_matrix(
+        (np.ones(on_bnd.sum()), (np.nonzero(on_bnd)[0],) * 2), shape=A.shape
+    )
+    Am = sp.coo_matrix((vals, (coo.row, coo.col)), shape=A.shape).tocsr() + diag_fix
+    # RCM reordering: Delaunay's native node order scatters SpMV gathers
+    # across HBM; a banded order restores locality (parallel/reorder.py,
+    # native C++ BFS) — measured prerequisite for gather-SpMV throughput
+    from fdapde_core_tpu.parallel.reorder import rcm_permutation
+
+    coom = Am.tocoo()
+    perm, inv = rcm_permutation(coom.row, coom.col, n)
+    P = sp.coo_matrix((np.ones(n), (np.arange(n), perm)), shape=(n, n)).tocsr()
+    Am = (P @ Am @ P.T).tocsr()
+    on_bnd = on_bnd[perm]
+    t_host_asm = time.time() - t0
+
+    t0 = time.time()
+    mg = AMG.build(Am.astype(np.float32))
+    t_amg_setup = time.time() - t0
+
+    t0 = time.time()
+    coo = Am.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    A32 = SparseMatrix(
+        jnp.asarray(coo.row[order].astype(np.int32)),
+        jnp.asarray(coo.col[order].astype(np.int32)),
+        jnp.asarray(coo.data[order].astype(np.float32)),
+        Am.shape,
+    )
+    vals64 = jnp.asarray(coo.data[order])  # f64 for refinement residuals
+    b = jnp.asarray(np.where(on_bnd, 0.0, 1.0 / (nx * nx)).astype(np.float32))
+    jax.block_until_ready(b)
+    t_upload = time.time() - t0
+
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+
+    @jax.jit
+    def solve(A32, mgm, b):
+        x, info = cg(A32, b, M_inv=mgm.v_cycle, rtol=1e-6, maxiter=60)
+        return x, info.iterations, info.residual
+
+    x, it, res = solve(A32, mg, b)
+    float(res)  # warm
+    t0 = time.time()
+    x, it, res = solve(A32, mg, b)
+    itv = int(it)
+    t_solve = time.time() - t0
+
+    # f64 refinement wrapped around the f32 AMG-CG (true residual on chip)
+    b64 = jnp.asarray(np.where(on_bnd, 0.0, 1.0 / (nx * nx)))
+    A64 = SparseMatrix(A32.rows, A32.cols, vals64, Am.shape)
+
+    @jax.jit
+    def refined(A32, A64, mgm, b64):
+        bn2 = jnp.sum(b64 * b64)
+
+        def body(k, s):
+            x, _ = s
+            r = b64 - A64 @ x
+            dx, _ = cg(A32, r.astype(jnp.float32), M_inv=mgm.v_cycle,
+                       rtol=1e-6, maxiter=40)
+            x = x + dx.astype(jnp.float64)
+            r2 = b64 - A64 @ x
+            return (x, jnp.sum(r2 * r2))
+
+        x, rn2 = jax.lax.fori_loop(0, 2, body, (jnp.zeros_like(b64), bn2))
+        return x, jnp.sqrt(rn2 / bn2)
+
+    xr, rrel = refined(A32, A64, mg, b64)
+    float(rrel)
+    t0 = time.time()
+    xr, rrel = refined(A32, A64, mg, b64)
+    rrelv = float(rrel)
+    t_refined = time.time() - t0
+
+    return {
+        "gen_n_dofs": n,
+        "gen_n_cells": int(cells.shape[0]),
+        "gen_host_assembly_s": round(t_host_asm, 3),
+        "gen_amg_setup_s": round(t_amg_setup, 3),
+        "gen_amg_levels": mg.n_levels,
+        "gen_amg_op_complexity": round(mg.operator_complexity(), 3),
+        "gen_upload_s": round(t_upload, 2),
+        "gen_amg_pcg_iters": itv,
+        "gen_amg_pcg_solve_s": round(t_solve, 3),
+        "gen_refined_solve_s": round(t_refined, 3),
+        "gen_refined_true_rel_res": rrelv,
+        "gen_section_s": round(time.time() - t_sec, 1),
+    }
+
+
+def _space_time_metrics(small):
+    """Kronecker space-time CG: R = T1 (x) S0 + T0 (x) S1 at n_t knots x
+    m^2 space dofs, matrix-free (stencil per time slice + small time
+    matmul). Mirrors the reference's Kronecker use
+    (linear_algebra/kronecker_product.h:27-80) at scale."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    t_sec = time.time()
+    mst = 129 if small else 1025  # space grid nodes per side (m^2 dofs)
+    n_t = 64
+    ST_ITERS = 60
+
+    # time matrices from the spline layer (host, tiny)
+    from fdapde_core_tpu.geometry.interval import Interval
+    from fdapde_core_tpu.splines.space import SplineSpace
+    from fdapde_core_tpu.splines.assembler import assemble_mass, assemble_operator
+    from fdapde_core_tpu.pde.operators import bilaplacian
+
+    sspace = SplineSpace(Interval(0.0, 1.0, n_t - 3), 3)  # n_t basis fns
+    T0 = np.asarray(assemble_mass(sspace).toarray())
+    T1 = np.asarray(assemble_operator(sspace, -bilaplacian()).toarray())
+    n_t = T0.shape[0]
+
+    # equilibrate the two Kronecker terms (the spline bilaplacian Gram
+    # scales like h_t^-3): keeps the synthetic operator f32-friendly
+    T0 = T0 / np.abs(np.diag(T0)).max()
+    T1 = T1 / np.abs(np.diag(T1)).max()
+    T0j = jnp.asarray(T0.astype(np.float32))
+    T1j = jnp.asarray(T1.astype(np.float32))
+
+    # space stencils of the uniform criss-cross P1 grid (closed form),
+    # stiffness with Dirichlet identity fold; mass lumped (lumping.h:30)
+    @jax.jit
+    def st_build(shift):
+        gi = jnp.arange(mst, dtype=jnp.float32)
+        interior1d = (gi > 0) & (gi < mst - 1)
+        free = (interior1d[:, None] & interior1d[None, :]).astype(jnp.float32)
+        h2 = (1.0 / (mst - 1)) ** 2 + shift
+        # 5-point stiffness layers (criss-cross P1 == FD Laplacian here)
+        s_c = 4.0 * jnp.ones((mst, mst), jnp.float32)
+        s_n = -1.0 * jnp.ones((mst, mst), jnp.float32)
+        diag = jnp.where(free > 0, s_c, 1.0)
+        off = s_n * free  # rows: masked to identity
+        mass = h2 * jnp.ones((mst, mst), jnp.float32)
+        return diag, off, mass, free, diag[0, 0]
+
+    diag, off, mass, free, wst = st_build(jnp.float32(0.0))
+    float(wst)
+
+    offs = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+
+    # all space/time arrays enter the jit as ARGUMENTS: closed-over device
+    # arrays become program constants that the remote harness must upload
+    @jax.jit
+    def st_cg(b, diag, off, mass, free, T0j, T1j):
+        def s1_apply(X):  # (n_t, m, m) stiffness per slice, masked cols too
+            Xf = X * free
+            xp = jnp.pad(Xf, ((0, 0), (1, 1), (1, 1)))
+            acc = diag * X  # identity on boundary rows
+            for di, dj in offs[1:]:
+                acc += off * jax.lax.slice(
+                    xp,
+                    (0, 1 + di, 1 + dj),
+                    (X.shape[0], 1 + di + mst, 1 + dj + mst),
+                )
+            return acc * free + X * (1.0 - free)
+
+        def s0_apply(X):  # lumped mass
+            return mass * X
+
+        def R_apply(X):  # (n_t, m, m)
+            y1 = jnp.einsum("ts,smn->tmn", T1j, s0_apply(X))
+            y2 = jnp.einsum("ts,smn->tmn", T0j, s1_apply(X))
+            return y1 + y2
+
+        dT1 = jnp.diagonal(T1j)
+        dT0 = jnp.diagonal(T0j)
+        d0 = dT1[:, None, None] * mass[None] + dT0[:, None, None] * jnp.where(
+            free > 0, diag, 1.0
+        )[None]
+        dinv = 1.0 / d0
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        r = b
+        z = dinv * r
+        p = z
+        rz = dot(r, z)
+
+        def body(_, s):
+            x, r, p, rz = s
+            Ap = R_apply(p)
+            pAp = dot(p, Ap)
+            alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = dinv * r
+            rz_new = dot(r, z)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new)
+
+        x0 = jnp.zeros_like(b)
+        x, r, _, _ = jax.lax.fori_loop(0, ST_ITERS, body, (x0, b, z, rz))
+        return x, jnp.sqrt(jnp.sum(r * r) / jnp.sum(b * b))
+
+    b = jnp.ones((n_t, mst, mst), jnp.float32)
+    args = (b, diag, off, mass, free, T0j, T1j)
+    x, rel = st_cg(*args)
+    float(rel)  # warm
+    t0 = time.time()
+    x, rel = st_cg(*args)
+    relv = float(rel)
+    t_cg = time.time() - t0
+
+    return {
+        "st_n_time": int(n_t),
+        "st_n_space": int(mst * mst),
+        "st_unknowns": int(n_t * mst * mst),
+        "st_cg_iters_per_s": round(ST_ITERS / t_cg, 1),
+        "st_cg_rel_res_after": relv,
+        "st_cg_iters_timed": ST_ITERS,
+        "st_section_s": round(time.time() - t_sec, 1),
+    }
 
 
 if __name__ == "__main__":

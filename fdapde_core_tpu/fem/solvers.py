@@ -103,7 +103,13 @@ def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None,
     x0 = jnp.where(mask, g, 0.0)
     solver = cg if symmetric else bicgstab
     x, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
-    if recovery and not bool(info.converged):
+    # recovery needs a CONCRETE convergence flag: it runs on the eager path
+    # (PDE.solve); inside a jit trace the escalation branch is unavailable
+    if (
+        recovery
+        and not isinstance(info.converged, jax.core.Tracer)
+        and not bool(info.converged)
+    ):
         x, info = _recover_elliptic(
             A, sys, b_mod, x, x0, symmetric, rtol, maxiter, pre
         )

@@ -49,19 +49,51 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
 
 
 class VoronoiCell:
-    def __init__(self, site, vertices):
+    def __init__(self, site, vertices, vertex_on_boundary=None):
         self.site = site
         self.vertices = vertices  # (k, 2) counterclockwise
+        # which polygon vertices come from the boundary closure (edge
+        # midpoints / the site itself) — the reference's nodes_markers_
+        # (voronoi.h:112-120)
+        self.vertex_on_boundary = (
+            np.zeros(len(vertices), dtype=bool)
+            if vertex_on_boundary is None
+            else vertex_on_boundary
+        )
+
+    @property
+    def n_edges(self) -> int:
+        return self.vertices.shape[0]
+
+    def edges(self) -> np.ndarray:
+        """(n_edges, 2) local vertex-index pairs of consecutive polygon
+        vertices, wrap-around — VoronoiCell::edges() (voronoi.h:87-95)."""
+        k = self.n_edges
+        j = np.arange(k)
+        return np.stack([j, (j + 1) % k], axis=1)
+
+    def edge(self, i: int) -> np.ndarray:
+        """(2, 2) coordinates of the i-th cell edge (voronoi.h:106-111)."""
+        k = self.n_edges
+        return self.vertices[[i % k, (i + 1) % k]]
+
+    @property
+    def on_boundary(self) -> bool:
+        """True iff some edge lies on the domain boundary: both endpoints
+        are boundary-closure vertices (voronoi.h:112-120)."""
+        m = self.vertex_on_boundary
+        return bool((m & np.roll(m, -1)).any())
 
     @property
     def measure(self) -> float:
-        """Polygon area (shoelace)."""
+        """Polygon area (shoelace — voronoi.h:96-105)."""
         v = self.vertices
         x, y = v[:, 0], v[:, 1]
         return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
     def contains(self, p) -> bool:
-        """Point-in-convex-polygon test."""
+        """Point-in-convex-polygon test (equivalent to the reference's
+        nearest-site definition, voronoi.h:121)."""
         v = self.vertices
         n = v.shape[0]
         eps = 1e-12
@@ -94,6 +126,7 @@ class Voronoi:
         site = mesh.nodes[node_id]
         patch = mesh.node_patch(node_id)
         verts = [self.circumcenters[c] for c in patch]
+        closure = []  # boundary-closure vertices (reference nodes_markers_)
         if mesh.boundary_node_markers()[node_id]:
             # add midpoints of incident boundary edges + the site itself
             # (voronoi.h boundary closure)
@@ -102,15 +135,23 @@ class Voronoi:
             incident = np.nonzero(bmask & (edges == node_id).any(axis=1))[0]
             for e in incident:
                 a, b = edges[e]
-                verts.append(0.5 * (mesh.nodes[a] + mesh.nodes[b]))
-            verts.append(site)
+                closure.append(0.5 * (mesh.nodes[a] + mesh.nodes[b]))
+            closure.append(site)
+            verts.extend(closure)
         verts = np.asarray(verts, dtype=np.float64)
         # dedupe with tolerance, then order as the convex hull (Voronoi cells
         # of a Delaunay dual are convex; the reference sorts clockwise around
         # the site, voronoi.h clockwise_order — hull ordering is equivalent
         # and robust when the site lies on the cell boundary)
         verts = np.unique(np.round(verts / 1e-12).astype(np.int64), axis=0) * 1e-12
-        return VoronoiCell(site, _convex_hull(verts))
+        hull = _convex_hull(verts)
+        if closure:
+            cl = np.asarray(closure)
+            d = np.linalg.norm(hull[:, None, :] - cl[None, :, :], axis=2)
+            marker = (d < 1e-9).any(axis=1)
+        else:
+            marker = np.zeros(len(hull), dtype=bool)
+        return VoronoiCell(site, hull, marker)
 
     def cells(self):
         return [self.cell(i) for i in range(self.n_cells)]

@@ -246,3 +246,54 @@ def test_network_sparse_neighbors_csv(mesh_dir):
         mine = set(net.cell_neighbors(c).tolist())
         ref = set(np.nonzero(N[c])[0].tolist()) - {c}
         assert mine == ref, (c, mine, ref)
+
+
+def test_voronoi_cell_edges_reference_semantics():
+    """VoronoiCell edge views (voronoi.h:87-121): consecutive wrap-around
+    vertex pairs, per-edge Simplex coordinates, shoelace measure from the
+    edge loop, on_boundary marker logic, contains == nearest-site."""
+    from fdapde_core_tpu.geometry import Triangulation, Voronoi
+
+    k = 6
+    xs = np.linspace(0, 1, k)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    nodes = np.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+    cells = []
+    for i in range(k - 1):
+        for j in range(k - 1):
+            a, b = i * k + j, (i + 1) * k + j
+            cells.append([a, b, a + 1])
+            cells.append([b, b + 1, a + 1])
+    mesh = Triangulation(nodes, np.array(cells))
+    vor = Voronoi(mesh)
+
+    c = vor.cell(3 * k + 3)  # interior site
+    E = c.edges()
+    assert E.shape == (c.n_edges, 2)
+    # consecutive wrap-around pairs (voronoi.h:87-95)
+    np.testing.assert_array_equal(E[:, 1], np.roll(E[:, 0], -1))
+    # edge(i) coordinates match the pair view
+    for i in range(c.n_edges):
+        np.testing.assert_allclose(c.edge(i), c.vertices[E[i]])
+    # measure via the reference's edge-loop cross-product formula
+    area = 0.0
+    for i in range(c.n_edges):
+        x, y = c.vertices[E[i, 0]], c.vertices[E[i, 1]]
+        area += x[0] * y[1] - x[1] * y[0]
+    assert c.measure == pytest.approx(0.5 * abs(area))
+    assert not c.on_boundary
+
+    # boundary cell: edge with both endpoints in the boundary closure
+    cb = vor.cell(0)
+    assert cb.on_boundary
+    # every boundary node's cell touches the boundary; interior never does
+    markers = mesh.boundary_node_markers()
+    for nid in range(mesh.n_nodes):
+        assert vor.cell(nid).on_boundary == bool(markers[nid]), nid
+
+    # contains is the nearest-site predicate (voronoi.h:121)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.05, 0.95, size=(40, 2))
+    ids = vor.locate(pts)
+    for p, i in zip(pts, ids):
+        assert vor.cell(int(i)).contains(p)

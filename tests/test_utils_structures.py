@@ -148,3 +148,85 @@ def test_space_time_fem_spline_system():
     x, info = solve_space_time(op, jnp.asarray(b), rtol=1e-12, maxiter=20000)
     ref = np.linalg.solve(dense, b)
     assert np.abs(np.asarray(x) - ref).max() < 1e-6
+
+
+def _shp_header(shape_type, body_len):
+    h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    h += struct.pack(">i", (100 + body_len) // 2)
+    h += struct.pack("<2i", 1000, shape_type)
+    h += struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+    return h
+
+
+def test_shapefile_polylinez_zm_payloads(tmp_path):
+    """PolyLineZ (type 13): z range+values then m range+values after the XY
+    block (reference sf_polygon_t, shp_reader.h:132-144)."""
+    from fdapde_core_tpu.utils.shp_reader import ShapeFile
+
+    xy = [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]
+    z = [7.0, 8.0, 9.0]
+    m = [0.1, 0.2, 0.3]
+    content = struct.pack("<i", 13)
+    content += struct.pack("<4d", 0, 0, 2, 1)  # bbox
+    content += struct.pack("<2i", 1, 3)  # n_parts, n_points
+    content += struct.pack("<i", 0)  # part offsets
+    for x, y in xy:
+        content += struct.pack("<2d", x, y)
+    content += struct.pack("<2d", min(z), max(z))
+    content += struct.pack(f"<{len(z)}d", *z)
+    content += struct.pack("<2d", min(m), max(m))
+    content += struct.pack(f"<{len(m)}d", *m)
+    body = struct.pack(">2i", 1, len(content) // 2) + content
+    base = str(tmp_path / "plz")
+    with open(base + ".shp", "wb") as fh:
+        fh.write(_shp_header(13, len(body)) + body)
+
+    shp = ShapeFile(base + ".shp")
+    assert shp.shape_type_name == "PolyLineZ"
+    rec = shp.records[0]
+    np.testing.assert_allclose(rec.points, xy)
+    np.testing.assert_allclose(rec.z, z)
+    np.testing.assert_allclose(rec.m, m)
+    assert rec.z_range == (7.0, 9.0)
+    assert rec.rings() == [(0, 3)]
+
+
+def test_shapefile_multipointm(tmp_path):
+    """MultiPointM (type 28): m range+values after XY (shp_reader.h:77-109)."""
+    from fdapde_core_tpu.utils.shp_reader import ShapeFile
+
+    xy = [(1.0, 2.0), (3.0, 4.0)]
+    m = [5.5, 6.5]
+    content = struct.pack("<i", 28)
+    content += struct.pack("<4d", 1, 2, 3, 4)
+    content += struct.pack("<i", 2)
+    for x, y in xy:
+        content += struct.pack("<2d", x, y)
+    content += struct.pack("<2d", min(m), max(m))
+    content += struct.pack(f"<{len(m)}d", *m)
+    body = struct.pack(">2i", 1, len(content) // 2) + content
+    base = str(tmp_path / "mpm")
+    with open(base + ".shp", "wb") as fh:
+        fh.write(_shp_header(28, len(body)) + body)
+
+    shp = ShapeFile(base + ".shp")
+    assert shp.shape_type_name == "MultiPointM"
+    rec = shp.records[0]
+    np.testing.assert_allclose(rec.points, xy)
+    np.testing.assert_allclose(rec.m, m)
+    assert rec.z is None
+
+
+def test_shapefile_pointz(tmp_path):
+    from fdapde_core_tpu.utils.shp_reader import ShapeFile
+
+    content = struct.pack("<i4d", 11, 1.0, 2.0, 3.0, 4.0)  # x y z m
+    body = struct.pack(">2i", 1, len(content) // 2) + content
+    base = str(tmp_path / "pz")
+    with open(base + ".shp", "wb") as fh:
+        fh.write(_shp_header(11, len(body)) + body)
+    shp = ShapeFile(base + ".shp")
+    rec = shp.records[0]
+    np.testing.assert_allclose(rec.points, [[1.0, 2.0]])
+    np.testing.assert_allclose(rec.z, [3.0])
+    np.testing.assert_allclose(rec.m, [4.0])
