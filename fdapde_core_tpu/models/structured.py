@@ -134,11 +134,18 @@ class StructuredPoisson:
         return b.reshape(-1)
 
     def solve(self, b=None, rtol: float = 1e-8, maxiter: int = 60,
-              refine: bool = False, n_refine: int = 10):
+              refine: bool | str = "auto", n_refine: int = 10):
         """MG-preconditioned CG; returns (x, true_rel_residual, iterations).
 
-        refine=True: f64 outer residual + f32 MG-CG inner corrections
-        (true f64-grade residuals at f32 inner cost)."""
+        refine=True: f64 outer residual + f32 MG-CG inner corrections (true
+        f64-grade residuals at f32 inner cost). Plain f32 MG-CG stalls at a
+        TRUE relative residual of O(eps32 * kappa) ~ 0.1 at 10M dofs, so the
+        refined path is the DEFAULT whenever x64 is enabled ("auto"); pass
+        refine=False explicitly for the raw-f32 iteration engine."""
+        import jax as _jax
+
+        if refine == "auto":
+            refine = bool(_jax.config.jax_enable_x64)
         G = self.operator()
         mg = self.multigrid()
         if b is None:
