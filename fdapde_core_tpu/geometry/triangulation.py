@@ -166,20 +166,29 @@ class Triangulation:
             return np.zeros(self.n_edges, dtype=bool)
         if self.local_dim == 2:
             return self._facet_data[3]
-        # 3D: mark edges of boundary faces
+        # 3D: mark edges of boundary faces (vectorized pair lookup — the
+        # former per-face Python dict loop was O(n_faces) interpreter work)
         faces, cell_to_faces, (occ_cells, offsets), bfaces = self._facet_data
-        # face -> its 3 edges: use edge numbering via node pairs
-        edge_map = {}
-        for eid, e in enumerate(self.edges):
-            edge_map[tuple(e)] = eid
+        bf = faces[np.nonzero(bfaces)[0]]
         marker = np.zeros(self.n_edges, dtype=bool)
-        face_pat = combinations(2, 3)
-        for f in np.nonzero(bfaces)[0]:
-            fn = faces[f]
-            for a, b in face_pat:
-                key = (min(fn[a], fn[b]), max(fn[a], fn[b]))
-                marker[edge_map[key]] = True
+        for a, b in combinations(2, 3):
+            marker[self._edge_ids_of_pairs(bf[:, a], bf[:, b])] = True
         return marker
+
+    @cached_property
+    def _sorted_edge_keys(self):
+        """Sorted encoded (u < v) edge keys + permutation to edge ids —
+        backs all vectorized node-pair -> edge-id lookups."""
+        keys = self.edges[:, 0].astype(np.int64) * self.n_nodes + self.edges[:, 1]
+        order = np.argsort(keys)
+        return keys[order], order
+
+    def _edge_ids_of_pairs(self, a, b) -> np.ndarray:
+        """Edge ids of node pairs (a[i], b[i]) in any order (must exist)."""
+        lo = np.minimum(a, b).astype(np.int64)
+        hi = np.maximum(a, b).astype(np.int64)
+        skeys, order = self._sorted_edge_keys
+        return order[np.searchsorted(skeys, lo * self.n_nodes + hi)]
 
     @cached_property
     def neighbors(self) -> np.ndarray:
@@ -280,14 +289,14 @@ class Triangulation:
         """For each facet of a 3D mesh, the ids of its 3 edges
         (triangulation.h face_to_edges_)."""
         assert self.local_dim == 3
-        edge_map = {tuple(e): i for i, e in enumerate(map(tuple, self.edges))}
         faces = self.facets
-        out = np.zeros((faces.shape[0], 3), dtype=np.int64)
-        for r, f in enumerate(faces):
-            for c, (a, b) in enumerate([(0, 1), (0, 2), (1, 2)]):
-                key = (min(f[a], f[b]), max(f[a], f[b]))
-                out[r, c] = edge_map[key]
-        return out
+        return np.stack(
+            [
+                self._edge_ids_of_pairs(faces[:, a], faces[:, b])
+                for a, b in [(0, 1), (0, 2), (1, 2)]
+            ],
+            axis=1,
+        ).astype(np.int64)
 
     # -- misc ----------------------------------------------------------------
     def __repr__(self):
