@@ -17,7 +17,12 @@ package collects the corresponding ready-to-use drivers of the TPU build:
 from ..fem.nonlinear import solve_semilinear
 from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
-from .space_time import SeparableOperator, SpaceTimeSmoothing, solve_space_time
+from .space_time import (
+    SeparableOperator,
+    SpaceTimeSmoothing,
+    solve_space_time,
+    solve_space_time_fdm,
+)
 from .sharded_driver import solve_elliptic_sharded
 from .structured import StructuredPoisson
 from .regression import SmoothingRegression
@@ -27,6 +32,7 @@ __all__ = [
     "solve_semilinear",
     "SeparableOperator",
     "solve_space_time",
+    "solve_space_time_fdm",
     "SpaceTimeSmoothing",
     "ShardedPoisson",
     "solve_elliptic_sharded",

@@ -134,3 +134,59 @@ class SpaceTimeSmoothing:
         Phi, _ = self.tspace.eval(np.asarray(times))
         tmp = Psi @ self.coefficients_.T  # (n_i, nt_basis)
         return (Phi @ tmp.T).T  # (n_i, n_j)
+
+
+def solve_space_time_fdm(T0, T1, S0, S1, b, rtol: float = 1e-10,
+                         maxiter: int = 2000):
+    """Fast diagonalization (Lynch–Rice–Thomas) for the 2-term operator
+    R = T1 (x) S0 + T0 (x) S1.
+
+    Host-side generalized time eigenbasis T1 Z = T0 Z diag(lam) with
+    Z^T T0 Z = I decouples the system into n_t INDEPENDENT space solves
+
+        (S1 + lam_t S0) w_t = (Z^T (x) I) b,   x = (Z (x) I) w
+
+    batched on device with a vmapped Jacobi-CG (one shared while_loop over
+    all modes). The transforms are two (n_t, n_t) matmuls — MXU work; the
+    space solves are the same SpMV streams as the elliptic path, so the
+    Kronecker structure costs NOTHING beyond n_t elliptic solves. TPU-native
+    replacement of factorizing the materialized Kronecker sum (reference
+    building block: kronecker_product.h:27-80).
+
+    Requirements: T0 SPD, T1 symmetric PSD (numpy dense, n_t small);
+    S0 SPD, S1 symmetric PSD with S1 + lam_min*S0 SPD (the usual
+    mass/stiffness pairs qualify). Returns (x, SolveInfo) where iterations
+    is the max over modes and converged the AND.
+    """
+    import jax
+    import scipy.linalg as sla
+
+    from ..linear_algebra.solvers import SolveInfo
+
+    T0n = np.asarray(T0.toarray() if hasattr(T0, "toarray") else T0)
+    T1n = np.asarray(T1.toarray() if hasattr(T1, "toarray") else T1)
+    lam, Z = sla.eigh(T1n, T0n)  # Z^T T0 Z = I
+    n_t = T0n.shape[0]
+    n_s = S0.shape[0]
+    B = jnp.asarray(b).reshape(n_t, n_s)
+    Zj = jnp.asarray(Z, B.dtype)
+    lamj = jnp.asarray(lam, B.dtype)
+    Bt = Zj.T @ B  # (Z^T (x) I) b on the (t, s) row-major layout
+
+    d0 = S0.diagonal()
+    d1 = S1.diagonal()
+
+    def solve_mode(lam_t, rhs):
+        def op(v):
+            return (S1 @ v) + lam_t * (S0 @ v)
+
+        d = d1 + lam_t * d0
+        dinv = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
+        x, info = cg(op, rhs, M_inv=lambda r: dinv * r, rtol=rtol,
+                     maxiter=maxiter)
+        return x, info.iterations, info.converged
+
+    W, iters, conv = jax.vmap(solve_mode)(lamj, Bt)
+    X = Zj @ W
+    res = None  # residual per mode is not aggregated; report max iters
+    return X.reshape(-1), SolveInfo(iters.max(), jnp.zeros(()), conv.all())

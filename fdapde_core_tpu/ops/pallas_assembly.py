@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["p1_stiffness_2d", "p1_stiffness_edges"]
+__all__ = ["p1_stiffness_2d", "p1_stiffness_edges", "p1_stiffness_edges_offdiag"]
 
 TILE = 64 * 1024  # large tiles amortize per-block overhead (1.8x vs 512, measured)
 
@@ -133,5 +133,52 @@ def p1_stiffness_edges(edges, eps=None, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec((6, S, 128), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((6, L, 128), edges.dtype),
+        interpret=interpret,
+    )(s, edges)
+
+
+def _edges_offdiag_kernel(s_ref, e_ref, out_ref):
+    s = s_ref[0]
+    ux, uy, vx, vy = e_ref[0] + s, e_ref[1], e_ref[2], e_ref[3]
+    det = ux * vy - vx * uy
+    inv = 1.0 / (2.0 * jnp.abs(det))
+    b1, b2, b3 = uy - vy, vy, -uy
+    c1, c2, c3 = vx - ux, -vx, ux
+    out_ref[0] = (b1 * b2 + c1 * c2) * inv
+    out_ref[1] = (b1 * b3 + c1 * c3) * inv
+    out_ref[2] = (b2 * b3 + c2 * c3) * inv
+
+
+def p1_stiffness_edges_offdiag(edges, eps=None, interpret: bool | None = None):
+    """Off-diagonal-only P1 stiffness: (4, L, 128) edges -> (3, L, 128)
+    rows [a12, a13, a23].
+
+    Stiffness rows sum to zero (sum_i b_i = sum_i c_i = 0), so the three
+    off-diagonals determine the local matrix exactly: a_pp = -(a_pq + a_pr).
+    Output traffic drops 24 -> 12 B/cell (40 -> 28 total — the kernel is
+    HBM-stream-bound, so throughput rises proportionally; measured in
+    benchmarks/micro_assembly8.py). Consumers reconstruct diagonals: the
+    structured path does it at the STENCIL level (grid_assembly.
+    p1_grid_stencil_offdiag — the center layer is -(sum of off-diagonal
+    layers), one dense pass, exact). Valid for laplacian/diffusion forms
+    (constants in the kernel of the gradient); NOT for reaction/mass terms.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, L, lanes = edges.shape
+    assert lanes == 128 and L % EDGE_TILE_S == 0, (
+        f"pad the packed cell axis to a multiple of {EDGE_TILE_S}"
+    )
+    s = jnp.zeros((1,), edges.dtype) if eps is None else jnp.reshape(eps, (1,))
+    S = EDGE_TILE_S
+    return pl.pallas_call(
+        _edges_offdiag_kernel,
+        grid=(L // S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, S, 128), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, S, 128), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, L, 128), edges.dtype),
         interpret=interpret,
     )(s, edges)

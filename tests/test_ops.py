@@ -347,3 +347,59 @@ def test_grid_cg_refined_mixed_precision():
     np.testing.assert_allclose(
         np.asarray(x_mix), np.asarray(x_ref), atol=5e-5
     )
+
+
+def test_offdiag_kernel_and_stencil_match_full_path():
+    """Off-diagonal-only assembly (row-sum-zero identity): kernel + stencil
+    conversion reproduce the full packed path on a PERTURBED-geometry mesh
+    (the structured case hides anti-diagonal bugs — its hypotenuse coupling
+    is exactly zero)."""
+    from fdapde_core_tpu.ops.grid_assembly import (
+        p1_grid_stencil,
+        p1_grid_stencil_offdiag,
+    )
+    from fdapde_core_tpu.ops.pallas_assembly import (
+        EDGE_TILE_S,
+        p1_stiffness_edges,
+        p1_stiffness_edges_offdiag,
+    )
+
+    n = 12
+    mref = n + 1
+    rng = np.random.default_rng(5)
+    # criss-cross cells in the bench's type-A-then-type-B order
+    ij = np.arange(n * n)
+    i, j = ij // n, ij % n
+    a = i * mref + j
+    b = a + mref
+    cells = np.concatenate(
+        [np.stack([a, b, a + 1], 1), np.stack([b, b + 1, a + 1], 1)], axis=0
+    )
+    gi, gj = np.meshgrid(np.arange(mref), np.arange(mref), indexing="ij")
+    nodes = np.stack([gi, gj], -1).reshape(-1, 2).astype(np.float64)
+    interior = (
+        (nodes[:, 0] > 0) & (nodes[:, 0] < n)
+        & (nodes[:, 1] > 0) & (nodes[:, 1] < n)
+    )
+    nodes[interior] += rng.uniform(-0.1, 0.1, size=(interior.sum(), 2))
+    nodes /= n
+
+    p = nodes[cells]
+    ev = np.stack(
+        [p[:, 1, 0] - p[:, 0, 0], p[:, 1, 1] - p[:, 0, 1],
+         p[:, 2, 0] - p[:, 0, 0], p[:, 2, 1] - p[:, 0, 1]]
+    )
+    C = cells.shape[0]
+    pad = (-C) % (128 * EDGE_TILE_S)
+    fill = np.tile(np.array([[1.0], [0.0], [0.0], [1.0]]), (1, pad))
+    ev = jnp.asarray(np.concatenate([ev, fill], axis=1).reshape(4, -1, 128))
+
+    G_full = p1_grid_stencil(p1_stiffness_edges(ev), n)
+    G_off = p1_grid_stencil_offdiag(p1_stiffness_edges_offdiag(ev), n)
+    assert G_full.offsets2d == G_off.offsets2d
+    np.testing.assert_allclose(
+        np.asarray(G_off.data), np.asarray(G_full.data), rtol=0, atol=1e-12
+    )
+    # anti-diagonal layers are genuinely nonzero here (perturbed geometry)
+    k = G_full.offsets2d.index((-1, 1))
+    assert float(np.abs(np.asarray(G_full.data[k])).max()) > 1e-3

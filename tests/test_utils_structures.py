@@ -230,3 +230,48 @@ def test_shapefile_pointz(tmp_path):
     np.testing.assert_allclose(rec.points, [[1.0, 2.0]])
     np.testing.assert_allclose(rec.z, [3.0])
     np.testing.assert_allclose(rec.m, [4.0])
+
+
+def test_space_time_fast_diagonalization():
+    """solve_space_time_fdm == matrix-free Kronecker CG == dense solve."""
+    import fdapde_core_tpu as fdm
+    import jax.numpy as jnp
+    from fdapde_core_tpu.fem import FEMSpace
+    from fdapde_core_tpu.fem.assembler import assemble_matrix
+    from fdapde_core_tpu.fem.solvers import masked_matrix
+    from fdapde_core_tpu.geometry.structured import unit_square_mesh
+    from fdapde_core_tpu.models.space_time import (
+        SeparableOperator,
+        solve_space_time,
+        solve_space_time_fdm,
+    )
+
+    mesh = unit_square_mesh(6)
+    space = FEMSpace(mesh, 1)
+    mask = jnp.asarray(space.boundary_dofs)
+    S1 = masked_matrix(assemble_matrix(space, -fdm.laplacian()), mask)
+    S0 = assemble_matrix(space, fdm.reaction(1.0))
+
+    n_t = 7
+    T1 = np.diag(2.0 * np.ones(n_t)) + np.diag(-np.ones(n_t - 1), 1) + np.diag(
+        -np.ones(n_t - 1), -1
+    )
+    T0 = (np.diag(4.0 * np.ones(n_t)) + np.diag(np.ones(n_t - 1), 1)
+          + np.diag(np.ones(n_t - 1), -1)) / 6.0
+
+    rng = np.random.default_rng(4)
+    b = rng.normal(size=n_t * space.n_dofs)
+
+    x_fdm, info = solve_space_time_fdm(T0, T1, S0, S1, b, rtol=1e-12)
+    assert bool(info.converged)
+
+    op = SeparableOperator([(T1, S0), (T0, S1)])
+    x_cg, info_cg = solve_space_time(op, jnp.asarray(b), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(x_fdm), np.asarray(x_cg), rtol=0, atol=1e-7
+    )
+
+    # dense ground truth
+    R = np.kron(T1, S0.toarray()) + np.kron(T0, S1.toarray())
+    x_ref = np.linalg.solve(R, b)
+    np.testing.assert_allclose(np.asarray(x_fdm), x_ref, rtol=0, atol=1e-8)
