@@ -70,110 +70,88 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdapde_core_tpu.ops.grid_assembly import p1_grid_stencil
+    from fdapde_core_tpu.ops.grid_assembly import stencil_from_offdiag_planes
     from fdapde_core_tpu.ops.grid_cg import grid_cg
     from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg, _stencil
     from fdapde_core_tpu.ops.grid_dia import prune_zero_offsets_grid
-    from fdapde_core_tpu.ops.pallas_assembly import (
-        EDGE_TILE_S,
-        p1_stiffness_edges,
-    )
+    from fdapde_core_tpu.ops.pallas_assembly import p1_offdiag_planes_from_coords
 
     out = {}
     dtype = jnp.float32
     m = n + 1
     n_dofs = m * m
     n_cells = 2 * n * n
-    C_pad = ((n_cells + 128 * EDGE_TILE_S - 1) // (128 * EDGE_TILE_S)) * (
-        128 * EDGE_TILE_S
-    )
+    ROWS_PAD = n + 8  # coord rows incl. the kernel's slab tail
+    W_PAD = -(-(n + 1) // 128) * 128  # lane-padded coord columns
 
-    def _mesh_edges(amp):
-        """Structured criss-cross mesh in SoA edge layout, with optional
-        deterministic pseudo-random interior-node displacement of +-amp/2
-        cells (amp <= 0.2 keeps every triangle non-degenerate: the area
-        perturbation bound is |d(det)| <= 8 eps h^2 for per-coordinate
-        displacement eps*h). amp is a TRACED argument: a nullary build
-        would be constant-folded by XLA into a couple-hundred-MB literal
-        whose upload through the remote harness costs minutes.
+    def _mesh_coords(amp):
+        """Node coordinate PLANES (the round-2 assembly kernel input):
+        X/Y (n+8, W) with node (i, j) at row i / lane j; interior nodes
+        deterministically displaced by +-amp/2 cells (amp <= 0.2 keeps
+        every triangle non-degenerate: |d(det)| <= 8 eps h^2 for
+        per-coordinate displacement eps*h). amp is a TRACED argument: a
+        nullary build would be constant-folded by XLA into a huge program
+        literal whose upload through the remote harness costs minutes.
         """
-        ij = jnp.arange(n * n, dtype=jnp.int32)
-        i, j = ij // n, ij % n
-        a = i * m + j
-        b = a + m
-        cells = jnp.concatenate(
-            [
-                jnp.stack([a, b, a + 1], 0),
-                jnp.stack([b, b + 1, a + 1], 0),
-            ],
-            axis=1,
-        )  # (3, 2 n^2)
-        pad = C_pad - n_cells
-        cells = jnp.pad(cells, ((0, 0), (0, pad)))
-        live = jnp.pad(jnp.ones(n_cells, dtype), (0, pad))
-
-        def coord(nid):
-            gi = (nid // m).astype(dtype)
-            gj = (nid % m).astype(dtype)
-            interior = (
-                (gi > 0) & (gi < n) & (gj > 0) & (gj < n)
-            ).astype(dtype)
-            # shader-style hash: deterministic, jit-constant-free
-            hx = jnp.sin(gi * 12.9898 + gj * 78.233) * 43758.5453
-            hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
-            dx = (hx - jnp.floor(hx) - 0.5) * amp * interior
-            dy = (hy - jnp.floor(hy) - 0.5) * amp * interior
-            return (gi + dx) / n, (gj + dy) / n
-
-        x1, y1 = coord(cells[0])
-        x2, y2 = coord(cells[1])
-        x3, y3 = coord(cells[2])
-        # give padded cells a nondegenerate dummy triangle (det != 0)
-        x2 = jnp.where(live > 0, x2, x1 + 1.0)
-        y3 = jnp.where(live > 0, y3, y1 + 1.0)
-        u1, v1, u2, v2 = x2 - x1, y2 - y1, x3 - x1, y3 - y1
-        det = u1 * v2 - v1 * u2
-        min_det = jnp.min(jnp.where(live > 0, det, jnp.inf)) * (n * n)
-        edges = jnp.stack([u1, v1, u2, v2], axis=0).reshape(
-            4, C_pad // 128, 128
-        )
+        gi = jnp.arange(ROWS_PAD, dtype=dtype)[:, None]
+        gj = jnp.arange(W_PAD, dtype=dtype)[None, :]
+        interior = ((gi > 0) & (gi < n) & (gj > 0) & (gj < n)).astype(dtype)
+        # shader-style hash: deterministic, jit-constant-free
+        hx = jnp.sin(gi * 12.9898 + gj * 78.233) * 43758.5453
+        hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
+        X = (gi + (hx - jnp.floor(hx) - 0.5) * amp * interior) / n
+        Y = (gj + (hy - jnp.floor(hy) - 0.5) * amp * interior) / n + 0.0 * X
+        # min scaled cell det over live quads (validity witness): the two
+        # triangle types share det = (down x right') style 2x2 minors
+        dX, dY = X[1 : n + 1] - X[:n], Y[1 : n + 1] - Y[:n]
+        rX, rY = X[:, 1:] - X[:, :-1], Y[:, 1:] - Y[:, :-1]
+        detA = dX[:, :n] * rY[:n, :n] - rX[:n, :n] * dY[:, :n]
+        detB = rX[1 : n + 1, :n] * (rY[:n, :n] - dY[:, :n]) - (
+            rX[:n, :n] - dX[:, :n]
+        ) * rY[1 : n + 1, :n]
+        min_det = jnp.minimum(jnp.min(detA), jnp.min(detB)) * (n * n)
         nid = jnp.arange(n_dofs, dtype=jnp.int32)
-        gi = (nid // m).astype(dtype)
-        gj = (nid % m).astype(dtype)
-        on_bnd = (gi == 0) | (gi == n) | (gj == 0) | (gj == n)
-        return edges, on_bnd, min_det
+        ni = (nid // m).astype(dtype)
+        nj = (nid % m).astype(dtype)
+        on_bnd = (ni == 0) | (ni == n) | (nj == 0) | (nj == n)
+        return X, Y, on_bnd, min_det
 
-    build = jax.jit(_mesh_edges)
+    build = jax.jit(_mesh_coords)
 
     ASM_REPS = 20
+    BLOCK_ROWS = 64 if small else 256
 
     @jax.jit
-    def assemble(edges):
-        """(6, C/128, 128) packed-symmetric local stiffness (Pallas kernel)."""
-        A6 = p1_stiffness_edges(edges)
-        return A6, A6[0, 0, 0]  # scalar witness: fetching it fences execution
+    def assemble(X, Y):
+        """(6, n, n) off-diagonal quad-grid planes (manual-DMA kernel)."""
+        P = p1_offdiag_planes_from_coords(X, Y, n, block_rows=BLOCK_ROWS)
+        return P, P[0, 0, 0]  # scalar witness: fetching it fences execution
 
     @jax.jit
-    def assemble_reps(edges):
+    def assemble_reps(X, Y):
         """ASM_REPS kernel invocations inside one jit: amortizes the ~30ms
         host-fence roundtrip of the dev harness out of the measurement.
 
-        Soundness: the kernel is an opaque pallas custom call, so XLA cannot
-        dead-code-eliminate unread output elements. The loop-varying eps
-        enters through SMEM inside the kernel: defeats loop-invariant
-        hoisting with zero extra memory traffic."""
+        Soundness: the kernel is an opaque pallas call with side effects, so
+        nothing is DCE'd; the loop-varying eps enters through SMEM (it
+        cancels in the coordinate differences — zero effect on outputs,
+        but the varying operand defeats CSE/hoisting)."""
 
         def body(k, acc):
-            A6 = p1_stiffness_edges(edges, eps=k.astype(dtype) * 1e-30)
-            return acc + A6[0, 0, 0]
+            P = p1_offdiag_planes_from_coords(
+                X, Y, n, block_rows=BLOCK_ROWS, eps=k.astype(dtype) * 1e-30
+            )
+            return acc + P[0, 0, 0]
 
         return jax.lax.fori_loop(0, ASM_REPS, body, jnp.float32(0.0))
 
     @jax.jit
-    def to_stencil(A6):
-        # scatter-free conversion: 18 fused slice-adds instead of a
-        # 180M-entry segment-sum (ops/grid_assembly.py; ~45x measured)
-        G = p1_grid_stencil(A6, n)
+    def to_stencil(P):
+        # pad-sum conversion: each stencil layer = two padded planes added
+        # (one fused memory pass per layer); center layer = -(sum of
+        # off-diagonal layers), exact (row-sum-zero identity). Replaces the
+        # 18 .at[].add slice-accumulations (42 ms -> ~2 ms at this size).
+        G = stencil_from_offdiag_planes(P, n)
         return G, G.data[0, 0, 0]
 
     @jax.jit
@@ -186,20 +164,20 @@ def main():
 
     # ---- 1. structured section -------------------------------------------
     t0 = time.time()
-    edges, on_bnd, mind = build(dtype(0.0))
+    X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
     t_build_cold = time.time() - t0  # includes remote first-exec latency
     t0 = time.time()
-    edges, on_bnd, mind = build(dtype(0.0))
+    X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
     t_build = time.time() - t0  # the honest on-device mesh build time
 
-    A6, w1 = assemble(edges)
-    float(w1)  # materialize A6 for the DIA stage
-    w = assemble_reps(edges)
+    A6, w1 = assemble(X, Y)
+    float(w1)  # materialize the planes for the stencil stage
+    w = assemble_reps(X, Y)
     float(w)  # compile + warmup
     t0 = time.time()
-    w = assemble_reps(edges)
+    w = assemble_reps(X, Y)
     float(w)
     t_asm = (time.time() - t0) / ASM_REPS
     elements_per_s = n_cells / t_asm
@@ -261,9 +239,9 @@ def main():
 
     # ---- 2. perturbed-geometry (unstructured) section, f32 part ----------
     AMP = dtype(0.2)  # +-0.1 h per coordinate; guaranteed non-degenerate
-    pedges, p_bnd, p_mind = build(AMP)
+    Xp, Yp, p_bnd, p_mind = build(AMP)
     p_min_det = float(p_mind)  # scaled by n^2: structured value = 1.0
-    A6p, wp = assemble(pedges)  # same compiled program (shape-identical)
+    A6p, wp = assemble(Xp, Yp)  # same compiled program (shape-identical)
     float(wp)
     Dp, wp2 = to_stencil(A6p)
     float(wp2)

@@ -182,3 +182,165 @@ def p1_stiffness_edges_offdiag(edges, eps=None, interpret: bool | None = None):
         out_shape=jax.ShapeDtypeStruct((3, L, 128), edges.dtype),
         interpret=interpret,
     )(s, edges)
+
+
+# ---------------------------------------------------------------------------
+# Coordinate-plane (grid-native) variant — the round-2 fast path.
+#
+# Round-8/9 measurements (benchmarks/micro_assembly{7,8,9}.py, TPU v5e):
+# - the edge kernel sits EXACTLY on the pallas DMA roofline (an identity
+#   copy of the same operand set takes the same 2.1-2.6 ms) — compute is
+#   fully hidden; input bytes cost ~2.7x output bytes,
+# - so the win is shrinking traffic: node COORDINATE planes (2 x (m, m),
+#   85 MB) replace per-cell edge vectors (4 planes over cells, 328 MB), and
+#   only the three off-diagonal entries are emitted (row-sum-zero identity)
+#   in quad-grid layout (6 planes (n, n) for cell types A and B),
+# - manual double-buffered DMA with 8-row-aligned overlapping slabs (a
+#   65-row slab crashes the Mosaic compiler; R+8 works) and
+#   vmem_limit_bytes raised past the ~16 MB default.
+# Measured: 11.9 G elements/s (1.73 ms for 20.48M cells) vs 7.9 G for the
+# round-1 edge kernel — and the quad-grid output feeds the pad-sum stencil
+# conversion (ops/grid_assembly.stencil_from_offdiag_planes) with no
+# relayout.
+# ---------------------------------------------------------------------------
+
+
+def _coords_offdiag_planes(x0, y0, xs, ys, lane_roll):
+    """Off-diagonal planes for cell types A and B from coordinate slabs.
+
+    x0/y0: coord rows r; xs/ys: coord rows r+1. lane_roll(a) must produce
+    a[:, j] <- a[:, j+1] (wrap at the padded tail is harmless: junk lanes
+    are sliced away by the consumer).
+    """
+    rx = lane_roll(x0) - x0  # right edge at row r
+    ry = lane_roll(y0) - y0
+    dx = xs - x0  # down edge
+    dy = ys - y0
+    rxn = lane_roll(xs) - xs  # right edge at row r+1
+    ryn = lane_roll(ys) - ys
+
+    def offdiag(ux, uy, vx, vy):
+        det = ux * vy - vx * uy
+        inv = 1.0 / (2.0 * jnp.abs(det))
+        b1, b2, b3 = uy - vy, vy, -uy
+        c1, c2, c3 = vx - ux, -vx, ux
+        return (
+            (b1 * b2 + c1 * c2) * inv,
+            (b1 * b3 + c1 * c3) * inv,
+            (b2 * b3 + c2 * c3) * inv,
+        )
+
+    # type A (a, b, a+1): u = down, v = right
+    a = offdiag(dx, dy, rx, ry)
+    # type B (b, b+1, a+1): u = right@(r+1), v = right - down
+    b = offdiag(rxn, ryn, rx - dx, ry - dy)
+    return a + b  # (a12, a13, a23, b12, b13, b23)
+
+
+def p1_offdiag_planes_from_coords(X, Y, n: int, block_rows: int = 256,
+                                  n_buf: int = 3, eps=None,
+                                  interpret: bool | None = None):
+    """(6, n, n) off-diagonal planes [a12,a13,a23,b12,b13,b23] from node
+    coordinate planes.
+
+    X, Y: (>= n + 8, W) coordinate planes, W a multiple of 128 with
+    W >= n + 1; row i / lane j hold the coordinates of grid node (i, j)
+    (rows beyond n and lanes beyond n may hold arbitrary finite junk).
+    n must be a multiple of (128 and block_rows).
+
+    On TPU this runs the manual double-buffered DMA kernel; on other
+    backends an equivalent XLA expression (same math, same outputs).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        lane_roll = lambda a: jnp.roll(a, -1, axis=1)
+        Xe = X if eps is None else X + eps
+        planes = _coords_offdiag_planes(
+            Xe[:n], Y[:n], Xe[1 : n + 1], Y[1 : n + 1], lane_roll
+        )
+        return jnp.stack([p[:, :n] for p in planes])
+
+    R = block_rows
+    assert n % R == 0 and n % 128 == 0
+    W = X.shape[1]
+    assert W % 128 == 0 and W >= n + 1 and X.shape[0] >= n + 8
+    n_chunks = n // R
+    SLAB = R + 8  # 8-row-aligned overlap (65-row slabs fail Mosaic)
+    dtype = X.dtype
+
+    def _kernel(s_ref, x_hbm, y_hbm, out_hbm):
+        def body(xin, yin, oscr, in_sem, out_sem):
+            def in_dma(slot, k):
+                return (
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(k * R, SLAB), :], xin.at[slot],
+                        in_sem.at[slot, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        y_hbm.at[pl.ds(k * R, SLAB), :], yin.at[slot],
+                        in_sem.at[slot, 1],
+                    ),
+                )
+
+            def out_dma(slot, k):
+                return pltpu.make_async_copy(
+                    oscr.at[slot], out_hbm.at[:, pl.ds(k * R, R), :],
+                    out_sem.at[slot],
+                )
+
+            for w in range(min(n_buf - 1, n_chunks)):
+                for d in in_dma(w, w):
+                    d.start()
+
+            def loop(k, _):
+                cur = k % n_buf
+
+                @pl.when(k + n_buf - 1 < n_chunks)
+                def _():
+                    for d in in_dma((k + n_buf - 1) % n_buf, k + n_buf - 1):
+                        d.start()
+
+                for d in in_dma(cur, k):
+                    d.wait()
+
+                @pl.when(k >= n_buf)
+                def _():
+                    out_dma(cur, k - n_buf).wait()
+
+                x = xin[cur]
+                y = yin[cur]
+                sh = W - 1
+                planes = _coords_offdiag_planes(
+                    x[0:R] + s_ref[0], y[0:R], x[1 : R + 1] + s_ref[0],
+                    y[1 : R + 1], lambda a: pltpu.roll(a, sh, 1),
+                )
+                for p in range(6):
+                    oscr[cur, p] = planes[p][:, :n]
+                out_dma(cur, k).start()
+                return _
+
+            jax.lax.fori_loop(0, n_chunks, loop, None)
+            for d in range(max(0, n_chunks - n_buf), n_chunks):
+                out_dma(d % n_buf, d).wait()
+
+        pl.run_scoped(
+            body,
+            xin=pltpu.VMEM((n_buf, SLAB, W), dtype),
+            yin=pltpu.VMEM((n_buf, SLAB, W), dtype),
+            oscr=pltpu.VMEM((n_buf, 6, R, n), dtype),
+            in_sem=pltpu.SemaphoreType.DMA((n_buf, 2)),
+            out_sem=pltpu.SemaphoreType.DMA((n_buf,)),
+        )
+
+    s = jnp.zeros((1,), dtype) if eps is None else jnp.reshape(eps, (1,))
+    return pl.pallas_call(
+        _kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((6, n, n), dtype),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024
+        ),
+    )(s, X, Y)

@@ -403,3 +403,65 @@ def test_offdiag_kernel_and_stencil_match_full_path():
     # anti-diagonal layers are genuinely nonzero here (perturbed geometry)
     k = G_full.offsets2d.index((-1, 1))
     assert float(np.abs(np.asarray(G_full.data[k])).max()) > 1e-3
+
+
+def test_coords_planes_stencil_pipeline_matches_full_path():
+    """Coordinate-plane assembly (XLA reference path on CPU) + pad-sum
+    stencil conversion == edge-kernel + slice-add conversion, on perturbed
+    geometry."""
+    from fdapde_core_tpu.ops.grid_assembly import (
+        p1_grid_stencil,
+        stencil_from_offdiag_planes,
+    )
+    from fdapde_core_tpu.ops.pallas_assembly import (
+        EDGE_TILE_S,
+        p1_offdiag_planes_from_coords,
+        p1_stiffness_edges,
+    )
+
+    n = 8
+    mref = n + 1
+    rng = np.random.default_rng(9)
+    gi, gj = np.meshgrid(np.arange(mref), np.arange(mref), indexing="ij")
+    nodes2d = np.stack(
+        [gi.astype(np.float64), gj.astype(np.float64)], axis=-1
+    )
+    interior = (gi > 0) & (gi < n) & (gj > 0) & (gj < n)
+    nodes2d[interior] += rng.uniform(-0.12, 0.12, size=(interior.sum(), 2))
+    nodes2d /= n
+
+    # coordinate planes with padding rows/lanes (junk beyond the grid)
+    W = 128  # lane-padded columns >= n + 1
+    X = np.full((n + 8, W), 7.0)
+    Y = np.full((n + 8, W), 7.0)
+    X[:mref, :mref] = nodes2d[..., 0]
+    Y[:mref, :mref] = nodes2d[..., 1]
+    planes = p1_offdiag_planes_from_coords(
+        jnp.asarray(X), jnp.asarray(Y), n
+    )
+    G_new = stencil_from_offdiag_planes(planes, n)
+
+    # reference: edge kernel + slice-add conversion on the same mesh
+    ij = np.arange(n * n)
+    i, j = ij // n, ij % n
+    a = i * mref + j
+    b = a + mref
+    cells = np.concatenate(
+        [np.stack([a, b, a + 1], 1), np.stack([b, b + 1, a + 1], 1)], axis=0
+    )
+    flat = nodes2d.reshape(-1, 2)
+    p = flat[cells]
+    ev = np.stack(
+        [p[:, 1, 0] - p[:, 0, 0], p[:, 1, 1] - p[:, 0, 1],
+         p[:, 2, 0] - p[:, 0, 0], p[:, 2, 1] - p[:, 0, 1]]
+    )
+    C = cells.shape[0]
+    pad = (-C) % (128 * EDGE_TILE_S)
+    fill = np.tile(np.array([[1.0], [0.0], [0.0], [1.0]]), (1, pad))
+    ev = jnp.asarray(np.concatenate([ev, fill], axis=1).reshape(4, -1, 128))
+    G_ref = p1_grid_stencil(p1_stiffness_edges(ev), n)
+
+    assert G_new.offsets2d == G_ref.offsets2d
+    np.testing.assert_allclose(
+        np.asarray(G_new.data), np.asarray(G_ref.data), rtol=0, atol=1e-12
+    )
