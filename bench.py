@@ -119,7 +119,7 @@ def main():
     build = jax.jit(_mesh_coords)
 
     ASM_REPS = 20
-    BLOCK_ROWS = 64 if small else 256
+    BLOCK_ROWS = 128  # must divide n (3200 = 25 * 128)
 
     @jax.jit
     def assemble(X, Y):

@@ -56,3 +56,59 @@ def load_space(path: str):
     if not np.array_equal(space.dofs, data["dofs"]):
         raise ValueError(f"checkpoint {path} does not match the rebuilt dof table")
     return space
+
+
+def save_amg(path: str, mg) -> None:
+    """Persist an SA-AMG hierarchy (linear_algebra/amg.py).
+
+    The setup (strength graph, aggregation, Galerkin products) is host-side
+    and the expensive part at scale; the apply-side pytree round-trips
+    losslessly through npz.
+    """
+    arrays = {
+        "meta": np.asarray(
+            [mg.omega, float(mg.nu), mg.cheby_lower,
+             1.0 if mg.smoother == "chebyshev" else 0.0]
+        ),
+        "rhos": np.asarray(mg.rhos),
+        "coarse_inv": np.asarray(mg.coarse_inv),
+        "n_levels": np.asarray(len(mg.As)),
+    }
+    for i, (A, P, R, d) in enumerate(zip(mg.As, mg.Ps, mg.Rs, mg.dinvs)):
+        for name, M in (("A", A), ("P", P), ("R", R)):
+            arrays[f"{name}{i}_rows"] = np.asarray(M.rows)
+            arrays[f"{name}{i}_cols"] = np.asarray(M.cols)
+            arrays[f"{name}{i}_vals"] = np.asarray(M.vals)
+            arrays[f"{name}{i}_shape"] = np.asarray(M.shape)
+        arrays[f"dinv{i}"] = np.asarray(d)
+    save_arrays(path, **arrays)
+
+
+def load_amg(path: str):
+    """Rebuild an AMG hierarchy saved by save_amg."""
+    import jax.numpy as jnp
+
+    from ..linear_algebra.amg import AMG
+    from ..linear_algebra.sparse import SparseMatrix
+
+    data = load_arrays(path)
+    n_levels = int(data["n_levels"])
+
+    def sp(name, i):
+        return SparseMatrix(
+            jnp.asarray(data[f"{name}{i}_rows"]),
+            jnp.asarray(data[f"{name}{i}_cols"]),
+            jnp.asarray(data[f"{name}{i}_vals"]),
+            tuple(int(v) for v in data[f"{name}{i}_shape"]),
+        )
+
+    As = [sp("A", i) for i in range(n_levels)]
+    Ps = [sp("P", i) for i in range(n_levels)]
+    Rs = [sp("R", i) for i in range(n_levels)]
+    dinvs = [jnp.asarray(data[f"dinv{i}"]) for i in range(n_levels)]
+    omega, nu, cheby_lower, is_cheby = data["meta"]
+    return AMG(
+        As, Ps, Rs, dinvs, jnp.asarray(data["coarse_inv"]),
+        float(omega), int(nu), [float(r) for r in data["rhos"]],
+        "chebyshev" if is_cheby == 1.0 else "jacobi", float(cheby_lower),
+    )

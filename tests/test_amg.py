@@ -133,3 +133,22 @@ def test_pde_product_path_with_amg():
     assert pde.success
     assert pde.report()["solver_iterations"] <= 30
     assert pde.l2_error(g) < 1.1e-14  # reference 50*eps class tolerance
+
+
+def test_amg_checkpoint_roundtrip(tmp_path):
+    """AMG hierarchies persist losslessly (SURVEY §5.4: host setup is the
+    expensive part at scale — checkpoint it)."""
+    from fdapde_core_tpu.utils.checkpoint import load_amg, save_amg
+
+    Am, bm = _masked_poisson("unit_square_32")
+    mg = AMG.build(Am)
+    path = str(tmp_path / "hier.npz")
+    save_amg(path, mg)
+    mg2 = load_amg(path)
+    assert mg2.n_levels == mg.n_levels
+    r = jnp.asarray(np.random.default_rng(1).standard_normal(Am.shape[0]))
+    np.testing.assert_array_equal(
+        np.asarray(mg.v_cycle(r)), np.asarray(mg2.v_cycle(r))
+    )
+    _, info = cg(Am, bm, M_inv=mg2.v_cycle, rtol=1e-10, maxiter=60)
+    assert bool(info.converged)
