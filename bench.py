@@ -383,7 +383,7 @@ def main():
     )
 
     # ---- 3. general-path: Delaunay topology + SA-AMG on chip -------------
-    if elapsed() < 430 or small:
+    if elapsed() < 560 or small:
         try:
             out.update(_general_path_metrics(small))
         except Exception as e:  # noqa: BLE001 — report, don't kill the JSON
@@ -392,7 +392,7 @@ def main():
         out["general_path_skipped_s"] = round(elapsed(), 1)
 
     # ---- 4. space-time Kronecker CG ---------------------------------------
-    if elapsed() < 620 or small:
+    if elapsed() < 700 or small:
         try:
             out.update(_space_time_metrics(small))
         except Exception as e:  # noqa: BLE001
@@ -687,6 +687,9 @@ def _space_time_metrics(small):
         "st_n_space": int(mst * mst),
         "st_unknowns": int(n_t * mst * mst),
         "st_cg_iters_per_s": round(ST_ITERS / t_cg, 1),
+        # ITERATION-THROUGHPUT metric: f32 Jacobi-CG does not converge at
+        # kappa(S1) ~ 4e6 (documented f32 floor); the convergent product
+        # path is models.solve_space_time_fdm (n_t decoupled space solves)
         "st_cg_rel_res_after": relv,
         "st_cg_iters_timed": ST_ITERS,
         "st_section_s": round(time.time() - t_sec, 1),
