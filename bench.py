@@ -70,11 +70,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdapde_core_tpu.ops.grid_assembly import stencil_from_offdiag_planes
+    from fdapde_core_tpu.ops.grid_assembly import GRID_OFFSETS2D
     from fdapde_core_tpu.ops.grid_cg import grid_cg
     from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg, _stencil
-    from fdapde_core_tpu.ops.grid_dia import prune_zero_offsets_grid
-    from fdapde_core_tpu.ops.pallas_assembly import p1_offdiag_planes_from_coords
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix, prune_zero_offsets_grid
+    from fdapde_core_tpu.ops.pallas_assembly import p1_stencil_layers_from_coords
 
     out = {}
     dtype = jnp.float32
@@ -123,9 +123,11 @@ def main():
 
     @jax.jit
     def assemble(X, Y):
-        """(6, n, n) off-diagonal quad-grid planes (manual-DMA kernel)."""
-        P = p1_offdiag_planes_from_coords(X, Y, n, block_rows=BLOCK_ROWS)
-        return P, P[0, 0, 0]  # scalar witness: fetching it fences execution
+        """(7, n+16, W) PADDED stencil layers — the FULLY FUSED kernel:
+        local assembly + global stencil scatter in one manual-DMA pass
+        (coords in, operator out; ops/pallas_assembly.py)."""
+        L = p1_stencil_layers_from_coords(X, Y, n, block_rows=BLOCK_ROWS)
+        return L, L[3, 8, 0]  # scalar witness: fetching it fences execution
 
     @jax.jit
     def assemble_reps(X, Y):
@@ -138,20 +140,19 @@ def main():
         but the varying operand defeats CSE/hoisting)."""
 
         def body(k, acc):
-            P = p1_offdiag_planes_from_coords(
+            L = p1_stencil_layers_from_coords(
                 X, Y, n, block_rows=BLOCK_ROWS, eps=k.astype(dtype) * 1e-30
             )
-            return acc + P[0, 0, 0]
+            return acc + L[3, 8, 0]
 
         return jax.lax.fori_loop(0, ASM_REPS, body, jnp.float32(0.0))
 
     @jax.jit
-    def to_stencil(P):
-        # pad-sum conversion: each stencil layer = two padded planes added
-        # (one fused memory pass per layer); center layer = -(sum of
-        # off-diagonal layers), exact (row-sum-zero identity). Replaces the
-        # 18 .at[].add slice-accumulations (42 ms -> ~2 ms at this size).
-        G = stencil_from_offdiag_planes(P, n)
+    def to_stencil(L):
+        # the kernel already scattered to stencil layers; this stage is
+        # just the alignment slice (node row I at padded row I+7)
+        data = jax.lax.slice(L, (0, 7, 0), (7, 7 + m, m))
+        G = GridDIAMatrix(data, GRID_OFFSETS2D, (m, m))
         return G, G.data[0, 0, 0]
 
     @jax.jit

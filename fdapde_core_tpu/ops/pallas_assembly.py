@@ -221,7 +221,9 @@ def _coords_offdiag_planes(x0, y0, xs, ys, lane_roll):
 
     def offdiag(ux, uy, vx, vy):
         det = ux * vy - vx * uy
-        inv = 1.0 / (2.0 * jnp.abs(det))
+        # zero (junk-region) dets must yield 0, not inf: downstream
+        # validity MASKING multiplies by 0 and inf*0 = NaN
+        inv = jnp.where(det != 0, 1.0 / (2.0 * jnp.abs(det)), 0.0)
         b1, b2, b3 = uy - vy, vy, -uy
         c1, c2, c3 = vx - ux, -vx, ux
         return (
@@ -340,6 +342,205 @@ def p1_offdiag_planes_from_coords(X, Y, n: int, block_rows: int = 256,
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((6, n, n), dtype),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024
+        ),
+    )(s, X, Y)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused coords -> stencil-layers kernel.
+#
+# The pad-sum conversion (grid_assembly.stencil_from_offdiag_planes) still
+# costs ~29 ms at 10M dofs (XLA materializes each jnp.pad). Fusing the
+# layer combination INTO the assembly kernel removes the intermediate
+# plane arrays entirely: traffic drops to coords-in (85 MB) +
+# layers-out (~300 MB) and the whole mesh->operator pipeline runs in one
+# kernel pass (~2 ms) + one XLA slice.
+#
+# DMA alignment rules (measured): start offsets must be 8-row aligned
+# (offset-1/7 starts crash the Mosaic compiler), so node row I is stored at
+# OUTPUT row I + 7: chunk k writes aligned rows [kR+8, kR+R+8) = node rows
+# [kR+1, kR+R+1), and an aligned 16-row prologue block writes node rows
+# 0..8 (rows 1..8 idempotently overlap chunk 0's main block — both compute
+# identical values, so DMA completion order is irrelevant).
+# ---------------------------------------------------------------------------
+
+# layer stack order must match grid_assembly.GRID_OFFSETS2D
+_LAYER_ORDER = ((-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0))
+
+
+def _stencil_rows_from_planes(planes, rshift):
+    """7 stencil-layer row blocks for node rows [r0+1, r0+R+1) from 6
+    off-diagonal plane blocks over quad rows [r0, r0+R].
+
+    planes: (pa12, pa13, pa23, pb12, pb13, pb23), each (R+1, W), already
+    masked to zero on invalid quad rows/lanes. rshift(p) must produce
+    p[:, j] <- p[:, j-1] with column 0 receiving a zero (guaranteed when
+    lane W-1 is masked). Returns layers in _LAYER_ORDER, each (R, W).
+    Derivation: PARITY anchors in grid_assembly._LAYER_SOURCES.
+    """
+    pa12, pa13, pa23, pb12, pb13, pb23 = planes
+    L10 = pa12[1:] + rshift(pb23)[1:]
+    Lm10 = pa12[:-1] + rshift(pb23)[:-1]
+    L01 = pa13[1:] + pb12[:-1]
+    L0m1 = rshift(pa13)[1:] + rshift(pb12)[:-1]
+    Lm11 = pa23[:-1] + pb13[:-1]
+    L1m1 = rshift(pa23)[1:] + rshift(pb13)[1:]
+    L00 = -(L10 + Lm10 + L01 + L0m1 + Lm11 + L1m1)
+    by_off = {
+        (1, 0): L10, (-1, 0): Lm10, (0, 1): L01, (0, -1): L0m1,
+        (-1, 1): Lm11, (1, -1): L1m1, (0, 0): L00,
+    }
+    return [by_off[o] for o in _LAYER_ORDER]
+
+
+def p1_stencil_layers_from_coords(X, Y, n: int, block_rows: int = 128,
+                                  n_buf: int = 3, eps=None,
+                                  interpret: bool | None = None):
+    """(7, n + 16, W) PADDED stencil layers of the P1 -laplacian operator
+    directly from node coordinate planes (one fused kernel).
+
+    Node row I of layer L sits at output row I + 7; valid lanes are
+    [0, n + 1). Use `ops.grid_assembly.stencil_from_coords` for the sliced
+    GridDIAMatrix. X/Y as in p1_offdiag_planes_from_coords.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    W = X.shape[1]
+    dtype = X.dtype
+    if interpret:
+        # same layer math, XLA ops (tests the formulas; the TPU path adds
+        # only DMA plumbing, parity-checked on device)
+        lane_roll = lambda a: jnp.roll(a, -1, axis=1)
+        Xe = X if eps is None else X + eps
+        planes = _coords_offdiag_planes(
+            Xe[:n], Y[:n], Xe[1 : n + 1], Y[1 : n + 1], lane_roll
+        )
+        lanes_ok = (jnp.arange(W) < n).astype(dtype)[None, :]
+        z = jnp.zeros((1, W), dtype)
+        padded = [jnp.concatenate([z, p * lanes_ok, z]) for p in planes]
+        rsh = lambda p: jnp.roll(p, 1, axis=1)
+        layers = _stencil_rows_from_planes(padded, rsh)  # node rows [0, n+1)
+        out = jnp.zeros((7, n + 16, W), dtype)
+        return out.at[:, 7 : 7 + n + 1, :].set(jnp.stack(layers))
+
+    R = block_rows
+    assert n % R == 0 and n % 128 == 0 and R % 8 == 0
+    assert W % 128 == 0 and W >= n + 1 and X.shape[0] >= n + 8
+    n_chunks = n // R
+    SLAB = R + 8
+
+    def _kernel(s_ref, x_hbm, y_hbm, out_hbm):
+        def body(xin, yin, oscr, pro, in_sem, out_sem, pro_sem):
+            def in_dma(slot, k):
+                return (
+                    pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(k * R, SLAB), :], xin.at[slot],
+                        in_sem.at[slot, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        y_hbm.at[pl.ds(k * R, SLAB), :], yin.at[slot],
+                        in_sem.at[slot, 1],
+                    ),
+                )
+
+            def out_dma(slot, k):
+                # node rows [kR+1, kR+R+1) live at output rows kR+8 (aligned)
+                return pltpu.make_async_copy(
+                    oscr.at[slot], out_hbm.at[:, pl.ds(k * R + 8, R), :],
+                    out_sem.at[slot],
+                )
+
+            for w in range(min(n_buf - 1, n_chunks)):
+                for d in in_dma(w, w):
+                    d.start()
+
+            def loop(k, _):
+                cur = k % n_buf
+
+                @pl.when(k + n_buf - 1 < n_chunks)
+                def _():
+                    for d in in_dma((k + n_buf - 1) % n_buf, k + n_buf - 1):
+                        d.start()
+
+                for d in in_dma(cur, k):
+                    d.wait()
+
+                @pl.when(k >= n_buf)
+                def _():
+                    out_dma(cur, k - n_buf).wait()
+
+                x = xin[cur]
+                y = yin[cur]
+                sh = W - 1
+                planes = _coords_offdiag_planes(
+                    x[0 : R + 1] + s_ref[0], y[0 : R + 1],
+                    x[1 : R + 2] + s_ref[0], y[1 : R + 2],
+                    lambda a: pltpu.roll(a, sh, 1),
+                )
+                # zero invalid quad rows (kR + r >= n) and lanes (>= n)
+                rows_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 0)
+                    < n - k * R
+                )
+                lanes_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 1) < n
+                )
+                mask = (rows_ok & lanes_ok).astype(x.dtype)
+                planes = [p * mask for p in planes]
+                rsh = lambda p: pltpu.roll(p, 1, 1)
+                layers = _stencil_rows_from_planes(planes, rsh)
+                for i in range(7):
+                    oscr[cur, i] = layers[i]
+                out_dma(cur, k).start()
+
+                # prologue (k == 0): node rows 0..8 at output rows 7..15,
+                # inside an ALIGNED 16-row block; rows 1..8 idempotently
+                # duplicate the main block, row 0 drops the quad -1 terms.
+                @pl.when(k == 0)
+                def _():
+                    z = jnp.zeros((1, W), x.dtype)
+                    padded = [
+                        jnp.concatenate([z, p[0:9]]) for p in planes
+                    ]  # quad rows [-1(zero), 0..8] -> node rows [0, 9)
+                    lay0 = _stencil_rows_from_planes(padded, rsh)
+                    for i in range(7):
+                        pro[0, i] = jnp.concatenate(
+                            [jnp.zeros((7, W), x.dtype), lay0[i]]
+                        )
+                    pltpu.make_async_copy(
+                        pro.at[0], out_hbm.at[:, pl.ds(0, 16), :],
+                        pro_sem.at[0],
+                    ).start()
+
+                return _
+
+            jax.lax.fori_loop(0, n_chunks, loop, None)
+            for d in range(max(0, n_chunks - n_buf), n_chunks):
+                out_dma(d % n_buf, d).wait()
+            pltpu.make_async_copy(
+                pro.at[0], out_hbm.at[:, pl.ds(0, 16), :], pro_sem.at[0]
+            ).wait()
+
+        pl.run_scoped(
+            body,
+            xin=pltpu.VMEM((n_buf, SLAB, W), dtype),
+            yin=pltpu.VMEM((n_buf, SLAB, W), dtype),
+            oscr=pltpu.VMEM((n_buf, 7, R, W), dtype),
+            pro=pltpu.VMEM((1, 7, 16, W), dtype),
+            in_sem=pltpu.SemaphoreType.DMA((n_buf, 2)),
+            out_sem=pltpu.SemaphoreType.DMA((n_buf,)),
+            pro_sem=pltpu.SemaphoreType.DMA((1,)),
+        )
+
+    s = jnp.zeros((1,), dtype) if eps is None else jnp.reshape(eps, (1,))
+    return pl.pallas_call(
+        _kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((7, n + 16, W), dtype),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=110 * 1024 * 1024
         ),

@@ -465,3 +465,56 @@ def test_coords_planes_stencil_pipeline_matches_full_path():
     np.testing.assert_allclose(
         np.asarray(G_new.data), np.asarray(G_ref.data), rtol=0, atol=1e-12
     )
+
+
+def test_stencil_from_coords_matches_full_path():
+    """Fused coords->stencil path (interpret math on CPU) == edge-kernel +
+    slice-add conversion, perturbed geometry."""
+    from fdapde_core_tpu.ops.grid_assembly import (
+        p1_grid_stencil,
+        stencil_from_coords,
+    )
+    from fdapde_core_tpu.ops.pallas_assembly import (
+        EDGE_TILE_S,
+        p1_stiffness_edges,
+    )
+
+    n = 16
+    mref = n + 1
+    rng = np.random.default_rng(13)
+    gi, gj = np.meshgrid(np.arange(mref), np.arange(mref), indexing="ij")
+    nodes2d = np.stack([gi.astype(np.float64), gj.astype(np.float64)], -1)
+    interior = (gi > 0) & (gi < n) & (gj > 0) & (gj < n)
+    nodes2d[interior] += rng.uniform(-0.12, 0.12, size=(interior.sum(), 2))
+    nodes2d /= n
+
+    W = 128
+    X = np.full((n + 8, W), 3.0)
+    Y = np.full((n + 8, W), 3.0)
+    X[:mref, :mref] = nodes2d[..., 0]
+    Y[:mref, :mref] = nodes2d[..., 1]
+    G_new = stencil_from_coords(jnp.asarray(X), jnp.asarray(Y), n)
+
+    ij = np.arange(n * n)
+    i, j = ij // n, ij % n
+    a = i * mref + j
+    b = a + mref
+    cells = np.concatenate(
+        [np.stack([a, b, a + 1], 1), np.stack([b, b + 1, a + 1], 1)], axis=0
+    )
+    flat = nodes2d.reshape(-1, 2)
+    p = flat[cells]
+    ev = np.stack(
+        [p[:, 1, 0] - p[:, 0, 0], p[:, 1, 1] - p[:, 0, 1],
+         p[:, 2, 0] - p[:, 0, 0], p[:, 2, 1] - p[:, 0, 1]]
+    )
+    C = cells.shape[0]
+    pad = (-C) % (128 * EDGE_TILE_S)
+    fill = np.tile(np.array([[1.0], [0.0], [0.0], [1.0]]), (1, pad))
+    ev = jnp.asarray(np.concatenate([ev, fill], axis=1).reshape(4, -1, 128))
+    G_ref = p1_grid_stencil(p1_stiffness_edges(ev), n)
+
+    assert G_new.offsets2d == G_ref.offsets2d
+    np.testing.assert_allclose(
+        np.asarray(G_new.data), np.asarray(G_ref.data), rtol=0, atol=1e-12
+    )
