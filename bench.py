@@ -168,6 +168,15 @@ def main():
     X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
     t_build_cold = time.time() - t0  # includes remote first-exec latency
+    # host-fence floor: single-call stage timings below cannot resolve finer
+    # than one jit-dispatch + scalar-fetch roundtrip (~25-30 ms on this
+    # harness); multi-rep in-jit loops (assembly) are immune
+    fence = jax.jit(lambda v: v + 1.0)
+    float(fence(jnp.float32(1.0)))
+    t0 = time.time()
+    for _ in range(3):
+        float(fence(jnp.float32(1.0)))
+    fence_floor_s = (time.time() - t0) / 3
     t0 = time.time()
     X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
@@ -353,6 +362,7 @@ def main():
             "dia_convert_s": round(t_dia, 6),
             "device_mesh_build_s": round(t_build, 4),
             "device_mesh_build_cold_s": round(t_build_cold, 2),
+            "host_fence_floor_s": round(fence_floor_s, 4),
             "cg_iters_per_s": round(cg_iters_per_s, 1),
             "cg_bf16_data_iters_per_s": round(cg16_iters_per_s, 1),
             "final_cg_residual": float(res),
@@ -382,9 +392,14 @@ def main():
             "dtype": "float32",
         }
     )
+    # insurance: if a later section hits a driver timeout, this line still
+    # carries the headline + unstructured metrics (the final full JSON is
+    # printed at the end and supersedes it)
+    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
+                      "partial": True}), flush=True)
 
     # ---- 3. general-path: Delaunay topology + SA-AMG on chip -------------
-    if elapsed() < 560 or small:
+    if elapsed() < 900 or small:
         try:
             out.update(_general_path_metrics(small))
         except Exception as e:  # noqa: BLE001 — report, don't kill the JSON
@@ -393,7 +408,7 @@ def main():
         out["general_path_skipped_s"] = round(elapsed(), 1)
 
     # ---- 4. space-time Kronecker CG ---------------------------------------
-    if elapsed() < 700 or small:
+    if elapsed() < 1100 or small:
         try:
             out.update(_space_time_metrics(small))
         except Exception as e:  # noqa: BLE001
