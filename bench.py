@@ -398,6 +398,12 @@ def main():
     print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
                       "partial": True}), flush=True)
 
+    # free the ~10 GB of section-1/2 device arrays (stencils, hierarchies,
+    # f64 copies) before the later sections allocate: jax releases HBM on
+    # refcount drop, and the space-time section needs ~3 GB headroom
+    del A6, D, G, mg, Gp, mgp, Gp64, mgp64, X, Y, Xp, Yp, b, b64p
+    del x, x16, xm, xp, xpc, xp64
+
     # ---- 3. general-path: Delaunay topology + SA-AMG on chip -------------
     if elapsed() < 900 or small:
         try:
@@ -554,7 +560,7 @@ def _general_path_metrics(small):
             r2 = b64 - A64 @ x
             return (x, jnp.sum(r2 * r2))
 
-        x, rn2 = jax.lax.fori_loop(0, 2, body, (jnp.zeros_like(b64), bn2))
+        x, rn2 = jax.lax.fori_loop(0, 3, body, (jnp.zeros_like(b64), bn2))
         return x, jnp.sqrt(rn2 / bn2)
 
     xr, rrel = refined(A32, A64, mg, b64)
@@ -709,6 +715,7 @@ def _space_time_metrics(small):
         "st_cg_rel_res_after": relv,
         "st_cg_iters_timed": ST_ITERS,
     }
+    del x, b, args, diag, off, mass, free
     out.update(_space_time_fdm_converged(T0, T1, mst, n_t))
     out["st_section_s"] = round(time.time() - t_sec, 1)
     return out
