@@ -509,6 +509,7 @@ def _general_path_metrics(small):
     P = sp.coo_matrix((np.ones(n), (np.arange(n), perm)), shape=(n, n)).tocsr()
     Am = (P @ Am @ P.T).tocsr()
     on_bnd = on_bnd[perm]
+    pts_rcm = pts[perm]
     t_host_asm = time.time() - t0
 
     t0 = time.time()
@@ -570,6 +571,51 @@ def _general_path_metrics(small):
     rrelv = float(rrel)
     t_refined = time.time() - t0
 
+    # auxiliary-grid preconditioner (ops/auxgrid.py): ~h-independent like
+    # AMG but each application costs 8n gathered elements instead of a
+    # multi-level cascade of matrix SpMVs (measured ~64M gathered elem/s on
+    # this chip — the general-path bottleneck)
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+
+    t0 = time.time()
+    aux = AuxGridPreconditioner.build(pts_rcm, A32.diagonal())
+    t_aux_setup = time.time() - t0
+
+    @jax.jit
+    def solve_aux(A32, aux, b):
+        x, info = cg(A32, b, M_inv=aux, rtol=1e-6, maxiter=100)
+        return x, info.iterations, info.residual
+
+    xa, ita, resa = solve_aux(A32, aux, b)
+    float(resa)  # warm
+    t0 = time.time()
+    xa, ita, resa = solve_aux(A32, aux, b)
+    ita_v = int(ita)
+    t_aux_solve = time.time() - t0
+
+    @jax.jit
+    def refined_aux(A32, A64, aux, b64):
+        bn2 = jnp.sum(b64 * b64)
+
+        def body(k, s):
+            x, _ = s
+            r = b64 - A64 @ x
+            dx, _ = cg(A32, r.astype(jnp.float32), M_inv=aux,
+                       rtol=1e-6, maxiter=60)
+            x = x + dx.astype(jnp.float64)
+            r2 = b64 - A64 @ x
+            return (x, jnp.sum(r2 * r2))
+
+        x, rn2 = jax.lax.fori_loop(0, 3, body, (jnp.zeros_like(b64), bn2))
+        return x, jnp.sqrt(rn2 / bn2)
+
+    xar, arrel = refined_aux(A32, A64, aux, b64)
+    float(arrel)
+    t0 = time.time()
+    xar, arrel = refined_aux(A32, A64, aux, b64)
+    arrel_v = float(arrel)
+    t_aux_refined = time.time() - t0
+
     return {
         "gen_n_dofs": n,
         "gen_n_cells": int(cells.shape[0]),
@@ -582,6 +628,11 @@ def _general_path_metrics(small):
         "gen_amg_pcg_solve_s": round(t_solve, 3),
         "gen_refined_solve_s": round(t_refined, 3),
         "gen_refined_true_rel_res": rrelv,
+        "gen_aux_setup_s": round(t_aux_setup, 3),
+        "gen_aux_pcg_iters": ita_v,
+        "gen_aux_pcg_solve_s": round(t_aux_solve, 3),
+        "gen_aux_refined_solve_s": round(t_aux_refined, 3),
+        "gen_aux_refined_true_rel_res": arrel_v,
         "gen_section_s": round(time.time() - t_sec, 1),
     }
 

@@ -97,6 +97,15 @@ def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None,
         from ..linear_algebra.amg import AMG
 
         pre = AMG.build(masked_matrix(A, mask)).v_cycle
+    elif isinstance(preconditioner, tuple) and preconditioner[0] == "auxgrid":
+        # auxiliary structured-grid preconditioner (ops/auxgrid.py):
+        # h-independent like AMG but an order of magnitude fewer gathers
+        # per application on TPU. Caller passes ("auxgrid", dof_coords).
+        from ..ops.auxgrid import AuxGridPreconditioner
+
+        pre = AuxGridPreconditioner.build(
+            preconditioner[1], sys.diagonal()
+        )
     else:
         pre = preconditioner or jacobi_preconditioner(sys.diagonal())
     b_mod = sys.rhs(b, g)

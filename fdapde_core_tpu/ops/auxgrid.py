@@ -1,0 +1,139 @@
+"""Auxiliary structured-grid preconditioner for unstructured meshes.
+
+TPU reality (measured, BENCH_NOTES.md round 2): generic gather/scatter SpMV
+runs at ~64M nnz/s on v5e — every AMG V-cycle level pays that rate, so a
+Chebyshev(3) V-cycle at 0.5M dofs costs ~0.5 s. The auxiliary-space method
+(Xu 1996) sidesteps it: precondition the unstructured operator with
+
+    B r = omega * D^{-1} r  +  P  G^{-1}  P^T r
+
+where P is the BILINEAR interpolation from a uniform auxiliary grid over
+the mesh's bounding box (4 nnz per mesh node — an order of magnitude fewer
+gathers than one matrix SpMV) and G^{-1} is one V-cycle of the structured
+stencil multigrid (ops/grid_mg.py — static slices at memory bandwidth,
+no gathers at all). B is SPD (sum of SPD terms), so it drops into CG.
+
+For shape-regular meshes on box-like domains this gives h-independent
+iteration counts at a fraction of AMG's per-iteration cost; for wilder
+domains pass a custom `grid_free` mask (grid nodes outside the domain get
+identity rows) or fall back to linear_algebra/amg.py (topology-only,
+always applicable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .grid_dia import GridDIAMatrix
+from .grid_mg import GridMG
+
+__all__ = ["AuxGridPreconditioner"]
+
+
+@jax.tree_util.register_pytree_node_class
+class AuxGridPreconditioner:
+    """z = omega * dinv * r + P V(P^T r); jittable pytree."""
+
+    def __init__(self, idx, w, dinv, mg, omega, n_grid):
+        self.idx = idx  # (n, 4) int32 auxiliary grid node ids
+        self.w = w  # (n, 4) bilinear weights
+        self.dinv = dinv  # (n,) inverse diagonal of the mesh operator
+        self.mg = mg  # GridMG over the auxiliary stencil
+        self.omega = omega
+        self.n_grid = n_grid  # grid nodes per side (m = n_grid + 1)
+
+    def tree_flatten(self):
+        return (self.idx, self.w, self.dinv, self.mg), (self.omega, self.n_grid)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def build(cls, nodes, diag, grid_n: int | None = None, bbox=None,
+              grid_free=None, omega: float = 0.5, coarse_n: int = 32,
+              mg_nu: int = 2, dtype=None):
+        """Host-side setup.
+
+        nodes: (n, 2) mesh node coordinates; diag: (n,) diagonal of the
+        (masked) mesh operator; grid_n: auxiliary cells per side (default
+        ~sqrt(n), rounded to even for deep MG coarsening); grid_free:
+        optional (m, m) bool of PDE-interior grid nodes (default: interior
+        of the bounding box).
+        """
+        nodes = np.asarray(nodes, dtype=np.float64)
+        n = nodes.shape[0]
+        if dtype is None:
+            dtype = jnp.asarray(diag).dtype
+        if bbox is None:
+            lo = nodes.min(axis=0)
+            hi = nodes.max(axis=0)
+        else:
+            lo, hi = np.asarray(bbox[0], float), np.asarray(bbox[1], float)
+        if grid_n is None:
+            grid_n = int(2 * round(np.sqrt(n) / 2))
+        m = grid_n + 1
+        span = np.where(hi > lo, hi - lo, 1.0)
+        u = (nodes - lo) / span * grid_n  # grid coordinates
+        cell = np.clip(np.floor(u).astype(np.int64), 0, grid_n - 1)
+        frac = u - cell
+        i0, j0 = cell[:, 0], cell[:, 1]
+        fx, fy = frac[:, 0], frac[:, 1]
+        idx = np.stack(
+            [
+                i0 * m + j0,
+                (i0 + 1) * m + j0,
+                i0 * m + (j0 + 1),
+                (i0 + 1) * m + (j0 + 1),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        w = np.stack(
+            [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
+            axis=1,
+        )
+
+        # auxiliary operator: 5-point Laplacian stencil (FEM stiffness
+        # scaling — entries O(1) in 2D, matching the mesh operator) with
+        # Dirichlet identity outside `grid_free`
+        if grid_free is None:
+            interior1d = np.zeros(m, dtype=bool)
+            interior1d[1:-1] = True
+            grid_free = interior1d[:, None] & interior1d[None, :]
+        free = jnp.asarray(np.asarray(grid_free, dtype=np.float64)).astype(dtype)
+        freep = jnp.pad(free, 1)
+        offs5 = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+        layers = [jnp.where(free > 0, 4.0, 1.0).astype(free.dtype)]
+        for di, dj in offs5[1:]:
+            layers.append(
+                -1.0
+                * free
+                * jax.lax.slice(
+                    freep, (1 + di, 1 + dj), (1 + di + m, 1 + dj + m)
+                )
+            )
+        G = GridDIAMatrix(jnp.stack(layers), offs5, (m, m))
+        mg = GridMG.build(G, coarse_n=min(coarse_n, max(2, grid_n // 4)),
+                          nu=mg_nu)
+
+        d = np.asarray(diag, dtype=np.float64)
+        dinv = jnp.asarray(
+            np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+        ).astype(free.dtype)
+        return cls(jnp.asarray(idx), jnp.asarray(w).astype(free.dtype), dinv,
+                   mg, omega, grid_n)
+
+    def __call__(self, r):
+        m = self.n_grid + 1
+        # P^T r: scatter the 4 bilinear weights per node onto the grid
+        rc = jax.ops.segment_sum(
+            (self.w * r[:, None]).reshape(-1),
+            self.idx.reshape(-1),
+            m * m,
+        )
+        z_g = self.mg.v_cycle(rc)
+        # P z_g: gather back
+        z = (z_g[self.idx] * self.w).sum(axis=1)
+        return self.omega * self.dinv * r + z
