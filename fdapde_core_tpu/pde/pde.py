@@ -164,6 +164,9 @@ class PDE:
 
     # -- solve (fem_linear_{elliptic,parabolic}_solver.h) ---------------------
     def solve(self):
+        import time as _time
+
+        _t0 = _time.time()
         if not self.is_init:
             self.init()
         if self._dirichlet is None:
@@ -230,6 +233,7 @@ class PDE:
                 symmetric=self.operator.is_symmetric,
             )
             self.success = True
+        self.solve_seconds = _time.time() - _t0
         return self._solution
 
     def report(self) -> dict:
@@ -253,6 +257,8 @@ class PDE:
             rec["solver_iterations"] = int(self.solve_info.iterations)
             rec["solver_residual"] = float(self.solve_info.residual)
             rec["solver_converged"] = bool(self.solve_info.converged)
+        if hasattr(self, "solve_seconds"):
+            rec["solve_seconds"] = round(self.solve_seconds, 4)
         return rec
 
     # -- error functional (fem_pde_test.cpp:72-74) ----------------------------
