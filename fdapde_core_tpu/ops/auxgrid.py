@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from .grid_dia import GridDIAMatrix
 from .grid_mg import GridMG
 
-__all__ = ["AuxGridPreconditioner"]
+__all__ = ["AuxGridPreconditioner", "AuxGridPreconditioner3D"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -136,4 +136,110 @@ class AuxGridPreconditioner:
         z_g = self.mg.v_cycle(rc)
         # P z_g: gather back
         z = (z_g[self.idx] * self.w).sum(axis=1)
+        return self.omega * self.dinv * r + z
+
+
+@jax.tree_util.register_pytree_node_class
+class AuxGridPreconditioner3D:
+    """3D counterpart: trilinear interpolation (8 weights per node) onto a
+    uniform (m, m, m) lattice + one GridMG3D V-cycle + damped Jacobi."""
+
+    def __init__(self, idx, w, dinv, mg, omega, n_grid):
+        self.idx = idx  # (n, 8) int32
+        self.w = w  # (n, 8)
+        self.dinv = dinv
+        self.mg = mg  # GridMG3D
+        self.omega = omega
+        self.n_grid = n_grid
+
+    def tree_flatten(self):
+        return (self.idx, self.w, self.dinv, self.mg), (self.omega, self.n_grid)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @classmethod
+    def build(cls, nodes, diag, grid_n: int | None = None, bbox=None,
+              grid_free=None, omega: float = 0.5, coarse_n: int = 8,
+              mg_nu: int = 2, dtype=None):
+        from .grid3d import GridDIA3D
+        from .grid_mg3d import GridMG3D
+
+        nodes = np.asarray(nodes, dtype=np.float64)
+        n = nodes.shape[0]
+        if dtype is None:
+            dtype = jnp.asarray(diag).dtype
+        if bbox is None:
+            lo, hi = nodes.min(axis=0), nodes.max(axis=0)
+        else:
+            lo, hi = np.asarray(bbox[0], float), np.asarray(bbox[1], float)
+        if grid_n is None:
+            grid_n = max(4, int(2 * round(n ** (1.0 / 3.0) / 2)))
+        m = grid_n + 1
+        span = np.where(hi > lo, hi - lo, 1.0)
+        u = (nodes - lo) / span * grid_n
+        cell = np.clip(np.floor(u).astype(np.int64), 0, grid_n - 1)
+        frac = u - cell
+        corners = []
+        weights = []
+        for a in (0, 1):
+            for b in (0, 1):
+                for c in (0, 1):
+                    corners.append(
+                        (cell[:, 0] + a) * m * m
+                        + (cell[:, 1] + b) * m
+                        + (cell[:, 2] + c)
+                    )
+                    wa = frac[:, 0] if a else 1 - frac[:, 0]
+                    wb = frac[:, 1] if b else 1 - frac[:, 1]
+                    wc = frac[:, 2] if c else 1 - frac[:, 2]
+                    weights.append(wa * wb * wc)
+        idx = np.stack(corners, axis=1).astype(np.int32)
+        w = np.stack(weights, axis=1)
+
+        # 7-point Laplacian stencil; 3D FEM stiffness entries scale like h,
+        # so the auxiliary operator is scaled by the grid spacing
+        h = float(span.mean()) / grid_n
+        if grid_free is None:
+            int1d = np.zeros(m, dtype=bool)
+            int1d[1:-1] = True
+            grid_free = (
+                int1d[:, None, None] & int1d[None, :, None] & int1d[None, None, :]
+            )
+        free = jnp.asarray(np.asarray(grid_free, np.float64)).astype(dtype)
+        freep = jnp.pad(free, 1)
+        offs7 = (
+            (0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+            (0, 0, -1), (0, 0, 1),
+        )
+        layers = [jnp.where(free > 0, 6.0 * h, 1.0).astype(free.dtype)]
+        for di, dj, dk in offs7[1:]:
+            layers.append(
+                -h
+                * free
+                * jax.lax.slice(
+                    freep,
+                    (1 + di, 1 + dj, 1 + dk),
+                    (1 + di + m, 1 + dj + m, 1 + dk + m),
+                )
+            )
+        G = GridDIA3D(jnp.stack(layers), offs7, (m, m, m))
+        mg = GridMG3D.build(G, coarse_n=min(coarse_n, max(2, grid_n // 2)),
+                            nu=mg_nu)
+
+        d = np.asarray(diag, dtype=np.float64)
+        dinv = jnp.asarray(
+            np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+        ).astype(free.dtype)
+        return cls(jnp.asarray(idx), jnp.asarray(w).astype(free.dtype), dinv,
+                   mg, omega, grid_n)
+
+    def __call__(self, r):
+        m = self.n_grid + 1
+        rc = jax.ops.segment_sum(
+            (self.w * r[:, None]).reshape(-1), self.idx.reshape(-1), m**3
+        )
+        z_g = self.mg.v_cycle(rc)
+        z = (z_g.reshape(-1)[self.idx] * self.w).sum(axis=1)
         return self.omega * self.dinv * r + z

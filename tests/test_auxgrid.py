@@ -88,3 +88,35 @@ def test_pde_product_path_with_auxgrid():
     coords = pde.dof_coords()
     exact = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
     assert pde.l2_error(exact) < 1e-6
+
+
+def test_aux_grid_3d_on_tet_mesh():
+    """3D trilinear auxiliary-grid preconditioner on the unit_sphere tet
+    mesh (ball domain inside its bounding-box grid)."""
+    from tests.conftest import load_mesh
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner3D
+    from fdapde_core_tpu.linear_algebra.solvers import jacobi_preconditioner
+
+    mesh = load_mesh("unit_sphere")
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    mask = jnp.asarray(space.boundary_dofs)
+    Am = masked_matrix(A, mask)
+    b = jnp.where(mask, 0.0, assemble_forcing(space, lambda x: 1.0))
+
+    pre = AuxGridPreconditioner3D.build(mesh.nodes, Am.diagonal(), grid_n=8)
+    # SPD
+    rng = np.random.default_rng(2)
+    n = Am.shape[0]
+    x = jnp.asarray(rng.standard_normal(n))
+    z = jnp.asarray(rng.standard_normal(n))
+    gap = abs(float(x @ pre(z)) - float(z @ pre(x)))
+    assert gap < 1e-11 * max(1.0, abs(float(x @ pre(z))))
+
+    xs, info = cg(Am, b, M_inv=pre, rtol=1e-10, maxiter=300)
+    assert bool(info.converged)
+    _, i_jac = cg(Am, b, M_inv=jacobi_preconditioner(Am.diagonal()),
+                  rtol=1e-10, maxiter=2000)
+    assert int(info.iterations) < int(i_jac.iterations)
+    res = float(jnp.linalg.norm(Am @ xs - b) / jnp.linalg.norm(b))
+    assert res < 1e-9
