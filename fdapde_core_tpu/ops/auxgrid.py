@@ -98,7 +98,22 @@ class AuxGridPreconditioner:
         # auxiliary operator: 5-point Laplacian stencil (FEM stiffness
         # scaling — entries O(1) in 2D, matching the mesh operator) with
         # Dirichlet identity outside `grid_free`
-        if grid_free is None:
+        if isinstance(grid_free, str) and grid_free == "auto":
+            # non-box domains: free grid nodes are bbox-interior nodes
+            # incident to a grid cell that actually contains mesh nodes —
+            # the void outside the domain gets identity rows so the
+            # auxiliary solve cannot spread corrections through it
+            occ = np.zeros((grid_n, grid_n), dtype=bool)
+            occ[i0, j0] = True
+            node_free = np.zeros((m, m), dtype=bool)
+            node_free[:-1, :-1] |= occ
+            node_free[1:, :-1] |= occ
+            node_free[:-1, 1:] |= occ
+            node_free[1:, 1:] |= occ
+            node_free[[0, -1], :] = False
+            node_free[:, [0, -1]] = False
+            grid_free = node_free
+        elif grid_free is None:
             interior1d = np.zeros(m, dtype=bool)
             interior1d[1:-1] = True
             grid_free = interior1d[:, None] & interior1d[None, :]

@@ -120,3 +120,36 @@ def test_aux_grid_3d_on_tet_mesh():
     assert int(info.iterations) < int(i_jac.iterations)
     res = float(jnp.linalg.norm(Am @ xs - b) / jnp.linalg.norm(b))
     assert res < 1e-9
+
+
+def test_aux_grid_auto_mask_non_box_domain():
+    """grid_free='auto' on the quasi_circle mesh: grid nodes in the void
+    outside the (non-box) domain get identity rows; the preconditioner
+    stays SPD and beats Jacobi."""
+    from tests.conftest import load_mesh
+    from fdapde_core_tpu.linear_algebra.solvers import jacobi_preconditioner
+
+    mesh = load_mesh("quasi_circle")
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    mask = jnp.asarray(space.boundary_dofs)
+    Am = masked_matrix(A, mask)
+    b = jnp.where(mask, 0.0, assemble_forcing(space, lambda x: 1.0))
+
+    pre = AuxGridPreconditioner.build(mesh.nodes, Am.diagonal(),
+                                      grid_free="auto")
+    rng = np.random.default_rng(5)
+    n = Am.shape[0]
+    x = jnp.asarray(rng.standard_normal(n))
+    z = jnp.asarray(rng.standard_normal(n))
+    gap = abs(float(x @ pre(z)) - float(z @ pre(x)))
+    assert gap < 1e-11 * max(1.0, abs(float(x @ pre(z))))
+
+    xs, info = cg(Am, b, M_inv=pre, rtol=1e-10, maxiter=400)
+    assert bool(info.converged)
+    _, i_jac = cg(Am, b, M_inv=jacobi_preconditioner(Am.diagonal()),
+                  rtol=1e-10, maxiter=4000)
+    assert int(info.iterations) * 2 < int(i_jac.iterations), (
+        int(info.iterations), int(i_jac.iterations))
+    res = float(jnp.linalg.norm(Am @ xs - b) / jnp.linalg.norm(b))
+    assert res < 1e-9
