@@ -5,9 +5,9 @@ composes every structured-grid acceleration in the framework into one
 product-level API — the same capabilities as `PDE(mesh, -laplacian())` on a
 general mesh, at the 10M-dof scale:
 
-  device mesh synthesis -> edge-vector Pallas assembly
-  (ops/pallas_assembly.p1_stiffness_edges) -> scatter-free stencil
-  conversion (ops/grid_assembly.p1_grid_stencil) -> Dirichlet identity fold
+  device mesh synthesis -> FUSED coords->stencil pallas kernel
+  (ops/pallas_assembly.p1_stencil_layers_from_coords: local assembly +
+  global stencil scatter in one manual-DMA pass) -> Dirichlet identity fold
   + exact-zero layer pruning (ops/grid_dia) -> geometric-multigrid
   preconditioned CG (ops/grid_mg), optionally wrapped in f64 iterative
   refinement (f32's attainable TRUE residual at kappa ~ 1/h^2 is
@@ -24,10 +24,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_assembly import p1_grid_stencil
+from ..ops.grid_assembly import stencil_from_coords
 from ..ops.grid_dia import GridDIAMatrix, prune_zero_offsets_grid
 from ..ops.grid_mg import GridMG, _stencil, mg_preconditioned_cg
-from ..ops.pallas_assembly import EDGE_TILE_S, p1_stiffness_edges
 
 __all__ = ["StructuredPoisson"]
 
@@ -53,52 +52,37 @@ class StructuredPoisson:
 
     def _build(self):
         n, m, dtype = self.n, self.m, self.dtype
-        C = 2 * n * n
-        C_pad = -(-C // (128 * EDGE_TILE_S)) * (128 * EDGE_TILE_S)
+        W = -(-m // 128) * 128  # lane-padded coordinate columns
 
         @jax.jit
-        def go():
-            ij = jnp.arange(n * n, dtype=jnp.int32)
-            i, j = ij // n, ij % n
-
-            def coord(ii, jj):
-                return ii.astype(dtype) / n, jj.astype(dtype) / n
-
-            x1, y1 = coord(i, j)
-            # type A: (a, b, a+1); type B: (b, b+1, a+1) — edge vectors
-            eA = jnp.stack([1.0 / n + 0 * x1, 0 * x1, 0 * x1, 1.0 / n + 0 * x1])
-            xB, yB = coord(i + 1, j)
-            eB = jnp.stack(
-                [0 * x1, 1.0 / n + 0 * x1, -1.0 / n + 0 * x1, 1.0 / n + 0 * x1]
-            )
-            edges = jnp.concatenate([eA, eB], axis=1)
-            pad = C_pad - C
-            fill = jnp.tile(
-                jnp.asarray([[1.0], [0.0], [0.0], [1.0]], dtype), (1, pad)
-            )
-            edges = jnp.concatenate([edges, fill], axis=1).reshape(
-                4, C_pad // 128, 128
-            )
+        def go(shift):
+            # coordinate PLANES for the fused coords->stencil kernel
+            # (ops/pallas_assembly.p1_stencil_layers_from_coords); the
+            # traced `shift` defeats XLA constant folding of the nullary
+            # build (a folded build becomes a huge program literal)
+            gi = jnp.arange(n + 8, dtype=dtype)[:, None] + shift
+            gj = jnp.arange(W, dtype=dtype)[None, :]
+            X = gi / n + 0.0 * gj
+            Y = gj / n + 0.0 * gi
             ii = jnp.arange(m)
             interior = (ii > 0) & (ii < m - 1)
             free = (interior[:, None] & interior[None, :]).astype(dtype)
-            return edges, free
+            return X, Y, free
 
-        return go()
+        return go(dtype(0.0))
 
     def operator(self) -> GridDIAMatrix:
         """Assembled, Dirichlet-folded, pruned stencil operator."""
         if self._G is None:
-            edges, free = self._build()
+            X, Y, free = self._build()
             self._free = free
 
             @jax.jit
-            def assemble(edges, free):
-                A6 = p1_stiffness_edges(edges)
-                G = p1_grid_stencil(A6, self.n)
+            def assemble(X, Y, free):
+                G = stencil_from_coords(X, Y, self.n)
                 return G, G.with_dirichlet_identity(free.reshape(-1))
 
-            G_raw, G = assemble(edges, free)
+            G_raw, G = assemble(X, Y, free)
             # raw (unfolded) operator kept for boundary lifting in rhs():
             # the folded operator's boundary COLUMNS are zeroed, so lifting
             # must use the original column action
