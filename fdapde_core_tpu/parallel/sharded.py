@@ -55,6 +55,7 @@ class ShardedPoisson:
         device_mesh: Mesh | None = None,
         dtype=None,
         operator=None,
+        preconditioner: str = "jacobi",
     ):
         from ..pde.operators import laplacian
 
@@ -88,6 +89,30 @@ class ShardedPoisson:
         self._grad = jnp.asarray(self.space.grad_tab, dtype=dtype)
         self._w = jnp.asarray(self.space.quad.weights, dtype=dtype)
         self._bmask = jnp.asarray(self.space.boundary_dofs)
+
+        # optional auxiliary-grid preconditioner (ops/auxgrid.py): the
+        # apply is REPLICATED on every device (n*2d gathered elements + a
+        # tiny structured V-cycle — cheaper to redo than to communicate);
+        # only the SpMV stays sharded, so no extra collectives per iteration
+        self.preconditioner = preconditioner
+        self._aux = None
+        if preconditioner == "auxgrid":
+            from ..ops.auxgrid import (
+                AuxGridPreconditioner,
+                AuxGridPreconditioner3D,
+            )
+
+            coords = self.space.dof_coords
+            cls3 = AuxGridPreconditioner3D if coords.shape[1] == 3 else (
+                AuxGridPreconditioner
+            )
+            # dinv is recomputed from the psum'd diagonal inside the solve;
+            # a placeholder keeps the pytree structure static
+            self._aux = cls3.build(
+                coords, np.ones(self.n_dofs), dtype=dtype
+            )
+        elif preconditioner != "jacobi":
+            raise ValueError(preconditioner)
 
         self._assemble_jit = jax.jit(self._assemble)
         self._cg_jit = jax.jit(self._cg, static_argnames=("maxiter",))
@@ -176,6 +201,17 @@ class ShardedPoisson:
             diag = jax.lax.psum(diag_part, "shard") * free + bmask
             inv_diag = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
+            if self._aux is not None:
+                aux = self._aux
+
+                def prec(r):
+                    # replicated aux-grid apply with the true Jacobi term
+                    z = aux(r) - aux.omega * aux.dinv * r
+                    return z + aux.omega * inv_diag * r
+            else:
+                def prec(r):
+                    return inv_diag * r
+
             # move boundary data to the RHS via the *unmasked* column action
             # A[:, bdofs] @ g (fem/solvers.py DirichletSystem.rhs)
             gm = g * bmask
@@ -186,7 +222,7 @@ class ShardedPoisson:
 
             x0 = gm
             r0 = b_mod - Ax(x0)
-            z0 = inv_diag * r0
+            z0 = prec(r0)
             bnorm = jnp.linalg.norm(b_mod)
             tol = rtol * bnorm
 
@@ -201,7 +237,7 @@ class ShardedPoisson:
                 alpha = rz / jnp.vdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = inv_diag * r
+                z = prec(r)
                 rz_new = jnp.vdot(r, z)
                 p = z + (rz_new / rz) * p
                 return (x, r, z, p, rz_new, k + 1)

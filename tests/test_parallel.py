@@ -380,3 +380,35 @@ def test_time_sharded_space_time_matches_single_chip():
     np.testing.assert_allclose(
         np.asarray(x_sh), np.asarray(x_ref), rtol=0, atol=1e-8
     )
+
+
+def test_sharded_auxgrid_preconditioner_matches_and_accelerates():
+    """ShardedPoisson(preconditioner='auxgrid'): replicated aux-grid apply +
+    sharded SpMV — same solution as the Jacobi path, fewer iterations, and
+    1-vs-8-device agreement."""
+    import fdapde_core_tpu as fdm
+    from fdapde_core_tpu.parallel import ShardedPoisson
+    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+
+    mesh = unit_square_mesh(24)
+    b = None
+    sp_jac = ShardedPoisson(mesh, order=1, device_mesh=make_device_mesh(8))
+    sp_aux = ShardedPoisson(
+        mesh, order=1, device_mesh=make_device_mesh(8),
+        preconditioner="auxgrid",
+    )
+    n = sp_aux.n_dofs
+    b = jnp.ones(n, sp_aux.dtype)
+    g = jnp.zeros(n, sp_aux.dtype)
+    xj, rj, kj = sp_jac.solve(b, g, rtol=1e-10, maxiter=2000)
+    xa, ra, ka = sp_aux.solve(b, g, rtol=1e-10, maxiter=2000)
+    assert int(ka) * 2 < int(kj), (int(ka), int(kj))
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xj), atol=1e-8)
+
+    # 1-device == 8-device
+    sp1 = ShardedPoisson(
+        mesh, order=1, device_mesh=make_device_mesh(1),
+        preconditioner="auxgrid",
+    )
+    x1, r1, k1 = sp1.solve(b, g, rtol=1e-10, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(x1), atol=1e-10)
