@@ -101,11 +101,15 @@ def solve_elliptic(A, b, mask, g, symmetric=True, rtol=1e-12, maxiter=None,
         # auxiliary structured-grid preconditioner (ops/auxgrid.py):
         # h-independent like AMG but an order of magnitude fewer gathers
         # per application on TPU. Caller passes ("auxgrid", dof_coords).
-        from ..ops.auxgrid import AuxGridPreconditioner
+        from ..ops.auxgrid import AuxGridPreconditioner, AuxGridPreconditioner3D
 
-        pre = AuxGridPreconditioner.build(
-            preconditioner[1], sys.diagonal()
+        coords = preconditioner[1]
+        cls = (
+            AuxGridPreconditioner3D
+            if coords.shape[1] == 3
+            else AuxGridPreconditioner
         )
+        pre = cls.build(coords, sys.diagonal())
     else:
         pre = preconditioner or jacobi_preconditioner(sys.diagonal())
     b_mod = sys.rhs(b, g)

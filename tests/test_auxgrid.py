@@ -153,3 +153,22 @@ def test_aux_grid_auto_mask_non_box_domain():
         int(info.iterations), int(i_jac.iterations))
     res = float(jnp.linalg.norm(Am @ xs - b) / jnp.linalg.norm(b))
     assert res < 1e-9
+
+
+def test_pde_auxgrid_3d():
+    """PDE(solver_preconditioner='auxgrid') dispatches to the 3D class on
+    tetrahedral meshes."""
+    from tests.conftest import load_mesh
+
+    mesh = load_mesh("unit_sphere")
+    pde = fdm.PDE(mesh, -fdm.laplacian(), forcing=lambda x: -6.0, order=1,
+                  solver_preconditioner="auxgrid", solver_maxiter=300)
+    coords = pde.dof_coords()
+    exact = (coords ** 2).sum(axis=1)
+    pde.set_dirichlet_bc(exact)
+    pde.solve()
+    assert pde.success
+    # quadratic u on a coarse P1 tet mesh: discretization-limited tolerance
+    # (same as tests/test_manifold_3d.py); the solver itself converged
+    assert pde.report()["solver_converged"]
+    assert pde.l2_error(exact) < 5e-4
