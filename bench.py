@@ -779,10 +779,10 @@ def _space_time_fdm_converged(T0, T1, mst, n_t):
 
     @jax.jit
     def chains(shift):
-        # f64 chains: the FINE mode operator must match the f64 residual
-        # check exactly (an f32-rounded A + lam*E leaves a systematic ~1e-5
-        # full-system residual floor); the PRECONDITIONER hierarchy is cast
-        # to f32 per mode below
+        # Only LEVEL 0 must be f64 (the fine mode operator has to match the
+        # f64 residual check exactly — an f32-rounded A + lam*E leaves a
+        # systematic ~1e-5 full-system floor); the coarsening chain feeds
+        # the PRECONDITIONER only, so it runs entirely in f32 (fast).
         gi = jnp.arange(mst, dtype=jnp.float64) + shift
         int1d = (gi > 0) & (gi < mst - 1)
         free = (int1d[:, None] & int1d[None, :]).astype(jnp.float64)
@@ -798,34 +798,34 @@ def _space_time_fdm_converged(T0, T1, mst, n_t):
         dataE = jnp.stack(
             [h2 * free] + [jnp.zeros((mst, mst), jnp.float64)] * 4
         )
-        outA, outE = [dataA], [dataE]
-        GA = GridDIAMatrix(dataA, offs5, (mst, mst))
-        GE = GridDIAMatrix(dataE, offs5, (mst, mst))
+        outA, outE = [dataA.astype(jnp.float32)], [dataE.astype(jnp.float32)]
+        GA = GridDIAMatrix(outA[0], offs5, (mst, mst))
+        GE = GridDIAMatrix(outE[0], offs5, (mst, mst))
         for _ in range(len(shapes) - 1):
             GA = galerkin_coarsen(GA)
             GE = galerkin_coarsen(GE)
             outA.append(GA.data)
             outE.append(GE.data)
-        return tuple(outA), tuple(outE), free
+        return dataA, dataE, tuple(outA), tuple(outE), free
 
-    As, Es, free = chains(jnp.float64(0.0))
+    A64, E64, As, Es, free = chains(jnp.float64(0.0))
     float(As[-1][0, 0, 0])
 
     b = jnp.ones((n_t, mst, mst), jnp.float64) * free[None]
 
     @jax.jit
-    def fdm_solve(As, Es, b, lamj, Zj):
+    def fdm_solve(A64, E64, As, Es, b, lamj, Zj):
         Bt = jnp.einsum("ts,smn->tmn", Zj.T, b)  # (Z^T (x) I) b
 
         bscale = jnp.sqrt(jnp.sum(Bt * Bt))
 
         def mode(carry, inp):
             lam_t, rhs = inp
-            datas = [A + lam_t * E for A, E in zip(As, Es)]  # f64 (exact)
-            # f32 PRECONDITIONER hierarchy; the fine operator stays f64
-            datas32 = [d.astype(jnp.float32) for d in datas]
+            # f32 PRECONDITIONER hierarchy; f64 FINE operator (exact)
+            lam32 = lam_t.astype(jnp.float32)
+            datas32 = [A + lam32 * E for A, E in zip(As, Es)]
             mg = GridMG(datas32, tuple(offsets), tuple(shapes), 0.8, 2, 64)
-            Gm = GridDIAMatrix(datas[0], offs5, (mst, mst))
+            Gm = GridDIAMatrix(A64 + lam_t * E64, offs5, (mst, mst))
             w, rel, k = mg_preconditioned_cg(
                 Gm, rhs.reshape(-1), rtol=1e-10, maxiter=40, mg=mg,
                 prec_dtype=jnp.float32,
@@ -841,8 +841,8 @@ def _space_time_fdm_converged(T0, T1, mst, n_t):
 
         _, (W, rels, ks) = jax.lax.scan(mode, 0, (lamj, Bt))
         Xs = jnp.einsum("ts,smn->tmn", Zj, W.reshape(n_t, mst, mst))
-        # true residual of the full Kronecker system
-        dataA, dataE = As[0], Es[0]
+        # true residual of the full Kronecker system (f64 fine operators)
+        dataA, dataE = A64, E64
 
         def s_apply(data, V):
             vp = jnp.pad(V, ((0, 0), (1, 1), (1, 1)))
@@ -861,10 +861,10 @@ def _space_time_fdm_converged(T0, T1, mst, n_t):
         rel = jnp.sqrt(jnp.sum((R - b) ** 2) / jnp.sum(b * b))
         return Xs, rel, ks.max(), rels.max()
 
-    Xs, rel, kmax, rmax = fdm_solve(As, Es, b, lamj, Zj)
+    Xs, rel, kmax, rmax = fdm_solve(A64, E64, As, Es, b, lamj, Zj)
     float(rel)  # warm
     t0 = time.time()
-    Xs, rel, kmax, rmax = fdm_solve(As, Es, b, lamj, Zj)
+    Xs, rel, kmax, rmax = fdm_solve(A64, E64, As, Es, b, lamj, Zj)
     relv = float(rel)
     t_solve = time.time() - t0
     return {
