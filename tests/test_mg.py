@@ -361,3 +361,45 @@ def test_3d_mg_bf16_storage():
     assert abs(int(k16) - int(k)) <= 1
     assert float(rel16) < 1e-10
     np.testing.assert_allclose(np.asarray(x16), np.asarray(x), atol=1e-9)
+
+
+def test_mixed_precision_mg_cg_matches_f64():
+    """mg_preconditioned_cg(prec_dtype=f32): same iteration count and
+    final accuracy class as the all-f64 solve (the f32 V-cycle perturbs the
+    preconditioner, not the f64 Krylov recurrence)."""
+    from fdapde_core_tpu.ops.grid_assembly import stencil_from_coords
+    from fdapde_core_tpu.ops.grid_dia import prune_zero_offsets_grid
+    from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg
+
+    n = 64
+    m = n + 1
+    W = 128
+    rng = np.random.default_rng(2)
+    gi, gj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    Xh = np.full((n + 8, W), 5.0)
+    Yh = np.full((n + 8, W), 5.0)
+    pert = rng.uniform(-0.1, 0.1, size=(m, m, 2))
+    pert[[0, -1], :, :] = 0
+    pert[:, [0, -1], :] = 0
+    Xh[:m, :m] = (gi + pert[..., 0]) / n
+    Yh[:m, :m] = (gj + pert[..., 1]) / n
+    # f32 stencil (the production operator precision)
+    D = stencil_from_coords(
+        jnp.asarray(Xh, jnp.float32), jnp.asarray(Yh, jnp.float32), n
+    )
+    interior = np.zeros(m, bool)
+    interior[1:-1] = True
+    free = jnp.asarray(
+        (interior[:, None] & interior[None, :]).astype(np.float32)
+    )
+    G = prune_zero_offsets_grid(D.with_dirichlet_identity(free.reshape(-1)))
+    mg = GridMG.build(G, coarse_n=16)
+    b = jnp.asarray(free.reshape(-1), jnp.float64)
+
+    x64, rel64, k64 = mg_preconditioned_cg(G, b, rtol=1e-10, maxiter=60, mg=mg)
+    xm, relm, km = mg_preconditioned_cg(
+        G, b, rtol=1e-10, maxiter=60, mg=mg, prec_dtype=jnp.float32
+    )
+    assert float(relm) < 1e-10 and float(rel64) < 1e-10
+    assert abs(int(km) - int(k64)) <= 2, (int(km), int(k64))
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(x64), rtol=0, atol=1e-10)
