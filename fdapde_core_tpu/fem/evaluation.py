@@ -19,13 +19,20 @@ from ..linear_algebra.sparse import SparseMatrix
 __all__ = ["eval_basis_pointwise", "eval_basis_areal", "basis_expansion"]
 
 
-def eval_basis_pointwise(space, locs: np.ndarray):
-    """(Psi, D): Psi sparse (n_locs, n_dofs), D = ones (lagrangian_basis.h:203-235)."""
+def eval_basis_pointwise(space, locs: np.ndarray, device_locate: bool = False):
+    """(Psi, D): Psi sparse (n_locs, n_dofs), D = ones (lagrangian_basis.h:203-235).
+
+    device_locate=True runs the point-location stage on the accelerator
+    (geometry.DeviceCellLocator, exact parity with the host locator) —
+    the scalable path for millions of observation points."""
     from ..geometry.affine import affine_maps_np
 
     mesh = space.mesh
     locs = np.atleast_2d(np.asarray(locs, dtype=np.float64))
-    ids = mesh.locate(locs)
+    if device_locate:
+        ids = np.asarray(mesh.locate_device(locs))
+    else:
+        ids = mesh.locate(locs)
     inside = np.nonzero(ids >= 0)[0]
     e = ids[inside]
     _, invJ, _ = affine_maps_np(mesh.nodes, mesh.cells)

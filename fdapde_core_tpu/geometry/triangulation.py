@@ -264,6 +264,16 @@ class Triangulation:
             self._locator = CellLocator(self)
         return self._locator.locate(np.asarray(points, dtype=np.float64))
 
+    def locate_device(self, points):
+        """Jit point location for large query batches ON DEVICE
+        (geometry/point_location.DeviceCellLocator — exact parity with
+        `locate`); `points` may be a device array, returns device int32."""
+        from .point_location import DeviceCellLocator
+
+        if not hasattr(self, "_device_locator"):
+            self._device_locator = DeviceCellLocator(self)
+        return self._device_locator.locate(points)
+
     def node_patch(self, node_id: int) -> np.ndarray:
         """Ids of cells having `node_id` as a vertex (triangulation.h:257-260)."""
         return np.nonzero((self.cells == node_id).any(axis=1))[0]

@@ -80,3 +80,18 @@ def test_device_manifold_plane_check():
     want = host.locate(pts)
     np.testing.assert_array_equal(got, want)
     assert (got[:300] >= 0).mean() > 0.9
+
+
+def test_psi_matrix_via_device_locate_matches_host():
+    """eval_basis_pointwise(device_locate=True) builds the identical Psi."""
+    from fdapde_core_tpu.fem.evaluation import eval_basis_pointwise
+    from fdapde_core_tpu.fem.space import FEMSpace
+
+    mesh = load_mesh("unit_square_32")
+    space = FEMSpace(mesh, 2)
+    pts = np.random.default_rng(8).uniform(-0.02, 1.02, size=(800, 2))
+    Ph, _ = eval_basis_pointwise(space, pts)
+    Pd, _ = eval_basis_pointwise(space, pts, device_locate=True)
+    np.testing.assert_array_equal(np.asarray(Ph.rows), np.asarray(Pd.rows))
+    np.testing.assert_array_equal(np.asarray(Ph.cols), np.asarray(Pd.cols))
+    np.testing.assert_allclose(np.asarray(Ph.vals), np.asarray(Pd.vals))
