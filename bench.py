@@ -12,18 +12,21 @@ harness's first-execution latency roulette eats the budget):
                    bf16-stencil), Galerkin-MG solve, f64-refined solve.
   2. perturbed:    the UNSTRUCTURED-GEOMETRY headline — every interior node
                    pseudo-randomly displaced (deterministic hash, +-0.1 h),
-                   general per-cell geometry assembled by the same Pallas
-                   kernel, variable-coefficient 9-point stencil solved by
-                   Galerkin-coarsened MG-CG + f64 iterative refinement to
-                   ~1e-9 true relative residual. Rediscretization coarsening
-                   would be WRONG here; this exercises the Galerkin path.
+                   general per-cell geometry assembled by the same fused
+                   kernel, variable-coefficient stencil solved by Galerkin-
+                   coarsened MIXED-PRECISION MG-CG (f64 vectors, f32
+                   V-cycle) to ~8e-9 true relative residual in <1 s.
+                   Rediscretization coarsening would be WRONG here; this
+                   exercises the Galerkin path.
   3. general-path: genuine Delaunay topology (scipy) at ~0.5M dofs, host
                    SA-AMG setup (linear_algebra/amg.py), AMG-PCG with
                    gather-SpMV ON CHIP + f64 refinement — the
                    arbitrary-mesh capability (Eigen SparseLU replacement,
                    fem_linear_elliptic_solver.h:38-47) measured honestly.
-  4. space-time:   Kronecker CG (T1 (x) S0 + T0 (x) S1) at 1M space dofs x
-                   64 time knots, matrix-free stencil/matmul matvec.
+  4. space-time:   Kronecker system (T1 (x) S0 + T0 (x) S1) at 1M space
+                   dofs x 64 time knots: matrix-free CG throughput + a
+                   CONVERGED fast-diagonalization solve (n_t decoupled
+                   mixed-precision MG-CG space solves).
 
 Design notes (learned on TPU v5e, BENCH_NOTES.md):
 - arrays keep the CELL/DOF axis LAST; generic gathers run near-scalar so
