@@ -90,8 +90,16 @@ def aggregate(n: int, rows: np.ndarray, cols: np.ndarray, seed: int = 0,
             break
         has_live = np.zeros(n, dtype=bool)
         has_live[rows2[live]] = True
+        # segment max via sort + last-per-row (np.maximum.at's buffered
+        # ufunc path is ~5x slower at millions of edges)
+        rr = rows2[live]
+        pp = prio[cols2[live]]
+        order = np.lexsort((pp, rr))
+        rr_s, pp_s = rr[order], pp[order]
+        uniq, first, counts = np.unique(rr_s, return_index=True,
+                                        return_counts=True)
         nb_max = np.full(n, -1, dtype=np.int64)
-        np.maximum.at(nb_max, rows2[live], prio[cols2[live]])
+        nb_max[uniq] = pp_s[first + counts - 1]
         # edge-less candidates must NOT win here: strength-isolated rows are
         # chunk-aggregated after the loop instead of becoming singletons
         winners = cand & has_live & (prio > nb_max)
