@@ -12,7 +12,12 @@ import numpy as np
 
 from .triangulation import Triangulation
 
-__all__ = ["unit_square_mesh", "unit_interval_mesh", "unit_cube_mesh"]
+__all__ = [
+    "unit_square_mesh",
+    "unit_interval_mesh",
+    "unit_cube_mesh",
+    "irregular_mesh_device",
+]
 
 
 def unit_square_mesh(n: int) -> Triangulation:
@@ -33,6 +38,61 @@ def unit_square_mesh(n: int) -> Triangulation:
         | (nodes[:, 1] == 1.0)
     )
     return Triangulation(nodes, cells, boundary)
+
+
+def irregular_mesh_device(n: int, amp=0.2, dtype=None):
+    """Irregular triangulation of [0,1]^2 generated ON DEVICE (jnp, jittable).
+
+    Host->device transfer through this harness's relay costs O(minutes) per
+    100 MB, so flagship-size unstructured problems cannot ship a host mesh;
+    this generator produces a GENUINELY irregular triangulation entirely on
+    device: each grid quad's splitting diagonal is chosen by a deterministic
+    hash (interior node degrees vary 4..8 — no solver downstream may assume
+    a fixed stencil), and interior nodes are jittered by +-amp/2 cells per
+    coordinate (amp <= 0.2 keeps every triangle non-degenerate). Both
+    triangle orientations are positive.
+
+    Returns (nodes (m^2, 2), cells (2 n^2, 3) int32, boundary (m^2,) bool)
+    as jnp arrays, node (i, j) at id i*m + j (banded numbering — what RCM
+    would produce on a mesh of this shape regularity). Cells are quad-major
+    for gather locality.
+    """
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.asarray(1.0).dtype  # current x64 default
+    m = n + 1
+    gi = jnp.arange(m, dtype=dtype)[:, None]
+    gj = jnp.arange(m, dtype=dtype)[None, :]
+    interior = ((gi > 0) & (gi < n) & (gj > 0) & (gj < n)).astype(dtype)
+    # shader-style hash: deterministic, no PRNG keys to ship
+    hx = jnp.sin(gi * 12.9898 + gj * 78.233) * 43758.5453
+    hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
+    X = (gi + (hx - jnp.floor(hx) - 0.5) * amp * interior) / n
+    Y = (gj + (hy - jnp.floor(hy) - 0.5) * amp * interior) / n + 0.0 * X
+    nodes = jnp.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+
+    qi = jnp.arange(n, dtype=dtype)[:, None]
+    qj = jnp.arange(n, dtype=dtype)[None, :]
+    hq = jnp.sin(qi * 7.1312 + qj * 3.7177) * 15731.7431
+    flip = (hq - jnp.floor(hq)) < 0.5  # (n, n) per-quad diagonal choice
+    a = (jnp.arange(n, dtype=jnp.int32)[:, None] * m
+         + jnp.arange(n, dtype=jnp.int32)[None, :])  # corner (i, j)
+    b = a + m  # corner (i+1, j)
+    # standard diagonal a..b+1: (a, b, a+1), (b, b+1, a+1)
+    # flipped diagonal  b..a+1 becomes a..? -> (a, b, b+1), (a, b+1, a+1)
+    t0 = jnp.stack([a, b, jnp.where(flip, b + 1, a + 1)], axis=-1)
+    t1 = jnp.where(
+        flip[..., None],
+        jnp.stack([a, b + 1, a + 1], axis=-1),
+        jnp.stack([b, b + 1, a + 1], axis=-1),
+    )
+    cells = jnp.stack([t0, t1], axis=2).reshape(-1, 3)  # quad-major order
+    on_bnd = (
+        (nodes[:, 0] == 0.0) | (nodes[:, 0] == 1.0)
+        | (nodes[:, 1] == 0.0) | (nodes[:, 1] == 1.0)
+    )
+    return nodes, cells, on_bnd
 
 
 def unit_interval_mesh(n: int):

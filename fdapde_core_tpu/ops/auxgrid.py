@@ -140,6 +140,74 @@ class AuxGridPreconditioner:
         return cls(jnp.asarray(idx), jnp.asarray(w).astype(free.dtype), dinv,
                    mg, omega, grid_n)
 
+    @classmethod
+    def build_device(cls, nodes, diag, grid_n: int | None = None,
+                     bbox=((0.0, 0.0), (1.0, 1.0)), omega: float = 0.5,
+                     coarse_n: int = 32, mg_nu: int = 2, dtype=None):
+        """Fully ON-DEVICE setup for meshes generated on device.
+
+        The host `build` would pull the (n, 2) coordinates through the
+        harness relay (O(minutes) at 10M nodes); here the interpolation
+        table, diagonal and auxiliary stencil are computed in one jitted
+        program and the Galerkin hierarchy by GridMG.build's own jit.
+        Box domains only (grid_free = interior of the static `bbox` —
+        pass the host `build` with grid_free="auto" for wilder domains).
+        """
+        import numpy as np_  # noqa: N813 — host scalars only
+
+        n = nodes.shape[0]
+        if dtype is None:
+            dtype = jnp.float32
+        if grid_n is None:
+            grid_n = int(2 * round(np_.sqrt(n) / 2))
+        m = grid_n + 1
+        lo = tuple(float(v) for v in bbox[0])
+        hi = tuple(float(v) for v in bbox[1])
+        span = tuple(h - l if h > l else 1.0 for l, h in zip(lo, hi))
+        offs5 = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+
+        @jax.jit
+        def setup(nodes, diag):
+            u0 = (nodes[:, 0].astype(dtype) - lo[0]) / span[0] * grid_n
+            u1 = (nodes[:, 1].astype(dtype) - lo[1]) / span[1] * grid_n
+            i0 = jnp.clip(jnp.floor(u0).astype(jnp.int32), 0, grid_n - 1)
+            j0 = jnp.clip(jnp.floor(u1).astype(jnp.int32), 0, grid_n - 1)
+            fx = u0 - i0.astype(dtype)
+            fy = u1 - j0.astype(dtype)
+            idx = jnp.stack(
+                [
+                    i0 * m + j0,
+                    (i0 + 1) * m + j0,
+                    i0 * m + (j0 + 1),
+                    (i0 + 1) * m + (j0 + 1),
+                ],
+                axis=1,
+            )
+            w = jnp.stack(
+                [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
+                axis=1,
+            )
+            gid = jnp.arange(m)
+            int1d = (gid > 0) & (gid < grid_n)
+            free = (int1d[:, None] & int1d[None, :]).astype(dtype)
+            freep = jnp.pad(free, 1)
+            layers = [jnp.where(free > 0, 4.0, 1.0).astype(dtype)]
+            for di, dj in offs5[1:]:
+                layers.append(
+                    -1.0 * free * jax.lax.slice(
+                        freep, (1 + di, 1 + dj), (1 + di + m, 1 + dj + m)
+                    )
+                )
+            d = diag.astype(dtype)
+            dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+            return idx, w, jnp.stack(layers), dinv
+
+        idx, w, data, dinv = setup(nodes, diag)
+        G = GridDIAMatrix(data, offs5, (m, m))
+        mg = GridMG.build(G, coarse_n=min(coarse_n, max(2, grid_n // 4)),
+                          nu=mg_nu)
+        return cls(idx, w, dinv, mg, omega, grid_n)
+
     def __call__(self, r):
         m = self.n_grid + 1
         # P^T r: scatter the 4 bilinear weights per node onto the grid

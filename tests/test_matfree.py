@@ -1,0 +1,126 @@
+"""Matrix-free general operator + device irregular mesh + device aux-grid.
+
+The flagship-scale general path (ops/matfree.py) must agree exactly with the
+assembled sparse path on the same mesh; the device mesh generator must
+produce a valid conforming triangulation with genuinely varying topology;
+the device aux-grid setup must match the host setup bit-for-bit (same
+formulas, same dtypes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fdapde_core_tpu as fdm
+from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
+from fdapde_core_tpu.fem.solvers import DirichletSystem, solve_elliptic
+from fdapde_core_tpu.geometry.structured import irregular_mesh_device
+from fdapde_core_tpu.geometry.triangulation import Triangulation
+from fdapde_core_tpu.linear_algebra.solvers import cg
+from fdapde_core_tpu.ops.matfree import MatrixFreeLocal, p1_local_stiffness
+
+
+def _device_mesh(n, amp=0.2):
+    nodes, cells, bnd = jax.jit(
+        lambda a: irregular_mesh_device(n, a), static_argnums=()
+    )(amp)
+    return np.asarray(nodes), np.asarray(cells), np.asarray(bnd)
+
+
+def test_irregular_mesh_is_valid_triangulation():
+    nodes, cells, bnd = _device_mesh(9)
+    # positive orientation everywhere, areas partition the unit square
+    p = nodes[cells]
+    e0, e1 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]
+    det = e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0]
+    assert det.min() > 0
+    assert abs(0.5 * det.sum() - 1.0) < 1e-12
+    # conforming: Triangulation's first-encounter edge extraction counts
+    # interior edges shared by exactly 2 cells, boundary edges by 1
+    mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
+    counts = np.bincount(mesh.cell_to_edges.reshape(-1))
+    assert set(counts.tolist()) <= {1, 2}
+    # Euler: V - E + F(cells) = 1 for a disk
+    assert mesh.n_nodes - mesh.n_edges + mesh.n_cells == 1
+
+
+def test_irregular_mesh_topology_varies():
+    nodes, cells, bnd = _device_mesh(16)
+    deg = np.bincount(cells.reshape(-1), minlength=nodes.shape[0])
+    interior = ~bnd
+    # hash-chosen diagonals: interior cell-degrees must span 4..8, not the
+    # uniform split's constant 6
+    assert deg[interior].min() <= 5
+    assert deg[interior].max() >= 7
+
+
+def test_matfree_matches_assembled_matrix():
+    nodes, cells, bnd = _device_mesh(8)
+    mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+
+    A_loc = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    op, overflowed = MatrixFreeLocal.build(
+        A_loc, jnp.asarray(cells), space.n_dofs, max_degree=8
+    )
+    assert not bool(overflowed)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(space.n_dofs))
+    np.testing.assert_allclose(np.asarray(op @ x), np.asarray(A @ x),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.diagonal()),
+                               np.asarray(A.diagonal()), rtol=0, atol=1e-13)
+
+
+def test_matfree_solve_matches_explicit():
+    nodes, cells, bnd = _device_mesh(10)
+    mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    mask = jnp.asarray(space.boundary_dofs)
+    b = jnp.ones(space.n_dofs)
+    g = jnp.zeros(space.n_dofs)
+    x_ref, _ = solve_elliptic(A, b, mask, g, rtol=1e-12)
+
+    A_loc = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    op, _ = MatrixFreeLocal.build(A_loc, jnp.asarray(cells), space.n_dofs, 8)
+    sys = DirichletSystem(op, mask)
+    x, info = cg(sys, sys.rhs(b, g), x0=g, rtol=1e-12, maxiter=2000)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
+
+
+def test_auxgrid_build_device_matches_host():
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+
+    nodes, cells, bnd = _device_mesh(12)
+    mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+    sys = DirichletSystem(A, jnp.asarray(space.boundary_dofs))
+    diag = sys.diagonal().astype(jnp.float32)
+
+    host = AuxGridPreconditioner.build(nodes, diag, grid_n=8,
+                                       bbox=((0, 0), (1, 1)))
+    dev = AuxGridPreconditioner.build_device(jnp.asarray(nodes), diag,
+                                             grid_n=8)
+    np.testing.assert_array_equal(np.asarray(dev.idx), np.asarray(host.idx))
+    # host computes weights in f64 then casts; device computes in f32
+    np.testing.assert_allclose(np.asarray(dev.w), np.asarray(host.w),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.dinv), np.asarray(host.dinv),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(dev.mg.datas[0]),
+                               np.asarray(host.mg.datas[0]), rtol=0, atol=0)
+    # and it preconditions: CG on the matrix-free operator with the device
+    # aux-grid converges h-independently-fast
+    A_loc = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    op, _ = MatrixFreeLocal.build(A_loc, jnp.asarray(cells), space.n_dofs, 8)
+    msys = DirichletSystem(op, jnp.asarray(space.boundary_dofs))
+    b = jnp.ones(space.n_dofs) * ~jnp.asarray(space.boundary_dofs)
+    pre = lambda r: dev(r.astype(jnp.float32)).astype(r.dtype)  # noqa: E731
+    x, info = cg(msys, b, M_inv=pre, rtol=1e-10, maxiter=60)
+    assert bool(info.converged)
+    assert int(info.iterations) < 40
