@@ -381,8 +381,24 @@ def main():
     else:
         out["general_path_skipped_s"] = round(elapsed(), 1)
 
+    # ---- 3b. flagship-scale general gather path (device-built mesh) -------
+    # genuine IRREGULAR TOPOLOGY at the full 10M-dof size: hash-flipped
+    # quad diagonals (node degrees 4..8) + jittered coordinates, generated
+    # ON DEVICE (host relay cannot ship a 10M-dof mesh); matrix-free ELL
+    # gather SpMV — the solver sees only opaque index arrays, no lattice
+    # knowledge anywhere — with a device-built aux-grid preconditioner.
+    if elapsed() < 1150 or small:
+        try:
+            out.update(_general_gather_metrics(small))
+        except Exception as e:  # noqa: BLE001
+            out["gen10m_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        out["gen10m_skipped_s"] = round(elapsed(), 1)
+    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
+                      "partial": True}), flush=True)
+
     # ---- 4. space-time Kronecker CG ---------------------------------------
-    if elapsed() < 1100 or small:
+    if elapsed() < 1400 or small:
         try:
             out.update(_space_time_metrics(small))
         except Exception as e:  # noqa: BLE001
@@ -602,6 +618,120 @@ def _general_path_metrics(small):
         "gen_aux_refined_solve_s": round(t_aux_refined, 3),
         "gen_aux_refined_true_rel_res": arrel_v,
         "gen_section_s": round(time.time() - t_sec, 1),
+    }
+
+
+def _general_gather_metrics(small):
+    """Flagship-size general path: genuinely irregular topology, fully on
+    device. The mesh (hash-flipped diagonals + jittered nodes) and the
+    element-local stiffness are generated on device; the operator action is
+    the matrix-free ELL gather SpMV (ops/matfree.py) — pure gathers over
+    opaque index arrays, exactly what an arbitrary imported mesh costs after
+    RCM banding; preconditioner = device-built aux-grid (ops/auxgrid.py).
+    Converged solve: f64 CG vectors + f64 fine operator + f32 aux V-cycle
+    (the mixed-precision scheme measured equivalent to all-f64). Runs after
+    the x64 flip; no pallas in this section."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+    from fdapde_core_tpu.ops.ell import build_ell_adjacency
+    from fdapde_core_tpu.ops.matfree import MatrixFreeLocal, p1_local_stiffness
+
+    t_sec = time.time()
+    n = 256 if small else 3200  # full: 10.25M dofs, 20.48M cells
+    n_dofs = (n + 1) ** 2
+    n_cells = 2 * n * n
+    MAXD = 8  # flipped-quad P1 meshes: node degrees are 4..8 exactly
+
+    @jax.jit
+    def build(amp):
+        nodes, cells, bnd = irregular_mesh_device(n, amp, dtype=jnp.float64)
+        A64 = p1_local_stiffness(nodes, cells)
+        return nodes, cells, bnd, A64, A64[0, 0, 0] + nodes[0, 0]
+
+    nodes, cells, bnd, A64, wb = build(jnp.float64(0.2))
+    float(wb)  # cold first-exec roulette absorbed here
+    t0 = time.time()
+    nodes, cells, bnd, A64, wb = build(jnp.float64(0.2))
+    float(wb)
+    t_build = time.time() - t0
+
+    @jax.jit
+    def adjacency(cells):
+        # one device argsort over the (C*3,) dof occurrences
+        adj, mask, over = build_ell_adjacency(cells, n_dofs, MAXD)
+        return adj, mask, over.astype(jnp.int32)
+
+    adj, mask8, over = adjacency(cells)
+    overflowed = int(over)
+    t0 = time.time()
+    adj, mask8, over = adjacency(cells)
+    int(over)
+    t_adj = time.time() - t0
+
+    op64 = MatrixFreeLocal(A64, cells, adj, mask8, n_dofs)
+    op32 = op64.astype(jnp.float32)
+
+    diag32 = jax.jit(
+        lambda op, bnd: DirichletSystem(op, bnd).diagonal().astype(jnp.float32)
+    )(op32, bnd)
+    t0 = time.time()
+    aux = AuxGridPreconditioner.build_device(nodes, diag32, grid_n=n)
+    float(aux.mg.datas[-1][0, 0, 0])
+    t_aux = time.time() - t0  # includes the GridMG compile (cold)
+
+    ITERS = 40
+
+    @jax.jit
+    def throughput(op32, bnd):
+        sys = DirichletSystem(op32, bnd)
+        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
+        x, info = cg(sys, b, rtol=0.0, maxiter=ITERS)  # fixed-iteration
+        return info.residual
+
+    r = throughput(op32, bnd)
+    float(r)  # warm
+    t0 = time.time()
+    r = throughput(op32, bnd)
+    float(r)
+    iters_per_s = ITERS / (time.time() - t0)
+
+    @jax.jit
+    def converged(op64, bnd, aux):
+        sys = DirichletSystem(op64, bnd)
+        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / (n * n)
+
+        def pre(rr):
+            return aux(rr.astype(jnp.float32)).astype(jnp.float64)
+
+        x, info = cg(sys, b, M_inv=pre, rtol=1e-9, maxiter=100)
+        res = b - sys(x)  # true residual, f64 fine operator
+        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
+        return x, info.iterations, rel
+
+    x, it, rel = converged(op64, bnd, aux)
+    float(rel)  # warm
+    t0 = time.time()
+    x, it, rel = converged(op64, bnd, aux)
+    itv, relv = int(it), float(rel)
+    t_solve = time.time() - t0
+
+    return {
+        "gen10m_n_dofs": n_dofs,
+        "gen10m_n_cells": n_cells,
+        "gen10m_build_assemble_s": round(t_build, 3),
+        "gen10m_adjacency_s": round(t_adj, 3),
+        "gen10m_adjacency_overflow": overflowed,
+        "gen10m_aux_setup_s": round(t_aux, 3),
+        "gen10m_cg_iters_per_s": round(iters_per_s, 2),
+        "gen10m_converged_solve_s": round(t_solve, 3),
+        "gen10m_converged_iters": itv,
+        "gen10m_converged_true_rel_res": relv,
+        "gen10m_section_s": round(time.time() - t_sec, 1),
     }
 
 

@@ -26,9 +26,11 @@ from .space_time import (
 from .sharded_driver import solve_elliptic_sharded
 from .structured import StructuredPoisson
 from .regression import SmoothingRegression
+from .matfree import MatrixFreePoisson
 
 __all__ = [
     "PDE",
+    "MatrixFreePoisson",
     "solve_semilinear",
     "SeparableOperator",
     "solve_space_time",
