@@ -44,11 +44,15 @@ class MatrixFreePoisson:
     """
 
     def __init__(self, nodes, cells, boundary, max_degree: int = 8,
-                 grid_n: int | None = None, bbox=((0.0, 0.0), (1.0, 1.0))):
+                 grid_n: int | None = None, bbox=((0.0, 0.0), (1.0, 1.0)),
+                 format: str = "ell"):
+        from ..ops.ell import ELLMatrix
+
         self.nodes = nodes
         self.cells = cells
         self.boundary = boundary
         self.n_dofs = nodes.shape[0]
+        self.format = format
 
         @jax.jit
         def build(nodes, cells):
@@ -57,19 +61,37 @@ class MatrixFreePoisson:
                                              max_degree)
             return op, over
 
-        self.op, over = build(nodes, cells)
+        mf, over = build(nodes, cells)
         self.adjacency_overflowed = bool(over)
         if self.adjacency_overflowed:
             raise ValueError(
                 f"a node exceeds max_degree={max_degree} cell incidences; "
                 "rebuild with a larger bound"
             )
-        self.op32 = self.op.astype(jnp.float32)
+        # the load_vector combine rides the adjacency regardless of format
+        self.adj, self.adj_mask = mf.adj, mf.adj_mask
+        if format == "ell":
+            # assembled row-ELL: ~1.6x fewer gathered elements per SpMV
+            E, overc = jax.jit(
+                lambda op: ELLMatrix.from_local(
+                    op.A_loc, op.dofs, op.adj, op.adj_mask, max_degree + 1
+                )
+            )(mf)
+            if bool(overc):
+                raise ValueError(
+                    f"a row exceeds {max_degree + 1} distinct columns; "
+                    "rebuild with a larger max_degree"
+                )
+            self.op = E
+        elif format == "matfree":
+            self.op = mf
+        else:
+            raise ValueError(format)
         self.system = DirichletSystem(self.op, boundary)
         diag32 = jax.jit(
             lambda op, bnd: DirichletSystem(op, bnd)
             .diagonal().astype(jnp.float32)
-        )(self.op32, boundary)
+        )(self.op, boundary)
         self.aux = AuxGridPreconditioner.build_device(
             nodes, diag32, grid_n=grid_n, bbox=bbox
         )
@@ -85,7 +107,7 @@ class MatrixFreePoisson:
         floc = jnp.broadcast_to(
             (area * f_cells / 3.0)[:, None], self.cells.shape
         ).reshape(-1)
-        gathered = floc[self.op.adj] * self.op.adj_mask.astype(floc.dtype)
+        gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
         return gathered.sum(axis=1)
 
     def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 100):

@@ -10,10 +10,11 @@ The hot paths of the framework (SURVEY.md §2.10 mapping):
 """
 
 from .closed_form import SYM_TO_FULL, p1_stiffness_2d_sym, pack_cell_axis
-from .ell import build_ell_adjacency, ell_spmv, local_matvec
+from .ell import ELLMatrix, build_ell_adjacency, ell_spmv, local_matvec
 from .matfree import MatrixFreeLocal, p1_local_stiffness
 
 __all__ = [
+    "ELLMatrix",
     "SYM_TO_FULL",
     "MatrixFreeLocal",
     "build_ell_adjacency",

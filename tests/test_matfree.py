@@ -92,6 +92,32 @@ def test_matfree_solve_matches_explicit():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
 
 
+def test_ell_matrix_from_local_matches_assembled():
+    from fdapde_core_tpu.ops.ell import ELLMatrix
+
+    nodes, cells, bnd = _device_mesh(9)
+    mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+
+    A_loc = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    op, _ = MatrixFreeLocal.build(A_loc, jnp.asarray(cells), space.n_dofs, 8)
+    E, over = ELLMatrix.from_local(op.A_loc, op.dofs, op.adj, op.adj_mask, 9)
+    assert not bool(over)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(space.n_dofs))
+    np.testing.assert_allclose(np.asarray(E @ x), np.asarray(A @ x),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(E.diagonal()),
+                               np.asarray(A.diagonal()), rtol=0, atol=1e-13)
+
+    # too-small column bound is detected, not silently wrong
+    _, over_small = ELLMatrix.from_local(op.A_loc, op.dofs, op.adj,
+                                         op.adj_mask, 4)
+    assert bool(over_small)
+
+
 def test_matrixfree_poisson_model():
     """Product-level driver: harmonic manufactured solution is exact (up to
     solver tolerance) since u = x + y is in the P1 space; and a forcing
@@ -121,6 +147,12 @@ def test_matrixfree_poisson_model():
     err = np.abs(np.asarray(x) - exact).max()
     assert err < 0.02  # O(h^2) at h ~ 1/24 with centroid quadrature
     assert int(it) < 40  # aux-grid keeps iterations h-independent-small
+
+    # the matrix-free format produces the same solution as assembled ELL
+    model_mf = MatrixFreePoisson(nodes, cells, bnd, max_degree=8, grid_n=n,
+                                 format="matfree")
+    x_mf, _, _ = model_mf.solve(b, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x_mf), np.asarray(x), atol=1e-9)
 
 
 def test_auxgrid_build_device_matches_host():
