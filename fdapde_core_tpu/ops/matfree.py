@@ -27,7 +27,7 @@ from .ell import build_ell_adjacency, ell_spmv
 __all__ = ["MatrixFreeLocal", "p1_local_stiffness"]
 
 
-def p1_local_stiffness(nodes, cells):
+def p1_local_stiffness(nodes, cells, kappa=None):
     """Batched P1 stiffness matrices (C, 3, 3) from device arrays.
 
     Closed-form physical gradients (adjugate of the affine map, matching
@@ -35,6 +35,10 @@ def p1_local_stiffness(nodes, cells):
     sign convention (operators/laplacian.h:37-44: the leading minus lives in
     the leaf, so the assembled entries are +grad.grad). jit-traceable; the
     only gather is the (C, 3) coordinate lookup.
+
+    kappa: optional per-cell scalar diffusivity (C,) — the piecewise-
+    constant form of the reference's space-varying Diffusion coefficient
+    (operators/diffusion.h:32-55) evaluated at cell centroids.
     """
     p = nodes[cells]  # (C, 3, 2)
     e0 = p[:, 1] - p[:, 0]
@@ -47,6 +51,8 @@ def p1_local_stiffness(nodes, cells):
     g0 = -(g1 + g2)
     g = jnp.stack([g0, g1, g2], axis=1)  # (C, 3, 2)
     area = 0.5 * jnp.abs(det)
+    if kappa is not None:
+        area = area * kappa
     return jnp.einsum("cin,cjn->cij", g, g) * area[:, None, None]
 
 

@@ -92,6 +92,15 @@ def test_matfree_solve_matches_explicit():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-9)
 
 
+def test_local_stiffness_kappa_scaling():
+    nodes, cells, bnd = _device_mesh(6)
+    A1 = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    kap = jnp.full(cells.shape[0], 2.5)
+    A2 = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells), kappa=kap)
+    np.testing.assert_allclose(np.asarray(A2), 2.5 * np.asarray(A1),
+                               rtol=1e-15, atol=0)
+
+
 def test_ell_matrix_from_local_matches_assembled():
     from fdapde_core_tpu.ops.ell import ELLMatrix
 
