@@ -17,6 +17,7 @@ __all__ = [
     "unit_interval_mesh",
     "unit_cube_mesh",
     "irregular_mesh_device",
+    "cube_mesh_device",
 ]
 
 
@@ -92,6 +93,69 @@ def irregular_mesh_device(n: int, amp=0.2, dtype=None):
         (nodes[:, 0] == 0.0) | (nodes[:, 0] == 1.0)
         | (nodes[:, 1] == 0.0) | (nodes[:, 1] == 1.0)
     )
+    return nodes, cells, on_bnd
+
+
+def cube_mesh_device(n: int, amp=0.2, dtype=None):
+    """Jittered Freudenthal tetrahedralization of [0,1]^3 ON DEVICE (jnp).
+
+    The 3D counterpart of `irregular_mesh_device` for the device-scale
+    general path: interior nodes displaced by +-amp/2 cells per coordinate
+    (deterministic hash). Topology is the conforming 6-tets-per-cube Kuhn
+    split of `unit_cube_mesh` (per-cube diagonal randomization would break
+    face conformity in 3D); geometry is fully irregular. Node-tet incidence
+    <= 24, node neighbors <= 14 (+self).
+
+    Returns (nodes (m^3, 3), cells (6 n^3, 4) int32, boundary (m^3,) bool).
+    """
+    import itertools
+
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.asarray(1.0).dtype
+    m = n + 1
+    gi = jnp.arange(m, dtype=dtype)[:, None, None]
+    gj = jnp.arange(m, dtype=dtype)[None, :, None]
+    gk = jnp.arange(m, dtype=dtype)[None, None, :]
+    interior = (
+        (gi > 0) & (gi < n) & (gj > 0) & (gj < n) & (gk > 0) & (gk < n)
+    ).astype(dtype)
+
+    def frac(h):
+        return h - jnp.floor(h) - 0.5
+
+    hx = jnp.sin(gi * 12.9898 + gj * 78.2330 + gk * 37.7190) * 43758.5453
+    hy = jnp.sin(gi * 39.4250 + gj * 11.1350 + gk * 83.1550) * 27183.1415
+    hz = jnp.sin(gi * 21.9898 + gj * 57.2330 + gk * 13.3730) * 31415.9265
+    X = (gi + frac(hx) * amp * interior) / n
+    Y = (gj + frac(hy) * amp * interior) / n + 0.0 * X
+    Z = (gk + frac(hz) * amp * interior) / n + 0.0 * X
+    nodes = jnp.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], axis=1)
+
+    ci = jnp.arange(n, dtype=jnp.int32)
+    base = (
+        ci[:, None, None] * (m * m) + ci[None, :, None] * m + ci[None, None, :]
+    ).reshape(-1)
+    step = (m * m, m, 1)
+
+    def parity(p):
+        return p in ((0, 1, 2), (1, 2, 0), (2, 0, 1))
+
+    blocks = []
+    for perm in itertools.permutations(range(3)):
+        v0 = base
+        v1 = v0 + step[perm[0]]
+        v2 = v1 + step[perm[1]]
+        v3 = v2 + step[perm[2]]
+        if parity(perm):
+            blocks.append(jnp.stack([v0, v1, v2, v3], axis=1))
+        else:  # odd permutation: swap two vertices -> positive orientation
+            blocks.append(jnp.stack([v0, v2, v1, v3], axis=1))
+    # cube-major interleave for gather locality
+    cells = jnp.stack(blocks, axis=1).reshape(-1, 4)
+
+    on_bnd = ((nodes == 0.0) | (nodes == 1.0)).any(axis=1)
     return nodes, cells, on_bnd
 
 

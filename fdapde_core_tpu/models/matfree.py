@@ -27,25 +27,31 @@ import jax.numpy as jnp
 
 from ..fem.solvers import DirichletSystem
 from ..linear_algebra.solvers import cg
-from ..ops.auxgrid import AuxGridPreconditioner
-from ..ops.matfree import MatrixFreeLocal, p1_local_stiffness
+from ..ops.auxgrid import AuxGridPreconditioner, AuxGridPreconditioner3D
+from ..ops.matfree import (
+    MatrixFreeLocal,
+    p1_local_stiffness,
+    p1_local_stiffness_3d,
+)
 
 __all__ = ["MatrixFreePoisson"]
 
 
 class MatrixFreePoisson:
-    """-Laplace u = f with Dirichlet data g, P1, arbitrary 2D triangulation.
+    """-Laplace u = f with Dirichlet data g, P1, arbitrary 2D triangulation
+    or 3D tetrahedralization (dispatched on nodes.shape[1]).
 
-    nodes (N, 2), cells (C, 3) int32, boundary (N,) bool — device arrays.
-    max_degree bounds the per-node cell incidence (8 covers quad-split
-    meshes; Delaunay meshes may need ~10-12 — `adjacency_overflowed` reports
-    a violated bound). grid_n sets the auxiliary preconditioner grid
-    (default ~sqrt(N)).
+    nodes (N, d), cells (C, d+1) int32, boundary (N,) bool — device arrays.
+    max_degree bounds the per-node cell incidence (8 covers 2D quad-split
+    meshes, 24 Freudenthal tet meshes; Delaunay may need more —
+    `adjacency_overflowed` reports a violated bound). grid_n sets the
+    auxiliary preconditioner grid (default ~N^(1/d)).
     """
 
-    def __init__(self, nodes, cells, boundary, max_degree: int = 8,
-                 grid_n: int | None = None, bbox=((0.0, 0.0), (1.0, 1.0)),
-                 format: str = "ell"):
+    def __init__(self, nodes, cells, boundary, max_degree: int | None = None,
+                 grid_n: int | None = None, bbox=None,
+                 format: str = "ell", max_cols: int | None = None,
+                 kappa=None):
         from ..ops.ell import ELLMatrix
 
         self.nodes = nodes
@@ -53,10 +59,23 @@ class MatrixFreePoisson:
         self.boundary = boundary
         self.n_dofs = nodes.shape[0]
         self.format = format
+        self.dim = nodes.shape[1]
+        if self.dim not in (2, 3):
+            raise ValueError(f"2D/3D only, got embedding dim {self.dim}")
+        stiffness = (
+            p1_local_stiffness if self.dim == 2 else p1_local_stiffness_3d
+        )
+        if max_degree is None:
+            max_degree = 8 if self.dim == 2 else 24
+        if max_cols is None:
+            # distinct columns per row: neighbors + self (15 = Freudenthal)
+            max_cols = max_degree + 1 if self.dim == 2 else 15
+        if bbox is None:
+            bbox = ((0.0,) * self.dim, (1.0,) * self.dim)
 
         @jax.jit
         def build(nodes, cells):
-            A64 = p1_local_stiffness(nodes, cells)
+            A64 = stiffness(nodes, cells, kappa=kappa)
             op, over = MatrixFreeLocal.build(A64, cells, self.n_dofs,
                                              max_degree)
             return op, over
@@ -74,13 +93,13 @@ class MatrixFreePoisson:
             # assembled row-ELL: ~1.6x fewer gathered elements per SpMV
             E, overc = jax.jit(
                 lambda op: ELLMatrix.from_local(
-                    op.A_loc, op.dofs, op.adj, op.adj_mask, max_degree + 1
+                    op.A_loc, op.dofs, op.adj, op.adj_mask, max_cols
                 )
             )(mf)
             if bool(overc):
                 raise ValueError(
-                    f"a row exceeds {max_degree + 1} distinct columns; "
-                    "rebuild with a larger max_degree"
+                    f"a row exceeds {max_cols} distinct columns; "
+                    "rebuild with a larger max_cols"
                 )
             self.op = E
         elif format == "matfree":
@@ -92,20 +111,34 @@ class MatrixFreePoisson:
             lambda op, bnd: DirichletSystem(op, bnd)
             .diagonal().astype(jnp.float32)
         )(self.op, boundary)
-        self.aux = AuxGridPreconditioner.build_device(
-            nodes, diag32, grid_n=grid_n, bbox=bbox
+        aux_cls = (
+            AuxGridPreconditioner if self.dim == 2 else AuxGridPreconditioner3D
         )
+        self.aux = aux_cls.build_device(nodes, diag32, grid_n=grid_n,
+                                        bbox=bbox)
 
     def load_vector(self, f_cells):
-        """P1 load b_i = sum_T area_T/3 * f(centroid_T) over incident cells
+        """P1 load b_i = sum_T |T|/(d+1) * f(centroid_T) over incident cells
         (1-point centroid quadrature — same order as the P1 interpolation;
         integrator.h:52-55 semantics). f_cells: (C,) forcing at centroids."""
         p = self.nodes[self.cells]
-        e0 = p[:, 1] - p[:, 0]
-        e1 = p[:, 2] - p[:, 0]
-        area = 0.5 * jnp.abs(e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0])
+        if self.dim == 2:
+            e0, e1 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]
+            meas = 0.5 * jnp.abs(e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0])
+        else:
+            b_, c_, d_ = (p[:, 1] - p[:, 0], p[:, 2] - p[:, 0],
+                          p[:, 3] - p[:, 0])
+            cxd = jnp.stack(
+                [
+                    c_[:, 1] * d_[:, 2] - c_[:, 2] * d_[:, 1],
+                    c_[:, 2] * d_[:, 0] - c_[:, 0] * d_[:, 2],
+                    c_[:, 0] * d_[:, 1] - c_[:, 1] * d_[:, 0],
+                ],
+                axis=1,
+            )
+            meas = jnp.abs((b_ * cxd).sum(axis=1)) / 6.0
         floc = jnp.broadcast_to(
-            (area * f_cells / 3.0)[:, None], self.cells.shape
+            (meas * f_cells / (self.dim + 1.0))[:, None], self.cells.shape
         ).reshape(-1)
         gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
         return gathered.sum(axis=1)

@@ -318,6 +318,85 @@ class AuxGridPreconditioner3D:
         return cls(jnp.asarray(idx), jnp.asarray(w).astype(free.dtype), dinv,
                    mg, omega, grid_n)
 
+    @classmethod
+    def build_device(cls, nodes, diag, grid_n: int | None = None,
+                     bbox=((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+                     omega: float = 0.5, coarse_n: int = 8, mg_nu: int = 2,
+                     dtype=None):
+        """Fully on-device 3D setup (see the 2D build_device). Box domains;
+        the auxiliary 7-point stencil is scaled by the grid spacing h (3D
+        FEM stiffness entries are O(h))."""
+        import numpy as np_  # noqa: N813 — host scalars only
+
+        from .grid3d import GridDIA3D
+        from .grid_mg3d import GridMG3D
+
+        n = nodes.shape[0]
+        if dtype is None:
+            dtype = jnp.float32
+        if grid_n is None:
+            grid_n = max(4, int(2 * round(n ** (1.0 / 3.0) / 2)))
+        m = grid_n + 1
+        lo = tuple(float(v) for v in bbox[0])
+        hi = tuple(float(v) for v in bbox[1])
+        span = tuple(h - l if h > l else 1.0 for l, h in zip(lo, hi))
+        h = float(sum(span) / 3.0) / grid_n
+        offs7 = (
+            (0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+            (0, 0, -1), (0, 0, 1),
+        )
+
+        @jax.jit
+        def setup(nodes, diag):
+            cells = []
+            fracs = []
+            for ax in range(3):
+                u = (nodes[:, ax].astype(dtype) - lo[ax]) / span[ax] * grid_n
+                cax = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, grid_n - 1)
+                cells.append(cax)
+                fracs.append(u - cax.astype(dtype))
+            corners, weights = [], []
+            for a in (0, 1):
+                for bb in (0, 1):
+                    for cc in (0, 1):
+                        corners.append(
+                            (cells[0] + a) * m * m
+                            + (cells[1] + bb) * m
+                            + (cells[2] + cc)
+                        )
+                        wa = fracs[0] if a else 1 - fracs[0]
+                        wb = fracs[1] if bb else 1 - fracs[1]
+                        wc = fracs[2] if cc else 1 - fracs[2]
+                        weights.append(wa * wb * wc)
+            idx = jnp.stack(corners, axis=1)
+            w = jnp.stack(weights, axis=1)
+            gid = jnp.arange(m)
+            int1d = (gid > 0) & (gid < grid_n)
+            free = (
+                int1d[:, None, None]
+                & int1d[None, :, None]
+                & int1d[None, None, :]
+            ).astype(dtype)
+            freep = jnp.pad(free, 1)
+            layers = [jnp.where(free > 0, 6.0 * h, 1.0).astype(dtype)]
+            for di, dj, dk in offs7[1:]:
+                layers.append(
+                    -h * free * jax.lax.slice(
+                        freep,
+                        (1 + di, 1 + dj, 1 + dk),
+                        (1 + di + m, 1 + dj + m, 1 + dk + m),
+                    )
+                )
+            d = diag.astype(dtype)
+            dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+            return idx, w, jnp.stack(layers), dinv
+
+        idx, w, data, dinv = setup(nodes, diag)
+        G = GridDIA3D(data, offs7, (m, m, m))
+        mg = GridMG3D.build(G, coarse_n=min(coarse_n, max(2, grid_n // 2)),
+                            nu=mg_nu)
+        return cls(idx, w, dinv, mg, omega, grid_n)
+
     def __call__(self, r):
         m = self.n_grid + 1
         rc = jax.ops.segment_sum(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .ell import build_ell_adjacency, ell_spmv
 
-__all__ = ["MatrixFreeLocal", "p1_local_stiffness"]
+__all__ = ["MatrixFreeLocal", "p1_local_stiffness", "p1_local_stiffness_3d"]
 
 
 def p1_local_stiffness(nodes, cells, kappa=None):
@@ -54,6 +54,43 @@ def p1_local_stiffness(nodes, cells, kappa=None):
     if kappa is not None:
         area = area * kappa
     return jnp.einsum("cin,cjn->cij", g, g) * area[:, None, None]
+
+
+def p1_local_stiffness_3d(nodes, cells, kappa=None):
+    """Batched P1 tetrahedral stiffness matrices (C, 4, 4).
+
+    Hat-function gradients in closed form (cross products of the edge
+    vectors — the 3x3 adjugate of simplex.h:184-195's affine map):
+    grad(lam_1) = (c x d)/det, cyclic, grad(lam_0) = -sum. Volume |det|/6.
+    Sign convention as in p1_local_stiffness.
+    """
+    p = nodes[cells]  # (C, 4, 3)
+    b = p[:, 1] - p[:, 0]
+    c = p[:, 2] - p[:, 0]
+    d = p[:, 3] - p[:, 0]
+
+    def cross(u, v):
+        return jnp.stack(
+            [
+                u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1],
+                u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2],
+                u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0],
+            ],
+            axis=1,
+        )
+
+    cxd = cross(c, d)
+    det = (b * cxd).sum(axis=1)
+    inv_det = 1.0 / det
+    g1 = cxd * inv_det[:, None]
+    g2 = cross(d, b) * inv_det[:, None]
+    g3 = cross(b, c) * inv_det[:, None]
+    g0 = -(g1 + g2 + g3)
+    g = jnp.stack([g0, g1, g2, g3], axis=1)  # (C, 4, 3)
+    vol = jnp.abs(det) / 6.0
+    if kappa is not None:
+        vol = vol * kappa
+    return jnp.einsum("cin,cjn->cij", g, g) * vol[:, None, None]
 
 
 @jax.tree_util.register_pytree_node_class

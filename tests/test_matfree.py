@@ -164,6 +164,51 @@ def test_matrixfree_poisson_model():
     np.testing.assert_allclose(np.asarray(x_mf), np.asarray(x), atol=1e-9)
 
 
+def test_matfree_3d_matches_assembled():
+    """Tet local stiffness + matrix-free operator vs the assembled sparse
+    path on a jittered device-generated Freudenthal mesh."""
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device
+
+    n = 4
+    nodes, cells, bnd = jax.jit(lambda a: cube_mesh_device(n, a))(0.2)
+    nodes_np, cells_np = np.asarray(nodes), np.asarray(cells)
+    mesh = Triangulation(nodes_np, cells_np.astype(np.int32), np.asarray(bnd))
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -fdm.laplacian())
+
+    from fdapde_core_tpu.ops.matfree import p1_local_stiffness_3d
+
+    A_loc = p1_local_stiffness_3d(nodes, cells)
+    op, over = MatrixFreeLocal.build(A_loc, cells, space.n_dofs, 24)
+    assert not bool(over)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(space.n_dofs))
+    np.testing.assert_allclose(np.asarray(op @ x), np.asarray(A @ x),
+                               rtol=0, atol=1e-12)
+
+    from fdapde_core_tpu.ops.ell import ELLMatrix
+
+    E, overc = ELLMatrix.from_local(op.A_loc, op.dofs, op.adj, op.adj_mask, 15)
+    assert not bool(overc)
+    np.testing.assert_allclose(np.asarray(E @ x), np.asarray(A @ x),
+                               rtol=0, atol=1e-12)
+
+
+def test_matrixfree_poisson_model_3d():
+    """3D product driver: harmonic manufactured solution is exact."""
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device
+    from fdapde_core_tpu.models import MatrixFreePoisson
+
+    n = 6
+    nodes, cells, bnd = jax.jit(lambda a: cube_mesh_device(n, a))(0.2)
+    model = MatrixFreePoisson(nodes, cells, bnd, grid_n=n)
+    g = nodes[:, 0] + 2 * nodes[:, 1] - nodes[:, 2]
+    x, it, rel = model.solve(jnp.zeros(model.n_dofs), g=g, rtol=1e-12,
+                             maxiter=200)
+    assert float(rel) < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(g), atol=1e-9)
+
+
 def test_auxgrid_build_device_matches_host():
     from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
 
