@@ -381,30 +381,32 @@ def main():
     else:
         out["general_path_skipped_s"] = round(elapsed(), 1)
 
-    # ---- 3b. flagship-scale general gather path (device-built mesh) -------
-    # genuine IRREGULAR TOPOLOGY at the full 10M-dof size: hash-flipped
-    # quad diagonals (node degrees 4..8) + jittered coordinates, generated
-    # ON DEVICE (host relay cannot ship a 10M-dof mesh); matrix-free ELL
-    # gather SpMV — the solver sees only opaque index arrays, no lattice
-    # knowledge anywhere — with a device-built aux-grid preconditioner.
-    if elapsed() < 1150 or small:
-        try:
-            out.update(_general_gather_metrics(small))
-        except Exception as e:  # noqa: BLE001
-            out["gen10m_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        out["gen10m_skipped_s"] = round(elapsed(), 1)
-    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
-                      "partial": True}), flush=True)
-
     # ---- 4. space-time Kronecker CG ---------------------------------------
-    if elapsed() < 1400 or small:
+    if elapsed() < 1100 or small:
         try:
             out.update(_space_time_metrics(small))
         except Exception as e:  # noqa: BLE001
             out["space_time_error"] = f"{type(e).__name__}: {e}"[:200]
     else:
         out["space_time_skipped_s"] = round(elapsed(), 1)
+    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
+                      "partial": True}), flush=True)
+
+    # ---- 5. flagship-scale general gather path (device-built mesh) --------
+    # genuine IRREGULAR TOPOLOGY at the full 10M-dof size: hash-flipped
+    # quad diagonals (node degrees 4..8) + jittered coordinates, generated
+    # ON DEVICE (host relay cannot ship a 10M-dof mesh); matrix-free /
+    # assembled-ELL gather SpMV — the solver sees only opaque index arrays,
+    # no lattice knowledge anywhere — with a device-built aux-grid
+    # preconditioner. Runs LAST: it is this round's new section, so a
+    # driver timeout can only cost these metrics (insurance line above).
+    if elapsed() < 1400 or small:
+        try:
+            out.update(_general_gather_metrics(small))
+        except Exception as e:  # noqa: BLE001
+            out["gen10m_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        out["gen10m_skipped_s"] = round(elapsed(), 1)
 
     out["bench_total_s"] = round(elapsed(), 1)
     print(json.dumps(out))

@@ -56,6 +56,8 @@ class ShardedPoisson:
         dtype=None,
         operator=None,
         preconditioner: str = "jacobi",
+        spmv: str = "segment",
+        max_degree: int | None = None,
     ):
         from ..pde.operators import laplacian
 
@@ -114,6 +116,39 @@ class ShardedPoisson:
         elif preconditioner != "jacobi":
             raise ValueError(preconditioner)
 
+        # scatter-free per-shard combine (ops/ell.py): each device holds the
+        # ELL incidence table of ITS OWN cell block over the replicated dof
+        # axis, so the partial SpMV is pure gathers — segment_sum's
+        # scatter-add serializes on TPU (BENCH_NOTES.md). One vmapped
+        # device build at init, sharded (S, n_dofs, K) over the mesh axis.
+        self.spmv = spmv
+        self._adj_d = self._adjmask_d = None
+        if spmv == "ell":
+            from ..ops.ell import build_ell_adjacency
+
+            if max_degree is None:
+                max_degree = int(
+                    np.bincount(self._dofs.reshape(-1),
+                                minlength=self.n_dofs).max()
+                )
+            dofs_blocks = jnp.asarray(
+                self._dofs.reshape(self.n_shards, self.block, nb)
+            )
+            adj, amask, over = jax.jit(
+                jax.vmap(
+                    lambda d: build_ell_adjacency(d, self.n_dofs, max_degree)
+                )
+            )(dofs_blocks)
+            if bool(over.any()):
+                raise ValueError(
+                    f"a dof exceeds max_degree={max_degree} incidences in "
+                    "its shard; rebuild with a larger bound"
+                )
+            self._adj_d = jax.device_put(adj, sh(P("shard")))
+            self._adjmask_d = jax.device_put(amask, sh(P("shard")))
+        elif spmv != "segment":
+            raise ValueError(spmv)
+
         self._assemble_jit = jax.jit(self._assemble)
         self._cg_jit = jax.jit(self._cg, static_argnames=("maxiter",))
         self._solve_jit = jax.jit(self._solve, static_argnames=("maxiter",))
@@ -170,34 +205,47 @@ class ShardedPoisson:
         return self._assemble_jit()
 
     # -- sharded CG ----------------------------------------------------------
-    def _spmv_local(self, A_loc, dofs, x, free):
+    def _spmv_local(self, A_loc, dofs, x, free, combine=None):
         """One shard's partial A@x with Dirichlet masking; psum'd by caller."""
         xf = x * free
         xe = xf[dofs]  # (B, nb) local gather
         ye = jnp.einsum("cij,cj->ci", A_loc, xe)
-        partial_y = jax.ops.segment_sum(
-            ye.reshape(-1), dofs.reshape(-1), self.n_dofs
-        )
-        return partial_y
+        if combine is None:
+            return jax.ops.segment_sum(
+                ye.reshape(-1), dofs.reshape(-1), self.n_dofs
+            )
+        return combine(ye.reshape(-1))
 
     def _cg(self, A_loc, b, g, rtol=1e-6, maxiter=200):
         """Preconditioned CG; runs inside shard_map, one psum per SpMV."""
         mesh = self.device_mesh
         bmask = self._bmask
         free = (~bmask).astype(b.dtype)
+        use_ell = self._adj_d is not None
 
-        def shard_fn(A_loc, dofs, b, g):
+        def shard_fn(A_loc, dofs, b, g, *ell):
+            if use_ell:
+                adj, amask = ell[0][0], ell[1][0]  # (1, n, K) shard blocks
+
+                def combine(ye_flat):
+                    gat = ye_flat[adj] * amask.astype(ye_flat.dtype)
+                    return gat.sum(axis=1)
+            else:
+                combine = None
+
             def Ax(x):
-                part = self._spmv_local(A_loc, dofs, x, free)
+                part = self._spmv_local(A_loc, dofs, x, free, combine)
                 y = jax.lax.psum(part, "shard")
                 return y * free + x * bmask
 
             # Jacobi diagonal (psum of local diag contributions)
-            diag_part = jax.ops.segment_sum(
-                jnp.einsum("cii->ci", A_loc).reshape(-1),
-                dofs.reshape(-1),
-                self.n_dofs,
-            )
+            dloc = jnp.einsum("cii->ci", A_loc).reshape(-1)
+            if use_ell:
+                diag_part = combine(dloc)
+            else:
+                diag_part = jax.ops.segment_sum(
+                    dloc, dofs.reshape(-1), self.n_dofs
+                )
             diag = jax.lax.psum(diag_part, "shard") * free + bmask
             inv_diag = 1.0 / jnp.where(jnp.abs(diag) > 0, diag, 1.0)
 
@@ -216,7 +264,9 @@ class ShardedPoisson:
             # A[:, bdofs] @ g (fem/solvers.py DirichletSystem.rhs)
             gm = g * bmask
             col_action = jax.lax.psum(
-                self._spmv_local(A_loc, dofs, gm, jnp.ones_like(free)), "shard"
+                self._spmv_local(A_loc, dofs, gm, jnp.ones_like(free),
+                                 combine),
+                "shard",
             )
             b_mod = (b - col_action) * free + gm
 
@@ -247,12 +297,14 @@ class ShardedPoisson:
             )
             return x, jnp.linalg.norm(r), k
 
+        extra = (self._adj_d, self._adjmask_d) if use_ell else ()
+        extra_specs = (P("shard"), P("shard")) if use_ell else ()
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P("shard"), P("shard"), P(), P()),
+            in_specs=(P("shard"), P("shard"), P(), P()) + extra_specs,
             out_specs=(P(), P(), P()),
-        )(A_loc, self._dofs_d, b, g)
+        )(A_loc, self._dofs_d, b, g, *extra)
 
     def cg(self, A_loc, b, g, rtol=1e-6, maxiter=200):
         return self._cg_jit(A_loc, b, g, rtol=rtol, maxiter=maxiter)

@@ -73,6 +73,26 @@ def test_sharded_1_vs_8_devices_identical():
     assert np.abs(sols[0] - sols[1]).max() < 1e-10
 
 
+def test_sharded_ell_spmv_matches_segment():
+    """Scatter-free per-shard ELL combine == segment_sum combine, on 1 and
+    8 devices (same solutions to solver tolerance)."""
+    mesh = unit_square_mesh(14)
+    import fdapde_core_tpu as fdm
+
+    pde = fdm.PDE(mesh, -fdm.laplacian(), forcing=lambda x: 2.0, order=1)
+    pde.init()
+    b = pde.force()
+    g = jnp.zeros(pde.n_dofs)
+    sols = []
+    for n_dev in (1, 8):
+        for spmv in ("segment", "ell"):
+            sp = ShardedPoisson(mesh, 1, make_device_mesh(n_dev), spmv=spmv)
+            x, _, _ = sp.solve(b, g, rtol=1e-13, maxiter=3000)
+            sols.append(np.asarray(x))
+    for s in sols[1:]:
+        assert np.abs(sols[0] - s).max() < 1e-10
+
+
 def test_sharded_assembly_matches_sparse():
     """Sharded local matrices scatter-summed == single-chip global matrix."""
     mesh = unit_square_mesh(6)
