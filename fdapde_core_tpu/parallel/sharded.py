@@ -116,6 +116,37 @@ class ShardedPoisson:
         elif preconditioner != "jacobi":
             raise ValueError(preconditioner)
 
+        # operator terms: constant coefficients close over the jit; space-
+        # varying ones (callables evaluated at quadrature nodes, or arrays
+        # in the reference's nq*cell+q forward protocol) become per-cell
+        # arrays permuted into SFC order and SHARDED with the cells
+        from ..fem.assembler import _KIND, prepare_coefficient
+        from ..pde.operators import BiLaplacian, Laplacian
+
+        self._terms = []  # (scale, kind, varying, const_or_slot)
+        coeff_arrays = []
+        for scale, leaf in self.operator.spatial_terms:
+            if isinstance(leaf, BiLaplacian):
+                raise ValueError("bilaplacian is SPLINE-only")
+            kind, ckind = _KIND[type(leaf)]
+            if isinstance(leaf, Laplacian):
+                varying, coeff = False, None
+            else:
+                cval = (
+                    leaf.K if kind == "diffusion"
+                    else leaf.b if kind == "advection" else leaf.c
+                )
+                varying, coeff = prepare_coefficient(self.space, cval, ckind)
+            if varying:
+                cperm = jnp.asarray(np.asarray(coeff)[perm], dtype=dtype)
+                coeff_arrays.append(
+                    jax.device_put(cperm, sh(P("shard")))
+                )
+                self._terms.append((scale, kind, True, len(coeff_arrays) - 1))
+            else:
+                self._terms.append((scale, kind, False, coeff))
+        self._coeffs_d = tuple(coeff_arrays)
+
         # scatter-free per-shard combine (ops/ell.py): each device holds the
         # ELL incidence table of ITS OWN cell block over the replicated dof
         # axis, so the partial SpMV is pure gathers — segment_sum's
@@ -154,51 +185,44 @@ class ShardedPoisson:
         self._solve_jit = jax.jit(self._solve, static_argnames=("maxiter",))
 
     # -- sharded local assembly ----------------------------------------------
-    def _local_matrices(self, nodes, cells, live):
+    def _local_matrices(self, nodes, cells, live, coeffs=()):
         """(B, nb, nb) local matrices of the operator, one shard's block.
 
-        Constant-coefficient operator terms only (space-varying coefficient
-        sharding is a planned extension); same weak forms as
-        fem/assembler.local_matrices.
+        Same weak forms as fem/assembler.local_matrices; space-varying
+        coefficients arrive as this shard's (B, nq, ...) blocks in `coeffs`
+        (slot order fixed at init).
         """
-        from ..fem.assembler import _KIND, local_matrices
+        from ..fem.assembler import local_matrices
         from ..geometry.affine import affine_maps
-        from ..pde.operators import BiLaplacian
 
         J, invJ, measure = affine_maps(nodes, cells)
         meff = measure * live
         nb = self.space.n_basis_per_cell
         out = jnp.zeros((cells.shape[0], nb, nb), dtype=nodes.dtype)
-        for scale, leaf in self.operator.spatial_terms:
-            if isinstance(leaf, BiLaplacian):
-                raise ValueError("bilaplacian is SPLINE-only")
-            kind, _ = _KIND[type(leaf)]
-            coeff = None
-            if kind == "diffusion":
-                coeff = jnp.asarray(leaf.K, nodes.dtype)
-            elif kind == "advection":
-                coeff = jnp.asarray(leaf.b, nodes.dtype)
-            elif kind == "reaction":
-                if callable(leaf.c):
-                    raise ValueError("sharded path supports constant coefficients")
-                coeff = jnp.asarray(leaf.c, nodes.dtype)
+        for scale, kind, varying, c in self._terms:
+            if varying:
+                coeff = coeffs[c]
+            else:
+                coeff = None if c is None else jnp.asarray(c, nodes.dtype)
             out = out + scale * local_matrices(
-                kind, coeff, False, self._phi, self._grad, self._w, invJ, meff
+                kind, coeff, varying, self._phi, self._grad, self._w, invJ,
+                meff,
             )
         return out
 
     def _assemble(self):
         mesh = self.device_mesh
 
-        def shard_fn(cells, live):
-            return self._local_matrices(self._nodes, cells, live)
+        def shard_fn(cells, live, *coeffs):
+            return self._local_matrices(self._nodes, cells, live, coeffs)
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P("shard"), P("shard")),
+            in_specs=(P("shard"), P("shard"))
+            + (P("shard"),) * len(self._coeffs_d),
             out_specs=P("shard"),
-        )(self._cells_d, self._live_d)
+        )(self._cells_d, self._live_d, *self._coeffs_d)
 
     def assemble(self):
         """Sharded local matrices (S*B, nb, nb); no communication."""

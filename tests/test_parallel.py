@@ -93,6 +93,27 @@ def test_sharded_ell_spmv_matches_segment():
         assert np.abs(sols[0] - s).max() < 1e-10
 
 
+def test_sharded_space_varying_coefficients():
+    """Callable (space-varying) reaction + advection coefficients shard with
+    the cells and reproduce the single-chip PDE solution."""
+    mesh = unit_square_mesh(10)
+    import fdapde_core_tpu as fdm
+
+    c = lambda x: 1.0 + x[..., 0] + 0.5 * x[..., 1]  # noqa: E731
+    op = -fdm.laplacian() + fdm.reaction(c)
+    pde = fdm.PDE(mesh, op, forcing=lambda x: 3.0, order=1)
+    g = jnp.zeros(pde.n_dofs)
+    pde.set_dirichlet_bc(np.zeros(pde.n_dofs))
+    pde.init()
+    pde.solve()
+    b = pde.force()
+
+    for n_dev in (1, 8):
+        sp = ShardedPoisson(mesh, 1, make_device_mesh(n_dev), operator=op)
+        x, _, _ = sp.solve(b, g, rtol=1e-13, maxiter=3000)
+        assert np.abs(np.asarray(x) - np.asarray(pde.solution())).max() < 1e-9
+
+
 def test_sharded_assembly_matches_sparse():
     """Sharded local matrices scatter-summed == single-chip global matrix."""
     mesh = unit_square_mesh(6)
