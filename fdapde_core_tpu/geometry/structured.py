@@ -17,6 +17,7 @@ __all__ = [
     "unit_interval_mesh",
     "unit_cube_mesh",
     "irregular_mesh_device",
+    "irregular_mesh_device_soa",
     "cube_mesh_device",
 ]
 
@@ -94,6 +95,51 @@ def irregular_mesh_device(n: int, amp=0.2, dtype=None):
         | (nodes[:, 1] == 0.0) | (nodes[:, 1] == 1.0)
     )
     return nodes, cells, on_bnd
+
+
+def irregular_mesh_device_soa(n: int, amp=0.2, dtype=None):
+    """`irregular_mesh_device` in SoA layout — the device-SCALE form.
+
+    Returns (x, y, c0, c1, c2, boundary): (N,) coordinate arrays and (C,)
+    corner-index arrays. Stacked (C, 3)/(N, 2) layouts tile-pad their minor
+    axis 42x in TPU HBM (BENCH_NOTES.md), which at 20M cells is a 21 GB
+    allocation — the large axis must be LAST/alone. Same mesh (identical
+    hashes/topology) as irregular_mesh_device.
+    """
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.asarray(1.0).dtype
+    m = n + 1
+    gi = jnp.arange(m, dtype=dtype)[:, None]
+    gj = jnp.arange(m, dtype=dtype)[None, :]
+    interior = ((gi > 0) & (gi < n) & (gj > 0) & (gj < n)).astype(dtype)
+    hx = jnp.sin(gi * 12.9898 + gj * 78.233) * 43758.5453
+    hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
+    X = (gi + (hx - jnp.floor(hx) - 0.5) * amp * interior) / n
+    Y = (gj + (hy - jnp.floor(hy) - 0.5) * amp * interior) / n + 0.0 * X
+    x, y = X.reshape(-1), Y.reshape(-1)
+    on_bnd = (x == 0.0) | (x == 1.0) | (y == 0.0) | (y == 1.0)
+
+    qi = jnp.arange(n, dtype=dtype)[:, None]
+    qj = jnp.arange(n, dtype=dtype)[None, :]
+    hq = jnp.sin(qi * 7.1312 + qj * 3.7177) * 15731.7431
+    flip = (hq - jnp.floor(hq)) < 0.5
+    a = (jnp.arange(n, dtype=jnp.int32)[:, None] * m
+         + jnp.arange(n, dtype=jnp.int32)[None, :])
+    b = a + m
+    # quad-major cell order t = 2*(i*n + j) + {0, 1}, matching
+    # irregular_mesh_device's stack(..., axis=2) interleave
+    t0 = (a, b, jnp.where(flip, b + 1, a + 1))
+    t1 = (
+        jnp.where(flip, a, b),
+        b + 1,
+        a + 1,
+    )
+    c0, c1, c2 = (
+        jnp.stack([u, v], axis=2).reshape(-1) for u, v in zip(t0, t1)
+    )
+    return x, y, c0, c1, c2, on_bnd
 
 
 def cube_mesh_device(n: int, amp=0.2, dtype=None):

@@ -37,8 +37,8 @@ class AuxGridPreconditioner:
     """z = omega * dinv * r + P V(P^T r); jittable pytree."""
 
     def __init__(self, idx, w, dinv, mg, omega, n_grid):
-        self.idx = idx  # (n, 4) int32 auxiliary grid node ids
-        self.w = w  # (n, 4) bilinear weights
+        self.idx = idx  # (4, n) int32 auxiliary grid node ids (SoA)
+        self.w = w  # (4, n) bilinear weights
         self.dinv = dinv  # (n,) inverse diagonal of the mesh operator
         self.mg = mg  # GridMG over the auxiliary stencil
         self.omega = omega
@@ -81,6 +81,8 @@ class AuxGridPreconditioner:
         frac = u - cell
         i0, j0 = cell[:, 0], cell[:, 1]
         fx, fy = frac[:, 0], frac[:, 1]
+        # SoA (4, n) layout: an (n, 4) device array lane-pads 4 -> 128
+        # (32x HBM at 10M nodes; BENCH_NOTES.md layout rules)
         idx = np.stack(
             [
                 i0 * m + j0,
@@ -88,11 +90,11 @@ class AuxGridPreconditioner:
                 i0 * m + (j0 + 1),
                 (i0 + 1) * m + (j0 + 1),
             ],
-            axis=1,
+            axis=0,
         ).astype(np.int32)
         w = np.stack(
             [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
-            axis=1,
+            axis=0,
         )
 
         # auxiliary operator: 5-point Laplacian stencil (FEM stiffness
@@ -152,10 +154,15 @@ class AuxGridPreconditioner:
         program and the Galerkin hierarchy by GridMG.build's own jit.
         Box domains only (grid_free = interior of the static `bbox` —
         pass the host `build` with grid_free="auto" for wilder domains).
+
+        nodes: (n, 2) array, or a (x, y) tuple of 1-D coordinate arrays —
+        REQUIRED at 10M+ scale, where an (n, 2) device layout lane-pads
+        2 -> 128 (64x HBM; BENCH_NOTES.md layout rules).
         """
         import numpy as np_  # noqa: N813 — host scalars only
 
-        n = nodes.shape[0]
+        soa = isinstance(nodes, (tuple, list))
+        n = nodes[0].shape[0] if soa else nodes.shape[0]
         if dtype is None:
             dtype = jnp.float32
         if grid_n is None:
@@ -168,8 +175,10 @@ class AuxGridPreconditioner:
 
         @jax.jit
         def setup(nodes, diag):
-            u0 = (nodes[:, 0].astype(dtype) - lo[0]) / span[0] * grid_n
-            u1 = (nodes[:, 1].astype(dtype) - lo[1]) / span[1] * grid_n
+            xs = nodes[0] if soa else nodes[:, 0]
+            ys = nodes[1] if soa else nodes[:, 1]
+            u0 = (xs.astype(dtype) - lo[0]) / span[0] * grid_n
+            u1 = (ys.astype(dtype) - lo[1]) / span[1] * grid_n
             i0 = jnp.clip(jnp.floor(u0).astype(jnp.int32), 0, grid_n - 1)
             j0 = jnp.clip(jnp.floor(u1).astype(jnp.int32), 0, grid_n - 1)
             fx = u0 - i0.astype(dtype)
@@ -181,11 +190,11 @@ class AuxGridPreconditioner:
                     i0 * m + (j0 + 1),
                     (i0 + 1) * m + (j0 + 1),
                 ],
-                axis=1,
+                axis=0,
             )
             w = jnp.stack(
                 [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
-                axis=1,
+                axis=0,
             )
             gid = jnp.arange(m)
             int1d = (gid > 0) & (gid < grid_n)
@@ -212,13 +221,13 @@ class AuxGridPreconditioner:
         m = self.n_grid + 1
         # P^T r: scatter the 4 bilinear weights per node onto the grid
         rc = jax.ops.segment_sum(
-            (self.w * r[:, None]).reshape(-1),
+            (self.w * r[None, :]).reshape(-1),
             self.idx.reshape(-1),
             m * m,
         )
         z_g = self.mg.v_cycle(rc)
         # P z_g: gather back
-        z = (z_g[self.idx] * self.w).sum(axis=1)
+        z = (z_g[self.idx] * self.w).sum(axis=0)
         return self.omega * self.dinv * r + z
 
 
@@ -228,8 +237,8 @@ class AuxGridPreconditioner3D:
     uniform (m, m, m) lattice + one GridMG3D V-cycle + damped Jacobi."""
 
     def __init__(self, idx, w, dinv, mg, omega, n_grid):
-        self.idx = idx  # (n, 8) int32
-        self.w = w  # (n, 8)
+        self.idx = idx  # (8, n) int32 (SoA)
+        self.w = w  # (8, n)
         self.dinv = dinv
         self.mg = mg  # GridMG3D
         self.omega = omega
@@ -278,8 +287,8 @@ class AuxGridPreconditioner3D:
                     wb = frac[:, 1] if b else 1 - frac[:, 1]
                     wc = frac[:, 2] if c else 1 - frac[:, 2]
                     weights.append(wa * wb * wc)
-        idx = np.stack(corners, axis=1).astype(np.int32)
-        w = np.stack(weights, axis=1)
+        idx = np.stack(corners, axis=0).astype(np.int32)  # SoA (8, n)
+        w = np.stack(weights, axis=0)
 
         # 7-point Laplacian stencil; 3D FEM stiffness entries scale like h,
         # so the auxiliary operator is scaled by the grid spacing
@@ -368,8 +377,8 @@ class AuxGridPreconditioner3D:
                         wb = fracs[1] if bb else 1 - fracs[1]
                         wc = fracs[2] if cc else 1 - fracs[2]
                         weights.append(wa * wb * wc)
-            idx = jnp.stack(corners, axis=1)
-            w = jnp.stack(weights, axis=1)
+            idx = jnp.stack(corners, axis=0)  # SoA (8, n)
+            w = jnp.stack(weights, axis=0)
             gid = jnp.arange(m)
             int1d = (gid > 0) & (gid < grid_n)
             free = (
@@ -400,8 +409,8 @@ class AuxGridPreconditioner3D:
     def __call__(self, r):
         m = self.n_grid + 1
         rc = jax.ops.segment_sum(
-            (self.w * r[:, None]).reshape(-1), self.idx.reshape(-1), m**3
+            (self.w * r[None, :]).reshape(-1), self.idx.reshape(-1), m**3
         )
         z_g = self.mg.v_cycle(rc)
-        z = (z_g.reshape(-1)[self.idx] * self.w).sum(axis=1)
+        z = (z_g.reshape(-1)[self.idx] * self.w).sum(axis=0)
         return self.omega * self.dinv * r + z

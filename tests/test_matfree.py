@@ -209,6 +209,58 @@ def test_matrixfree_poisson_model_3d():
     np.testing.assert_allclose(np.asarray(x), np.asarray(g), atol=1e-9)
 
 
+def test_soa_pipeline_matches_aos():
+    """The SoA device-scale pipeline (ops/matfree_soa.py) is bit-equivalent
+    to the AoS forms: mesh generator, matrix-free SpMV, diagonal, assembled
+    ELL."""
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.ops.ell import ELLMatrix
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+
+    n = 11
+    nodes, cells, bnd = _device_mesh(n)
+    x, y, c0, c1, c2, bnd2 = jax.jit(
+        lambda a: irregular_mesh_device_soa(n, a)
+    )(0.2)
+    np.testing.assert_array_equal(np.asarray(x), nodes[:, 0])
+    np.testing.assert_array_equal(np.asarray(y), nodes[:, 1])
+    np.testing.assert_array_equal(np.asarray(c0), cells[:, 0])
+    np.testing.assert_array_equal(np.asarray(c1), cells[:, 1])
+    np.testing.assert_array_equal(np.asarray(c2), cells[:, 2])
+    np.testing.assert_array_equal(np.asarray(bnd2), bnd)
+
+    n_dofs = nodes.shape[0]
+    A_loc = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells))
+    aos, _ = MatrixFreeLocal.build(A_loc, jnp.asarray(cells), n_dofs, 8)
+    soa, over = MatrixFreeSoA.build(x, y, c0, c1, c2, n_dofs, 8)
+    assert not bool(over)
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(n_dofs))
+    np.testing.assert_allclose(np.asarray(soa @ v), np.asarray(aos @ v),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(soa.diagonal()),
+                               np.asarray(aos.diagonal()), rtol=0, atol=1e-13)
+
+    E_aos, _ = ELLMatrix.from_local(aos.A_loc, aos.dofs, aos.adj,
+                                    aos.adj_mask, 9)
+    E_soa, overc = soa.to_ell(9)
+    assert not bool(overc)
+    np.testing.assert_allclose(np.asarray(E_soa @ v), np.asarray(E_aos @ v),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(E_soa.diagonal()),
+                               np.asarray(E_aos.diagonal()),
+                               rtol=0, atol=1e-13)
+
+    # and kappa parity
+    kap = jnp.asarray(rng.uniform(0.5, 2.0, cells.shape[0]))
+    A_k = p1_local_stiffness(jnp.asarray(nodes), jnp.asarray(cells), kap)
+    aos_k, _ = MatrixFreeLocal.build(A_k, jnp.asarray(cells), n_dofs, 8)
+    soa_k, _ = MatrixFreeSoA.build(x, y, c0, c1, c2, n_dofs, 8, kappa=kap)
+    np.testing.assert_allclose(np.asarray(soa_k @ v), np.asarray(aos_k @ v),
+                               rtol=0, atol=1e-12)
+
+
 def test_auxgrid_build_device_matches_host():
     from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
 
