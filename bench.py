@@ -3,30 +3,40 @@
 
 Full size matches the BASELINE.md north star: 10M dofs (20M cells).
 
-Prints ONE JSON line:
+Prints ONE final JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+plus cumulative insurance lines (`"partial": true`) after every group so a
+driver timeout can never erase completed sections.
 
-Sections (later ones are time-budgeted and skipped gracefully if the
-harness's first-execution latency roulette eats the budget):
-  1. structured:   Pallas assembly throughput, stencil CG iters/s (f32 +
-                   bf16-stencil), Galerkin-MG solve, f64-refined solve.
-  2. perturbed:    the UNSTRUCTURED-GEOMETRY headline — every interior node
-                   pseudo-randomly displaced (deterministic hash, +-0.1 h),
-                   general per-cell geometry assembled by the same fused
-                   kernel, variable-coefficient stencil solved by Galerkin-
-                   coarsened MIXED-PRECISION MG-CG (f64 vectors, f32
-                   V-cycle) to ~8e-9 true relative residual in <1 s.
-                   Rediscretization coarsening would be WRONG here; this
-                   exercises the Galerkin path.
-  3. general-path: genuine Delaunay topology (scipy) at ~0.5M dofs, host
-                   SA-AMG setup (linear_algebra/amg.py), AMG-PCG with
-                   gather-SpMV ON CHIP + f64 refinement — the
-                   arbitrary-mesh capability (Eigen SparseLU replacement,
-                   fem_linear_elliptic_solver.h:38-47) measured honestly.
-  4. space-time:   Kronecker system (T1 (x) S0 + T0 (x) S1) at 1M space
-                   dofs x 64 time knots: matrix-free CG throughput + a
-                   CONVERGED fast-diagonalization solve (n_t decoupled
-                   mixed-precision MG-CG space solves).
+SELF-DEFENDING STRUCTURE (round 3 — the round-2 official record was a
+degraded-worker artifact that poisoned every later section):
+  - the parent process never touches jax; each GROUP runs in its own
+    subprocess, so a TPU-worker crash in one group cannot cascade,
+  - every child measures achieved stream bandwidth FIRST (known healthy
+    floor ~630 GB/s on v5e); below 250 GB/s it is flagged
+    `degraded_worker`, below 120 it aborts so the parent can retry on a
+    fresh worker connection (one retry per group),
+  - children write their metrics to the out-file after EVERY stage, so a
+    mid-group crash still surfaces everything measured up to that point,
+  - per-stage achieved-GB/s fields (bytes-model / time) sit next to each
+    timing so a degraded worker is visible in the artifact itself.
+
+Groups (ordered; later ones are elapsed-gated at full size):
+  structured: Pallas fused assembly throughput, stencil CG iters/s (f32 +
+              bf16-stencil), Galerkin-MG solve, f64-refined solve; then the
+              PERTURBED-geometry variant (hash-displaced nodes, Galerkin
+              coarsening, mixed-precision MG-CG to ~8e-9 in <1 s).
+  general:    genuine Delaunay topology (scipy) at ~0.5M dofs, host SA-AMG
+              + aux-grid PCG with gather-SpMV ON CHIP + f64 refinement.
+  spacetime:  Kronecker system (T1 (x) S0 + T0 (x) S1) at 1M space dofs x
+              64 time knots: matrix-free CG throughput + a CONVERGED
+              fast-diagonalization solve.
+  gen10m:     flagship-scale ARBITRARY-TOPOLOGY path at 10.25M dofs, fully
+              on device, in the SoA layouts (cell/dof axis LAST — the AoS
+              (C,3,3)/(n,K) forms tile-pad ~42x in TPU HBM and killed the
+              round-2 compiles): matrix-free + assembled-ELL gather SpMV,
+              device-built aux-grid preconditioner, mixed-precision
+              converged solve.
 
 Design notes (learned on TPU v5e, BENCH_NOTES.md):
 - arrays keep the CELL/DOF axis LAST; generic gathers run near-scalar so
@@ -44,42 +54,198 @@ vs_baseline compares element-assembly throughput against an estimated
 (~1M elements/s/core serial, fem_assembler.h:79-110 => ~5e7 elements/s at
 perfect scaling; the reference publishes no numbers, BASELINE.md).
 
-Usage: python bench.py [--small]
+Usage: python bench.py [--small]            orchestrator (the driver entry)
+       python bench.py --group G --out F    one group, in-process (children)
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ["FDAPDE_TPU_X64"] = "0"  # f32 fast path on the chip
-# (x64 is flipped on mid-run, AFTER all pallas stages, for the f64-refined
-# metrics only: pallas index maps fail Mosaic lowering under x64)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
-
 BASELINE_ELEMENTS_PER_S = 5.0e7
 T_START = time.time()
+
+GROUPS = ("structured", "general", "spacetime", "gen10m")
+# elapsed() gate before STARTING a group (full size; --small runs all)
+GATES = {"structured": 10**9, "general": 1000, "spacetime": 1250, "gen10m": 1500}
+# wall cap per child process (cold first-exec roulette is 1..300 s/program)
+CAPS = {"structured": 1300, "general": 650, "spacetime": 700, "gen10m": 900}
+CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500, "gen10m": 500}
+
+DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
+ABORT_GBPS = 120.0  # r02's sick worker ran ~9x slow (~70 GB/s class)
 
 
 def elapsed():
     return time.time() - T_START
 
 
-def main():
-    small = "--small" in sys.argv
+# --------------------------------------------------------------------------
+# orchestrator (no jax in this process)
+# --------------------------------------------------------------------------
+
+
+TOTAL_BUDGET_S = 2600  # hard bound on orchestrator wall time
+
+
+def _run_group(group, small):
+    path = f"/tmp/fdapde_bench_{os.getpid()}_{group}.json"
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+    cmd = [sys.executable, "-u", __file__, "--group", group, "--out", path]
+    if small:
+        cmd.append("--small")
+    cap = (CAPS_SMALL if small else CAPS)[group]
+    cap = min(cap, max(120, TOTAL_BUDGET_S - elapsed()))
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=cap)
+        rc = p.returncode
+        tail = (p.stdout + "\n" + p.stderr).strip()[-400:]
+    except subprocess.TimeoutExpired as e:
+        rc = -9
+        tail = "group wall cap %ds exceeded: %s" % (
+            cap, ((e.stdout or b"") + (e.stderr or b""))[-200:])
+    res = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                res = json.load(f)
+        except (OSError, ValueError):
+            pass
+    err = None if rc == 0 else f"rc={rc}: {tail}"
+    return res, err
+
+
+def orchestrate(small):
+    out = {}
+    for group in GROUPS:
+        if not small and elapsed() > GATES[group]:
+            out[f"{group}_skipped_s"] = round(elapsed(), 1)
+            continue
+        res, err = _run_group(group, small)
+        # one retry on a fresh worker connection: crash, wall cap, or
+        # degraded-bandwidth flag (the r02 failure mode)
+        if err or res.get("degraded_worker"):
+            out[f"{group}_attempt1"] = (err or "degraded_worker")[:300]
+            if (small or elapsed() < GATES[group] + 200) and (
+                    elapsed() < TOTAL_BUDGET_S - 120):
+                res2, err2 = _run_group(group, small)
+                better = (not err2 and err) or (
+                    not err2 and not res2.get("degraded_worker"))
+                if better or len(res2) > len(res):
+                    res, err = res2, err2
+        if err:
+            out[f"{group}_error"] = err[:300]
+        out.update(res)
+        print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
+                          "partial": True}), flush=True)
+    out["bench_total_s"] = round(elapsed(), 1)
+    print(json.dumps(out))
+
+
+# --------------------------------------------------------------------------
+# child plumbing
+# --------------------------------------------------------------------------
+
+
+class Sink(dict):
+    """Metrics dict persisted to the out-file after every stage, so a
+    mid-group worker crash still surfaces everything measured so far."""
+
+    def __init__(self, path):
+        super().__init__()
+        self.path = path
+
+    def put(self, **kw):
+        self.update(kw)
+        if self.path:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(dict(self), f)
+            os.replace(tmp, self.path)
+
+
+def _health_probe(sink, prefix):
+    """Achieved fused-elementwise stream bandwidth (GB/s), minus the host
+    dispatch fence. Healthy v5e floor ~630; r02's sick worker ran ~70."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 64 * 1024 * 1024  # 256 MB f32
+    REPS = 50  # 25.6 GB of traffic: ~40 ms healthy, ~370 ms degraded
+
+    fence = jax.jit(lambda v: v + 1.0)
+    float(fence(jnp.float32(1.0)))
+    t0 = time.time()
+    for _ in range(3):
+        float(fence(jnp.float32(1.0)))
+    fence_s = (time.time() - t0) / 3
+
+    a = jnp.full((N,), 0.5, jnp.float32)
+
+    @jax.jit
+    def stream(c, s):
+        def body(_, c):
+            return c * jnp.float32(1.000000119) + s
+        return jnp.sum(jax.lax.fori_loop(0, REPS, body, c))
+
+    float(stream(a, jnp.float32(1e-9)))  # compile + warm
+    t0 = time.time()
+    float(stream(a, jnp.float32(2e-9)))
+    dt = max(time.time() - t0 - fence_s, 1e-4)
+    gbps = REPS * 8.0 * N / dt / 1e9
+    sink.put(**{prefix + "health_gbps": round(gbps, 1),
+                prefix + "host_fence_s": round(fence_s, 4)})
+    if gbps < DEGRADED_GBPS:
+        sink.put(degraded_worker=True)
+    return gbps
+
+
+def child_main(group, small, outpath):
+    # env must be set before jax import (the axon sitecustomize pins the
+    # platform; FDAPDE_TPU_X64 is read at package import)
+    os.environ["FDAPDE_TPU_X64"] = "0" if group == "structured" else "1"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
+    import jax
+
+    sink = Sink(outpath)
+    if group == "structured":
+        sink.put(device=str(jax.devices()[0]))
+    if jax.devices()[0].platform != "cpu":  # thresholds are TPU-calibrated
+        gbps = _health_probe(sink, "" if group == "structured" else group + "_")
+        if gbps < ABORT_GBPS:
+            sys.exit(3)  # parent retries on a fresh worker connection
+    fn = {
+        "structured": _structured_metrics,
+        "general": _general_path_metrics,
+        "spacetime": _space_time_metrics,
+        "gen10m": _general_gather_metrics,
+    }[group]
+    fn(small, sink)
+
+
+# --------------------------------------------------------------------------
+# group: structured (Pallas fused assembly + stencil solves) + perturbed
+# --------------------------------------------------------------------------
+
+
+def _structured_metrics(small, sink):
     # n divisible by 2^k so the multigrid hierarchy coarsens deeply
-    n = 256 if small else 3200  # 2 n^2 cells: 131k small, 20.5M full (10.2M dofs)
+    n = 256 if small else 3200  # 2 n^2 cells: 131k small, 20.5M full
 
     import jax
     import jax.numpy as jnp
 
     from fdapde_core_tpu.ops.grid_assembly import GRID_OFFSETS2D
     from fdapde_core_tpu.ops.grid_cg import grid_cg
-    from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg, _stencil
+    from fdapde_core_tpu.ops.grid_mg import GridMG, mg_preconditioned_cg
     from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix, prune_zero_offsets_grid
     from fdapde_core_tpu.ops.pallas_assembly import p1_stencil_layers_from_coords
 
-    out = {}
     dtype = jnp.float32
     m = n + 1
     n_dofs = m * m
@@ -88,14 +254,12 @@ def main():
     W_PAD = -(-(n + 1) // 128) * 128  # lane-padded coord columns
 
     def _mesh_coords(amp):
-        """Node coordinate PLANES (the round-2 assembly kernel input):
+        """Node coordinate PLANES (the fused assembly kernel input):
         X/Y (n+8, W) with node (i, j) at row i / lane j; interior nodes
         deterministically displaced by +-amp/2 cells (amp <= 0.2 keeps
-        every triangle non-degenerate: |d(det)| <= 8 eps h^2 for
-        per-coordinate displacement eps*h). amp is a TRACED argument: a
+        every triangle non-degenerate). amp is a TRACED argument: a
         nullary build would be constant-folded by XLA into a huge program
-        literal whose upload through the remote harness costs minutes.
-        """
+        literal whose upload through the remote harness costs minutes."""
         gi = jnp.arange(ROWS_PAD, dtype=dtype)[:, None]
         gj = jnp.arange(W_PAD, dtype=dtype)[None, :]
         interior = ((gi > 0) & (gi < n) & (gj > 0) & (gj < n)).astype(dtype)
@@ -104,8 +268,7 @@ def main():
         hy = jnp.sin(gi * 39.4250 + gj * 11.1350) * 27183.1415
         X = (gi + (hx - jnp.floor(hx) - 0.5) * amp * interior) / n
         Y = (gj + (hy - jnp.floor(hy) - 0.5) * amp * interior) / n + 0.0 * X
-        # min scaled cell det over live quads (validity witness): the two
-        # triangle types share det = (down x right') style 2x2 minors
+        # min scaled cell det over live quads (validity witness)
         dX, dY = X[1 : n + 1] - X[:n], Y[1 : n + 1] - Y[:n]
         rX, rY = X[:, 1:] - X[:, :-1], Y[:, 1:] - Y[:, :-1]
         detA = dX[:, :n] * rY[:n, :n] - rX[:n, :n] * dY[:, :n]
@@ -166,14 +329,12 @@ def main():
     # Execution fences: fetching an in-jit data-dependent scalar is the only
     # reliable fence on this harness (see module docstring).
 
-    # ---- 1. structured section -------------------------------------------
     t0 = time.time()
     X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
     t_build_cold = time.time() - t0  # includes remote first-exec latency
     # host-fence floor: single-call stage timings below cannot resolve finer
-    # than one jit-dispatch + scalar-fetch roundtrip (~25-30 ms on this
-    # harness); multi-rep in-jit loops (assembly) are immune
+    # than one jit-dispatch + scalar-fetch roundtrip (~25-30 ms)
     fence = jax.jit(lambda v: v + 1.0)
     float(fence(jnp.float32(1.0)))
     t0 = time.time()
@@ -184,6 +345,9 @@ def main():
     X, Y, on_bnd, mind = build(dtype(0.0))
     float(mind)
     t_build = time.time() - t0  # the honest on-device mesh build time
+    sink.put(device_mesh_build_s=round(t_build, 4),
+             device_mesh_build_cold_s=round(t_build_cold, 2),
+             host_fence_floor_s=round(fence_floor_s, 4))
 
     A6, w1 = assemble(X, Y)
     float(w1)  # materialize the planes for the stencil stage
@@ -194,6 +358,19 @@ def main():
     float(w)
     t_asm = (time.time() - t0) / ASM_REPS
     elements_per_s = n_cells / t_asm
+    # bytes model: 2 coord planes read + 7 stencil layers written per pass
+    asm_bytes = (2 * ROWS_PAD * W_PAD + 7 * (n + 16) * W_PAD) * 4
+    sink.put(
+        metric="p1_poisson_assembly_throughput",
+        value=round(elements_per_s, 1),
+        unit="elements/s",
+        vs_baseline=round(elements_per_s / BASELINE_ELEMENTS_PER_S, 3),
+        n_cells=n_cells,
+        n_dofs=n_dofs,
+        assembly_s=round(t_asm, 6),
+        assembly_gbps=round(asm_bytes / t_asm / 1e9, 1),
+        dtype="float32",
+    )
 
     D, w2 = to_stencil(A6)
     float(w2)
@@ -201,6 +378,7 @@ def main():
     D, w2 = to_stencil(A6)
     float(w2)
     t_dia = time.time() - t0
+    sink.put(dia_convert_s=round(t_dia, 6))
 
     free = (~on_bnd).astype(dtype)
     b = jnp.ones(n_dofs, dtype) * free
@@ -209,13 +387,20 @@ def main():
     float(wg)
     G = prune_zero_offsets_grid(G)  # 7 -> 5 layers (exact zeros only)
 
+    def cg_bytes(layers, itemsize=4):
+        # per iter: stencil layers + ~10 full vector passes (bytes model)
+        return (layers + 10) * n_dofs * itemsize
+
     run_cg = jax.jit(lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS))
     x, res = run_cg(G, b)
     float(res)  # compile + warmup
     t0 = time.time()
     x, res = run_cg(G, b)
     float(res)
-    cg_iters_per_s = CG_ITERS / (time.time() - t0)
+    t_cg_iter = (time.time() - t0) / CG_ITERS
+    sink.put(cg_iters_per_s=round(1.0 / t_cg_iter, 1),
+             cg_gbps=round(cg_bytes(len(G.offsets2d)) / t_cg_iter / 1e9, 1),
+             final_cg_residual=float(res))
 
     run_cg16 = jax.jit(
         lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS, data_dtype=jnp.bfloat16)
@@ -225,7 +410,8 @@ def main():
     t0 = time.time()
     x16, res16 = run_cg16(G, b)
     float(res16)
-    cg16_iters_per_s = CG_ITERS / (time.time() - t0)
+    sink.put(cg_bf16_data_iters_per_s=round(CG_ITERS / (time.time() - t0), 1),
+             final_cg_bf16_residual=float(res16))
 
     t0 = time.time()
     mg = GridMG.build(G, coarse_n=32)
@@ -249,8 +435,11 @@ def main():
         return jnp.abs((D @ jnp.ones(n_dofs, dtype)) * free).max()
 
     rowsum = float(check(D, free))
+    sink.put(mg_levels=mg.n_levels, mg_build_s=round(t_mg_build, 3),
+             mg_solve_s=round(t_mg, 3), mg_iters=mkv,
+             mg_true_rel_res_f32=mrelv, interior_rowsum_max=rowsum)
 
-    # ---- 2. perturbed-geometry (unstructured) section, f32 part ----------
+    # ---- perturbed-geometry (unstructured) section, f32 part --------------
     AMP = dtype(0.2)  # +-0.1 h per coordinate; guaranteed non-degenerate
     Xp, Yp, p_bnd, p_mind = build(AMP)
     p_min_det = float(p_mind)  # scaled by n^2: structured value = 1.0
@@ -261,7 +450,8 @@ def main():
     Gp, wgp = fold_bc(Dp, free)
     float(wgp)
     Gp = prune_zero_offsets_grid(Gp)  # generic geometry: nothing prunes
-    p_layers = len(Gp.offsets2d)
+    sink.put(unstr_n_dofs=n_dofs, unstr_min_cell_det=round(p_min_det, 4),
+             unstr_stencil_layers=len(Gp.offsets2d))
 
     t0 = time.time()
     mgp = GridMG.build(Gp, coarse_n=32)
@@ -279,6 +469,9 @@ def main():
     xp, prel, pk = run_mg_p(Gp, mgp, b)
     p_mg_rel, p_mg_iters = float(prel), int(pk)
     p_mg_solve_s = time.time() - t0
+    sink.put(unstr_mg_build_s=round(p_mg_build_s, 3),
+             unstr_mg_solve_s=round(p_mg_solve_s, 3),
+             unstr_mg_iters=p_mg_iters, unstr_mg_true_rel_res_f32=p_mg_rel)
 
     # CG iteration throughput on the 7-layer variable stencil
     run_cg_p = jax.jit(lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS))
@@ -287,7 +480,10 @@ def main():
     t0 = time.time()
     xpc, respc = run_cg_p(Gp, b)
     float(respc)
-    p_cg_iters_per_s = CG_ITERS / (time.time() - t0)
+    t_iter_p = (time.time() - t0) / CG_ITERS
+    sink.put(unstr_cg_iters_per_s=round(1.0 / t_iter_p, 1),
+             unstr_cg_gbps=round(
+                 cg_bytes(len(Gp.offsets2d)) / t_iter_p / 1e9, 1))
 
     # ---- x64 flip: f64-refined solves (no pallas beyond this point) ------
     jax.config.update("jax_enable_x64", True)
@@ -312,104 +508,21 @@ def main():
         return time.time() - t0, rrelv, rkv
 
     t_refined, rrelv, rkv = converged_solve(G, mg, b)
+    sink.put(mg_converged_solve_s=round(t_refined, 3),
+             mg_converged_iters=rkv, mg_converged_true_rel_res=rrelv)
     # Perturbed geometry: same mixed-precision converged solve (f64 CG
-    # vectors over f32-stored stencils, f32 V-cycle preconditioner) — 15
-    # iterations to ~8e-9 true rel res; iterative refinement is NOT usable
-    # here (f32 inner solves floor at ~4e-3 on rough coefficients).
+    # vectors over f32-stored stencils, f32 V-cycle preconditioner);
+    # iterative refinement is NOT usable here (f32 inner solves floor at
+    # ~4e-3 on rough coefficients).
     p_ref_s, p_ref_rel, p_ref_k = converged_solve(Gp, mgp, b)
+    sink.put(unstr_converged_solve_s=round(p_ref_s, 3),
+             unstr_converged_iters=p_ref_k,
+             unstr_converged_true_rel_res=p_ref_rel)
 
-    out.update(
-        {
-            "metric": "p1_poisson_assembly_throughput",
-            "value": round(elements_per_s, 1),
-            "unit": "elements/s",
-            "vs_baseline": round(elements_per_s / BASELINE_ELEMENTS_PER_S, 3),
-            "n_cells": n_cells,
-            "n_dofs": n_dofs,
-            "assembly_s": round(t_asm, 6),
-            "dia_convert_s": round(t_dia, 6),
-            "device_mesh_build_s": round(t_build, 4),
-            "device_mesh_build_cold_s": round(t_build_cold, 2),
-            "host_fence_floor_s": round(fence_floor_s, 4),
-            "cg_iters_per_s": round(cg_iters_per_s, 1),
-            "cg_bf16_data_iters_per_s": round(cg16_iters_per_s, 1),
-            "final_cg_residual": float(res),
-            "final_cg_bf16_residual": float(res16),
-            "mg_levels": mg.n_levels,
-            "mg_build_s": round(t_mg_build, 3),
-            "mg_solve_s": round(t_mg, 3),
-            "mg_iters": mkv,
-            "mg_true_rel_res_f32": mrelv,
-            "mg_converged_solve_s": round(t_refined, 3),
-            "mg_converged_iters": rkv,
-            "mg_converged_true_rel_res": rrelv,
-            "interior_rowsum_max": rowsum,
-            # unstructured-geometry headline (converged, end-to-end)
-            "unstr_n_dofs": n_dofs,
-            "unstr_min_cell_det": round(p_min_det, 4),
-            "unstr_stencil_layers": p_layers,
-            "unstr_cg_iters_per_s": round(p_cg_iters_per_s, 1),
-            "unstr_mg_build_s": round(p_mg_build_s, 3),
-            "unstr_mg_solve_s": round(p_mg_solve_s, 3),
-            "unstr_mg_iters": p_mg_iters,
-            "unstr_mg_true_rel_res_f32": p_mg_rel,
-            "unstr_converged_solve_s": round(p_ref_s, 3),
-            "unstr_converged_iters": p_ref_k,
-            "unstr_converged_true_rel_res": p_ref_rel,
-            "device": str(jax.devices()[0]),
-            "dtype": "float32",
-        }
-    )
-    # insurance: if a later section hits a driver timeout, this line still
-    # carries the headline + unstructured metrics (the final full JSON is
-    # printed at the end and supersedes it)
-    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
-                      "partial": True}), flush=True)
 
-    # free the ~10 GB of section-1/2 device arrays (stencils, hierarchies,
-    # f64 copies) before the later sections allocate: jax releases HBM on
-    # refcount drop, and the space-time section needs ~3 GB headroom
-    del A6, D, G, mg, Gp, mgp, X, Y, Xp, Yp, b
-    del x, x16, xm, xp, xpc
-
-    # ---- 3. general-path: Delaunay topology + SA-AMG on chip -------------
-    if elapsed() < 900 or small:
-        try:
-            out.update(_general_path_metrics(small))
-        except Exception as e:  # noqa: BLE001 — report, don't kill the JSON
-            out["general_path_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        out["general_path_skipped_s"] = round(elapsed(), 1)
-
-    # ---- 4. space-time Kronecker CG ---------------------------------------
-    if elapsed() < 1100 or small:
-        try:
-            out.update(_space_time_metrics(small))
-        except Exception as e:  # noqa: BLE001
-            out["space_time_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        out["space_time_skipped_s"] = round(elapsed(), 1)
-    print(json.dumps({**out, "bench_total_s": round(elapsed(), 1),
-                      "partial": True}), flush=True)
-
-    # ---- 5. flagship-scale general gather path (device-built mesh) --------
-    # genuine IRREGULAR TOPOLOGY at the full 10M-dof size: hash-flipped
-    # quad diagonals (node degrees 4..8) + jittered coordinates, generated
-    # ON DEVICE (host relay cannot ship a 10M-dof mesh); matrix-free /
-    # assembled-ELL gather SpMV — the solver sees only opaque index arrays,
-    # no lattice knowledge anywhere — with a device-built aux-grid
-    # preconditioner. Runs LAST: it is this round's new section, so a
-    # driver timeout can only cost these metrics (insurance line above).
-    if elapsed() < 1400 or small:
-        try:
-            out.update(_general_gather_metrics(small))
-        except Exception as e:  # noqa: BLE001
-            out["gen10m_error"] = f"{type(e).__name__}: {e}"[:200]
-    else:
-        out["gen10m_skipped_s"] = round(elapsed(), 1)
-
-    out["bench_total_s"] = round(elapsed(), 1)
-    print(json.dumps(out))
+# --------------------------------------------------------------------------
+# group: general (host Delaunay topology, SA-AMG + aux-grid on chip)
+# --------------------------------------------------------------------------
 
 
 def _host_p1_stiffness(nodes, cells):
@@ -417,7 +530,6 @@ def _host_p1_stiffness(nodes, cells):
     section must not issue eager device ops on the remote harness)."""
     import numpy as np
 
-    C = cells.shape[0]
     p = nodes[cells]  # (C, 3, 2)
     J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=2)
     det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
@@ -447,7 +559,7 @@ def _host_p1_stiffness(nodes, cells):
     return A
 
 
-def _general_path_metrics(small):
+def _general_path_metrics(small, sink):
     """Genuine unstructured topology at scale, general (gather-SpMV) solve
     path: host Delaunay + numpy assembly + SA-AMG setup; AMG-PCG + f64
     refinement ON CHIP."""
@@ -473,6 +585,7 @@ def _general_path_metrics(small):
     tri = Delaunay(pts)
     cells = tri.simplices.astype(np.int32)
     n = pts.shape[0]
+    sink.put(gen_n_dofs=n, gen_n_cells=int(cells.shape[0]))
 
     t0 = time.time()
     A = _host_p1_stiffness(pts, cells)
@@ -497,10 +610,13 @@ def _general_path_metrics(small):
     on_bnd = on_bnd[perm]
     pts_rcm = pts[perm]
     t_host_asm = time.time() - t0
+    sink.put(gen_host_assembly_s=round(t_host_asm, 3))
 
     t0 = time.time()
     mg = AMG.build(Am.astype(np.float32))
     t_amg_setup = time.time() - t0
+    sink.put(gen_amg_setup_s=round(t_amg_setup, 3), gen_amg_levels=mg.n_levels,
+             gen_amg_op_complexity=round(mg.operator_complexity(), 3))
 
     t0 = time.time()
     coo = Am.tocoo()
@@ -515,6 +631,7 @@ def _general_path_metrics(small):
     b = jnp.asarray(np.where(on_bnd, 0.0, 1.0 / (nx * nx)).astype(np.float32))
     jax.block_until_ready(b)
     t_upload = time.time() - t0
+    sink.put(gen_upload_s=round(t_upload, 2))
 
     from fdapde_core_tpu.linear_algebra.solvers import cg
 
@@ -529,33 +646,42 @@ def _general_path_metrics(small):
     x, it, res = solve(A32, mg, b)
     itv = int(it)
     t_solve = time.time() - t0
+    sink.put(gen_amg_pcg_iters=itv, gen_amg_pcg_solve_s=round(t_solve, 3))
 
     # f64 refinement wrapped around the f32 AMG-CG (true residual on chip)
     b64 = jnp.asarray(np.where(on_bnd, 0.0, 1.0 / (nx * nx)))
     A64 = SparseMatrix(A32.rows, A32.cols, vals64, Am.shape)
 
-    @jax.jit
-    def refined(A32, A64, mgm, b64):
-        bn2 = jnp.sum(b64 * b64)
+    def _refined(M, apply_fn):
+        # M is a PYTREE (AMG hierarchy / aux-grid) passed as a jit argument;
+        # apply_fn(M, v) applies the preconditioner inside the trace
+        @jax.jit
+        def refined(A32, A64, M, b64):
+            bn2 = jnp.sum(b64 * b64)
 
-        def body(k, s):
-            x, _ = s
-            r = b64 - A64 @ x
-            dx, _ = cg(A32, r.astype(jnp.float32), M_inv=mgm.v_cycle,
-                       rtol=1e-6, maxiter=40)
-            x = x + dx.astype(jnp.float64)
-            r2 = b64 - A64 @ x
-            return (x, jnp.sum(r2 * r2))
+            def body(k, s):
+                x, _ = s
+                r = b64 - A64 @ x
+                dx, _ = cg(A32, r.astype(jnp.float32),
+                           M_inv=lambda v: apply_fn(M, v),
+                           rtol=1e-6, maxiter=40)
+                x = x + dx.astype(jnp.float64)
+                r2 = b64 - A64 @ x
+                return (x, jnp.sum(r2 * r2))
 
-        x, rn2 = jax.lax.fori_loop(0, 3, body, (jnp.zeros_like(b64), bn2))
-        return x, jnp.sqrt(rn2 / bn2)
+            x, rn2 = jax.lax.fori_loop(0, 3, body, (jnp.zeros_like(b64), bn2))
+            return x, jnp.sqrt(rn2 / bn2)
 
-    xr, rrel = refined(A32, A64, mg, b64)
-    float(rrel)
-    t0 = time.time()
-    xr, rrel = refined(A32, A64, mg, b64)
-    rrelv = float(rrel)
-    t_refined = time.time() - t0
+        xr, rrel = refined(A32, A64, M, b64)
+        float(rrel)
+        t0 = time.time()
+        xr, rrel = refined(A32, A64, M, b64)
+        rrelv = float(rrel)
+        return time.time() - t0, rrelv
+
+    t_refined, rrelv = _refined(mg, lambda m, v: m.v_cycle(v))
+    sink.put(gen_refined_solve_s=round(t_refined, 3),
+             gen_refined_true_rel_res=rrelv)
 
     # auxiliary-grid preconditioner (ops/auxgrid.py): ~h-independent like
     # AMG but each application costs 8n gathered elements instead of a
@@ -566,6 +692,7 @@ def _general_path_metrics(small):
     t0 = time.time()
     aux = AuxGridPreconditioner.build(pts_rcm, A32.diagonal())
     t_aux_setup = time.time() - t0
+    sink.put(gen_aux_setup_s=round(t_aux_setup, 3))
 
     @jax.jit
     def solve_aux(A32, aux, b):
@@ -578,209 +705,20 @@ def _general_path_metrics(small):
     xa, ita, resa = solve_aux(A32, aux, b)
     ita_v = int(ita)
     t_aux_solve = time.time() - t0
+    sink.put(gen_aux_pcg_iters=ita_v, gen_aux_pcg_solve_s=round(t_aux_solve, 3))
 
-    @jax.jit
-    def refined_aux(A32, A64, aux, b64):
-        bn2 = jnp.sum(b64 * b64)
-
-        def body(k, s):
-            x, _ = s
-            r = b64 - A64 @ x
-            dx, _ = cg(A32, r.astype(jnp.float32), M_inv=aux,
-                       rtol=1e-6, maxiter=60)
-            x = x + dx.astype(jnp.float64)
-            r2 = b64 - A64 @ x
-            return (x, jnp.sum(r2 * r2))
-
-        x, rn2 = jax.lax.fori_loop(0, 3, body, (jnp.zeros_like(b64), bn2))
-        return x, jnp.sqrt(rn2 / bn2)
-
-    xar, arrel = refined_aux(A32, A64, aux, b64)
-    float(arrel)
-    t0 = time.time()
-    xar, arrel = refined_aux(A32, A64, aux, b64)
-    arrel_v = float(arrel)
-    t_aux_refined = time.time() - t0
-
-    return {
-        "gen_n_dofs": n,
-        "gen_n_cells": int(cells.shape[0]),
-        "gen_host_assembly_s": round(t_host_asm, 3),
-        "gen_amg_setup_s": round(t_amg_setup, 3),
-        "gen_amg_levels": mg.n_levels,
-        "gen_amg_op_complexity": round(mg.operator_complexity(), 3),
-        "gen_upload_s": round(t_upload, 2),
-        "gen_amg_pcg_iters": itv,
-        "gen_amg_pcg_solve_s": round(t_solve, 3),
-        "gen_refined_solve_s": round(t_refined, 3),
-        "gen_refined_true_rel_res": rrelv,
-        "gen_aux_setup_s": round(t_aux_setup, 3),
-        "gen_aux_pcg_iters": ita_v,
-        "gen_aux_pcg_solve_s": round(t_aux_solve, 3),
-        "gen_aux_refined_solve_s": round(t_aux_refined, 3),
-        "gen_aux_refined_true_rel_res": arrel_v,
-        "gen_section_s": round(time.time() - t_sec, 1),
-    }
+    t_aux_refined, arrel_v = _refined(aux, lambda m, v: m(v))
+    sink.put(gen_aux_refined_solve_s=round(t_aux_refined, 3),
+             gen_aux_refined_true_rel_res=arrel_v,
+             gen_section_s=round(time.time() - t_sec, 1))
 
 
-def _general_gather_metrics(small):
-    """Flagship-size general path: genuinely irregular topology, fully on
-    device. The mesh (hash-flipped diagonals + jittered nodes) and the
-    element-local stiffness are generated on device; the operator action is
-    the matrix-free ELL gather SpMV (ops/matfree.py) — pure gathers over
-    opaque index arrays, exactly what an arbitrary imported mesh costs after
-    RCM banding; preconditioner = device-built aux-grid (ops/auxgrid.py).
-    Converged solve: f64 CG vectors + f64 fine operator + f32 aux V-cycle
-    (the mixed-precision scheme measured equivalent to all-f64). Runs after
-    the x64 flip; no pallas in this section."""
-    import jax
-    import jax.numpy as jnp
-
-    from fdapde_core_tpu.fem.solvers import DirichletSystem
-    from fdapde_core_tpu.geometry.structured import irregular_mesh_device
-    from fdapde_core_tpu.linear_algebra.solvers import cg
-    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
-    from fdapde_core_tpu.ops.ell import build_ell_adjacency
-    from fdapde_core_tpu.ops.matfree import MatrixFreeLocal, p1_local_stiffness
-
-    t_sec = time.time()
-    n = 256 if small else 3200  # full: 10.25M dofs, 20.48M cells
-    n_dofs = (n + 1) ** 2
-    n_cells = 2 * n * n
-    MAXD = 8  # flipped-quad P1 meshes: node degrees are 4..8 exactly
-
-    @jax.jit
-    def build(amp):
-        nodes, cells, bnd = irregular_mesh_device(n, amp, dtype=jnp.float64)
-        A64 = p1_local_stiffness(nodes, cells)
-        return nodes, cells, bnd, A64, A64[0, 0, 0] + nodes[0, 0]
-
-    nodes, cells, bnd, A64, wb = build(jnp.float64(0.2))
-    float(wb)  # cold first-exec roulette absorbed here
-    t0 = time.time()
-    nodes, cells, bnd, A64, wb = build(jnp.float64(0.2))
-    float(wb)
-    t_build = time.time() - t0
-
-    @jax.jit
-    def adjacency(cells):
-        # one device argsort over the (C*3,) dof occurrences
-        adj, mask, over = build_ell_adjacency(cells, n_dofs, MAXD)
-        return adj, mask, over.astype(jnp.int32)
-
-    adj, mask8, over = adjacency(cells)
-    overflowed = int(over)
-    t0 = time.time()
-    adj, mask8, over = adjacency(cells)
-    int(over)
-    t_adj = time.time() - t0
-
-    op64 = MatrixFreeLocal(A64, cells, adj, mask8, n_dofs)
-    op32 = op64.astype(jnp.float32)
-
-    diag32 = jax.jit(
-        lambda op, bnd: DirichletSystem(op, bnd).diagonal().astype(jnp.float32)
-    )(op32, bnd)
-    t0 = time.time()
-    aux = AuxGridPreconditioner.build_device(nodes, diag32, grid_n=n)
-    float(aux.mg.datas[-1][0, 0, 0])
-    t_aux = time.time() - t0  # includes the GridMG compile (cold)
-
-    ITERS = 40
-
-    @jax.jit
-    def throughput(op32, bnd):
-        sys = DirichletSystem(op32, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
-        x, info = cg(sys, b, rtol=0.0, maxiter=ITERS)  # fixed-iteration
-        return info.residual
-
-    r = throughput(op32, bnd)
-    float(r)  # warm
-    t0 = time.time()
-    r = throughput(op32, bnd)
-    float(r)
-    iters_per_s = ITERS / (time.time() - t0)
-
-    # assembled row-ELL (ops/ell.ELLMatrix): one gather per nonzero per
-    # SpMV vs the matrix-free form's one per incidence PLUS one per local
-    # entry — ~1.6x fewer gathered elements; conversion is a one-time
-    # in-row sort + flat segment-sum on device
-    from fdapde_core_tpu.ops.ell import ELLMatrix
-
-    MAXC = 9  # distinct columns per row: degree <= 8 neighbors + self
-
-    @jax.jit
-    def to_ell(op):
-        E, over = ELLMatrix.from_local(
-            op.A_loc, op.dofs, op.adj, op.adj_mask, MAXC
-        )
-        return E, over.astype(jnp.int32)
-
-    E64, overe = to_ell(op64)
-    ell_overflow = int(overe)
-    t0 = time.time()
-    E64, overe = to_ell(op64)
-    int(overe)
-    t_ell = time.time() - t0
-    E32 = jax.jit(lambda E: E.astype(jnp.float32))(E64)
-    del op32  # A32 no longer needed (ELL carries the f32 operator)
-
-    @jax.jit
-    def throughput_ell(E32, bnd):
-        sys = DirichletSystem(E32, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
-        x, info = cg(sys, b, rtol=0.0, maxiter=ITERS)
-        return info.residual
-
-    r = throughput_ell(E32, bnd)
-    float(r)
-    t0 = time.time()
-    r = throughput_ell(E32, bnd)
-    float(r)
-    ell_iters_per_s = ITERS / (time.time() - t0)
-
-    del op64, A64  # the converged solve rides the assembled f64 ELL
-
-    @jax.jit
-    def converged(op64, bnd, aux):
-        sys = DirichletSystem(op64, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / (n * n)
-
-        def pre(rr):
-            return aux(rr.astype(jnp.float32)).astype(jnp.float64)
-
-        x, info = cg(sys, b, M_inv=pre, rtol=1e-9, maxiter=100)
-        res = b - sys(x)  # true residual, f64 fine operator
-        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
-        return x, info.iterations, rel
-
-    x, it, rel = converged(E64, bnd, aux)
-    float(rel)  # warm
-    t0 = time.time()
-    x, it, rel = converged(E64, bnd, aux)
-    itv, relv = int(it), float(rel)
-    t_solve = time.time() - t0
-
-    return {
-        "gen10m_n_dofs": n_dofs,
-        "gen10m_n_cells": n_cells,
-        "gen10m_build_assemble_s": round(t_build, 3),
-        "gen10m_adjacency_s": round(t_adj, 3),
-        "gen10m_adjacency_overflow": overflowed,
-        "gen10m_aux_setup_s": round(t_aux, 3),
-        "gen10m_matfree_cg_iters_per_s": round(iters_per_s, 2),
-        "gen10m_ell_convert_s": round(t_ell, 3),
-        "gen10m_ell_overflow": ell_overflow,
-        "gen10m_ell_cg_iters_per_s": round(ell_iters_per_s, 2),
-        "gen10m_converged_solve_s": round(t_solve, 3),
-        "gen10m_converged_iters": itv,
-        "gen10m_converged_true_rel_res": relv,
-        "gen10m_section_s": round(time.time() - t_sec, 1),
-    }
+# --------------------------------------------------------------------------
+# group: spacetime (Kronecker CG throughput + converged fast diagonalization)
+# --------------------------------------------------------------------------
 
 
-def _space_time_metrics(small):
+def _space_time_metrics(small, sink):
     """Kronecker space-time CG: R = T1 (x) S0 + T0 (x) S1 at n_t knots x
     m^2 space dofs, matrix-free (stencil per time slice + small time
     matmul). Mirrors the reference's Kronecker use
@@ -811,6 +749,8 @@ def _space_time_metrics(small):
     T1 = T1 / np.abs(np.diag(T1)).max()
     T0j = jnp.asarray(T0.astype(np.float32))
     T1j = jnp.asarray(T1.astype(np.float32))
+    sink.put(st_n_time=int(n_t), st_n_space=int(mst * mst),
+             st_unknowns=int(n_t * mst * mst))
 
     # space stencils of the uniform criss-cross P1 grid (closed form),
     # stiffness with Dirichlet identity fold; mass lumped (lumping.h:30)
@@ -898,24 +838,20 @@ def _space_time_metrics(small):
     relv = float(rel)
     t_cg = time.time() - t0
 
-    out = {
-        "st_n_time": int(n_t),
-        "st_n_space": int(mst * mst),
-        "st_unknowns": int(n_t * mst * mst),
-        "st_cg_iters_per_s": round(ST_ITERS / t_cg, 1),
+    sink.put(
+        st_cg_iters_per_s=round(ST_ITERS / t_cg, 1),
         # ITERATION-THROUGHPUT metric: f32 Jacobi-CG does not converge at
         # kappa(S1) ~ 4e6 (documented f32 floor); the convergent solve
         # follows below via fast diagonalization
-        "st_cg_rel_res_after": relv,
-        "st_cg_iters_timed": ST_ITERS,
-    }
+        st_cg_rel_res_after=relv,
+        st_cg_iters_timed=ST_ITERS,
+    )
     del x, b, args, diag, off, mass, free
-    out.update(_space_time_fdm_converged(T0, T1, mst, n_t))
-    out["st_section_s"] = round(time.time() - t_sec, 1)
-    return out
+    _space_time_fdm_converged(T0, T1, mst, n_t, sink)
+    sink.put(st_section_s=round(time.time() - t_sec, 1))
 
 
-def _space_time_fdm_converged(T0, T1, mst, n_t):
+def _space_time_fdm_converged(T0, T1, mst, n_t, sink):
     """CONVERGED space-time solve of R = T1 (x) S0 + T0 (x) S1 by fast
     diagonalization (models/space_time.solve_space_time_fdm semantics, here
     on grid stencils): host time eigenbasis -> n_t decoupled space systems
@@ -1045,12 +981,202 @@ def _space_time_fdm_converged(T0, T1, mst, n_t):
     Xs, rel, kmax, rmax = fdm_solve(A64, E64, As, Es, b, lamj, Zj)
     relv = float(rel)
     t_solve = time.time() - t0
-    return {
-        "st_fdm_solve_s": round(t_solve, 2),
-        "st_fdm_true_rel_res": relv,
-        "st_fdm_max_mode_iters": int(kmax),
-        "st_fdm_setup_s": round(time.time() - t0_sec - t_solve, 2),
-    }
+    sink.put(
+        st_fdm_solve_s=round(t_solve, 2),
+        st_fdm_true_rel_res=relv,
+        st_fdm_max_mode_iters=int(kmax),
+        st_fdm_setup_s=round(time.time() - t0_sec - t_solve, 2),
+    )
+
+
+# --------------------------------------------------------------------------
+# group: gen10m (flagship-scale general gather path, SoA layouts)
+# --------------------------------------------------------------------------
+
+
+def _general_gather_metrics(small, sink):
+    """Flagship-size general path: genuinely irregular topology, fully on
+    device, SoA LAYOUTS THROUGHOUT (ops/matfree_soa.py — the round-2 AoS
+    forms (C,3,3)/(n,K) tile-pad ~42x in TPU HBM and the full-size compile
+    died with exactly that). The mesh (hash-flipped diagonals + jittered
+    nodes) and the element-local stiffness are generated on device; the
+    operator action is the matrix-free / assembled-ELL gather SpMV over
+    opaque index arrays — exactly what an arbitrary imported mesh costs
+    after RCM banding; preconditioner = device-built aux-grid
+    (ops/auxgrid.py). Converged solve: f64 CG vectors + f64 fine operator +
+    f32 aux V-cycle (the mixed-precision scheme measured equivalent to
+    all-f64). Every stage is its own jit with its own sink flush so a
+    full-size compile failure is attributable."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+    from fdapde_core_tpu.ops.matfree_soa import (
+        MatrixFreeSoA,
+        build_adjacency_soa,
+        p1_offdiag_soa,
+    )
+
+    t_sec = time.time()
+    n = 256 if small else 3200  # full: 10.25M dofs, 20.48M cells
+    n_dofs = (n + 1) ** 2
+    n_cells = 2 * n * n
+    MAXD = 8  # flipped-quad P1 meshes: node degrees are 4..8 exactly
+    MAXC = 9  # distinct columns per row: degree <= 8 neighbors + self
+    sink.put(gen10m_n_dofs=n_dofs, gen10m_n_cells=n_cells,
+             gen10m_layout="soa")
+
+    # stage 1: device mesh (pure elementwise + iota; no gathers)
+    @jax.jit
+    def mesh(amp):
+        x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+            n, amp, dtype=jnp.float64
+        )
+        return x, y, c0, c1, c2, bnd, jnp.sum(x) + jnp.sum(c2)
+
+    x, y, c0, c1, c2, bnd, wm = mesh(jnp.float64(0.2))
+    float(wm)  # cold first-exec roulette absorbed here
+    t0 = time.time()
+    x, y, c0, c1, c2, bnd, wm = mesh(jnp.float64(0.2))
+    float(wm)
+    sink.put(gen10m_mesh_s=round(time.time() - t0, 3))
+
+    # stage 2: element-local stiffness (6 coordinate gathers of (C,))
+    @jax.jit
+    def offdiag(x, y, c0, c1, c2):
+        s01, s02, s12 = p1_offdiag_soa(x, y, c0, c1, c2)
+        s = jnp.stack([s01, s02, s12])
+        return s, jnp.sum(s[:, :8])
+
+    s, ws = offdiag(x, y, c0, c1, c2)
+    float(ws)
+    t0 = time.time()
+    s, ws = offdiag(x, y, c0, c1, c2)
+    float(ws)
+    sink.put(gen10m_local_assembly_s=round(time.time() - t0, 3))
+
+    # stage 3: ELL incidence table (one device argsort over (3C,))
+    @jax.jit
+    def adjacency(c0, c1, c2):
+        flat = jnp.concatenate([c0, c1, c2])  # slot-major: p = slot*C + cell
+        adj, mask, over = build_adjacency_soa(flat, n_dofs, MAXD)
+        return adj, mask, over.astype(jnp.int32)
+
+    adj, mask8, over = adjacency(c0, c1, c2)
+    overflowed = int(over)
+    t0 = time.time()
+    adj, mask8, over = adjacency(c0, c1, c2)
+    int(over)
+    sink.put(gen10m_adjacency_s=round(time.time() - t0, 3),
+             gen10m_adjacency_overflow=overflowed)
+
+    c = jnp.stack([c0, c1, c2])
+    op64 = MatrixFreeSoA(s, c, adj, mask8, n_dofs)
+    op32 = op64.astype(jnp.float32)
+
+    ITERS = 40
+
+    # stage 4: matrix-free CG iteration throughput (f32)
+    @jax.jit
+    def throughput(op32, bnd):
+        sys_ = DirichletSystem(op32, bnd)
+        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
+        x, info = cg(sys_, b, rtol=0.0, maxiter=ITERS)  # fixed-iteration
+        return info.residual
+
+    r = throughput(op32, bnd)
+    float(r)  # warm
+    t0 = time.time()
+    r = throughput(op32, bnd)
+    float(r)
+    sink.put(gen10m_matfree_cg_iters_per_s=round(
+        ITERS / (time.time() - t0), 2))
+
+    # stage 5: assembled row-ELL (SoA (K, n)): one gather per nonzero per
+    # SpMV vs the matrix-free form's one per incidence PLUS one per local
+    # entry — ~1.6x fewer gathered elements
+    @jax.jit
+    def to_ell(op):
+        E, over = op.to_ell(MAXC)
+        return E, over.astype(jnp.int32)
+
+    E64, overe = to_ell(op64)
+    ell_overflow = int(overe)
+    t0 = time.time()
+    E64, overe = to_ell(op64)
+    int(overe)
+    sink.put(gen10m_ell_convert_s=round(time.time() - t0, 3),
+             gen10m_ell_overflow=ell_overflow)
+    E32 = jax.jit(lambda E: E.astype(jnp.float32))(E64)
+    del op32, s  # the f32 operator rides the assembled ELL from here
+
+    @jax.jit
+    def throughput_ell(E32, bnd):
+        sys_ = DirichletSystem(E32, bnd)
+        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
+        x, info = cg(sys_, b, rtol=0.0, maxiter=ITERS)
+        return info.residual
+
+    r = throughput_ell(E32, bnd)
+    float(r)
+    t0 = time.time()
+    r = throughput_ell(E32, bnd)
+    float(r)
+    t_iter = (time.time() - t0) / ITERS
+    # bytes model: vals+cols+gathered x per nonzero + ~10 vector passes
+    ell_bytes = (MAXC * 12 + 10 * 4) * n_dofs
+    sink.put(gen10m_ell_cg_iters_per_s=round(1.0 / t_iter, 2),
+             gen10m_ell_gbps=round(ell_bytes / t_iter / 1e9, 1))
+
+    # stage 6: device-built aux-grid preconditioner (SoA (x, y) nodes)
+    diag32 = jax.jit(
+        lambda op, bnd: DirichletSystem(op, bnd).diagonal().astype(jnp.float32)
+    )(E32, bnd)
+    t0 = time.time()
+    aux = AuxGridPreconditioner.build_device((x, y), diag32, grid_n=n)
+    float(aux.mg.datas[-1][0, 0, 0])
+    sink.put(gen10m_aux_setup_s=round(time.time() - t0, 3))
+
+    # stage 7: converged mixed-precision solve (f64 ELL + f32 aux V-cycle)
+    @jax.jit
+    def converged(op64, bnd, aux):
+        sys_ = DirichletSystem(op64, bnd)
+        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / (n * n)
+
+        def pre(rr):
+            return aux(rr.astype(jnp.float32)).astype(jnp.float64)
+
+        xx, info = cg(sys_, b, M_inv=pre, rtol=1e-9, maxiter=100)
+        res = b - sys_(xx)  # true residual, f64 fine operator
+        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
+        return xx, info.iterations, rel
+
+    xc, it, rel = converged(E64, bnd, aux)
+    float(rel)  # warm
+    t0 = time.time()
+    xc, it, rel = converged(E64, bnd, aux)
+    itv, relv = int(it), float(rel)
+    sink.put(gen10m_converged_solve_s=round(time.time() - t0, 3),
+             gen10m_converged_iters=itv,
+             gen10m_converged_true_rel_res=relv,
+             gen10m_section_s=round(time.time() - t_sec, 1))
+
+
+# --------------------------------------------------------------------------
+
+
+def main():
+    argv = sys.argv[1:]
+    small = "--small" in argv
+    if "--group" in argv:
+        group = argv[argv.index("--group") + 1]
+        out = argv[argv.index("--out") + 1] if "--out" in argv else None
+        child_main(group, small, out)
+    else:
+        orchestrate(small)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,8 @@ aux-grid + CG pair replaces Eigen SparseLU as the scalable solve.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,9 +45,9 @@ class MatrixFreePoisson:
 
     nodes (N, d), cells (C, d+1) int32, boundary (N,) bool — device arrays.
     max_degree bounds the per-node cell incidence (8 covers 2D quad-split
-    meshes, 24 Freudenthal tet meshes; Delaunay may need more —
-    `adjacency_overflowed` reports a violated bound). grid_n sets the
-    auxiliary preconditioner grid (default ~N^(1/d)).
+    meshes, 24 Freudenthal tet meshes; Delaunay may need more — a violated
+    bound raises ValueError at construction). grid_n sets the auxiliary
+    preconditioner grid (default ~N^(1/d)).
     """
 
     def __init__(self, nodes, cells, boundary, max_degree: int | None = None,
@@ -73,16 +75,18 @@ class MatrixFreePoisson:
         if bbox is None:
             bbox = ((0.0,) * self.dim, (1.0,) * self.dim)
 
-        @jax.jit
-        def build(nodes, cells):
-            A64 = stiffness(nodes, cells, kappa=kappa)
+        # kappa enters as a TRACED argument (a closed-over array would be
+        # baked in as a compile-time constant, one compile per kappa)
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def build(nodes, cells, kappa, has_kappa):
+            A64 = stiffness(nodes, cells, kappa=kappa if has_kappa else None)
             op, over = MatrixFreeLocal.build(A64, cells, self.n_dofs,
                                              max_degree)
             return op, over
 
-        mf, over = build(nodes, cells)
-        self.adjacency_overflowed = bool(over)
-        if self.adjacency_overflowed:
+        kap = jnp.zeros((0,)) if kappa is None else kappa
+        mf, over = build(nodes, cells, kap, kappa is not None)
+        if bool(over):
             raise ValueError(
                 f"a node exceeds max_degree={max_degree} cell incidences; "
                 "rebuild with a larger bound"
@@ -148,20 +152,29 @@ class MatrixFreePoisson:
         relative residual) — all device scalars (fetch to fence)."""
         if g is None:
             g = jnp.zeros_like(b)
-
-        @jax.jit
-        def run(op, bnd, aux, b, g):
-            sys = DirichletSystem(op, bnd)
-
-            def pre(r):
-                return aux(r.astype(jnp.float32)).astype(r.dtype)
-
-            b_mod = sys.rhs(b, g)
-            x0 = jnp.where(bnd, g, 0.0)
-            x, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
-                         maxiter=maxiter)
-            res = b_mod - sys(x)
-            rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
-            return x, info.iterations, rel
-
+        run = _solve_fn(float(rtol), int(maxiter))
         return run(self.op, self.boundary, self.aux, b, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _solve_fn(rtol: float, maxiter: int):
+    """Module-level jit cache: a fresh closure per solve() call would
+    retrace/recompile every time (30-60 s each on the remote-TPU harness);
+    op/aux are pytrees, so one compile serves all same-shaped solves."""
+
+    @jax.jit
+    def run(op, bnd, aux, b, g):
+        sys = DirichletSystem(op, bnd)
+
+        def pre(r):
+            return aux(r.astype(jnp.float32)).astype(r.dtype)
+
+        b_mod = sys.rhs(b, g)
+        x0 = jnp.where(bnd, g, 0.0)
+        x, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
+                     maxiter=maxiter)
+        res = b_mod - sys(x)
+        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
+        return x, info.iterations, rel
+
+    return run

@@ -181,8 +181,11 @@ class AuxGridPreconditioner:
             u1 = (ys.astype(dtype) - lo[1]) / span[1] * grid_n
             i0 = jnp.clip(jnp.floor(u0).astype(jnp.int32), 0, grid_n - 1)
             j0 = jnp.clip(jnp.floor(u1).astype(jnp.int32), 0, grid_n - 1)
-            fx = u0 - i0.astype(dtype)
-            fy = u1 - j0.astype(dtype)
+            # nodes outside the static bbox land on clipped cells; clamping
+            # the fractions keeps the bilinear weights in [0,1] (P stays
+            # well-formed — nearest-cell interpolation for outliers)
+            fx = jnp.clip(u0 - i0.astype(dtype), 0.0, 1.0)
+            fy = jnp.clip(u1 - j0.astype(dtype), 0.0, 1.0)
             idx = jnp.stack(
                 [
                     i0 * m + j0,
@@ -363,7 +366,8 @@ class AuxGridPreconditioner3D:
                 u = (nodes[:, ax].astype(dtype) - lo[ax]) / span[ax] * grid_n
                 cax = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, grid_n - 1)
                 cells.append(cax)
-                fracs.append(u - cax.astype(dtype))
+                # clamp: out-of-bbox nodes keep weights in [0,1] (see 2D)
+                fracs.append(jnp.clip(u - cax.astype(dtype), 0.0, 1.0))
             corners, weights = [], []
             for a in (0, 1):
                 for bb in (0, 1):

@@ -1,0 +1,207 @@
+"""Banded-DIA + ELL-remainder split of assembled general sparse operators.
+
+Generic gathers on TPU run near-scalar (~64M-1.5G elem/s; BENCH_NOTES.md)
+while static 2D-grid stencil shifts run at memory bandwidth (~630 GB/s) —
+a ~6x CG-iteration gap between the assembled-ELL general path and the
+structured GridDIA path at 10M dofs. This module closes most of that gap
+for BANDED matrices (any matrix after RCM reordering, parallel/reorder.py)
+without assuming anything about the mesh:
+
+1. Measure the flat offset histogram d = col - row of an assembled ELLSoA.
+2. Pick a reshape width W = the dominant |offset| beyond the lane range.
+   Viewing x as an (R, W) grid (R = ceil(n/W)), every flat offset
+   d = a*W + b with small (a, b) becomes a STATIC 2D stencil shift —
+   exactly the GridDIAMatrix form, served by slices at memory bandwidth.
+3. Entries whose (a, b) fall outside the chosen stencil window, or whose
+   lane position wraps (j + b outside [0, W)), stay in a small ELL
+   REMAINDER evaluated by gathers.
+
+For an RCM-banded FEM matrix the dominant offsets hug the bandwidth, so
+the stencil window captures ~all entries and the remainder is O(R) lane-
+wrap entries per layer. The split is exact: DIA part + remainder == the
+input operator, verified by `tests/test_dia_split.py`.
+
+Reference anchor: this is the TPU-idiomatic replacement for the assembled
+CSR SpMV feeding Eigen's iterative solvers on arbitrary meshes
+(fem_assembler.h:99-118 assembled operator; SpMV is the CG hot loop that
+replaces SparseLU, fem_linear_elliptic_solver.h:38-47).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .grid_dia import GridDIAMatrix
+from .grid_cg import stencil_matvec_padded
+from .matfree_soa import ELLSoA
+
+__all__ = ["BandedSplit", "plan_split_width", "build_banded_split",
+           "banded_cg"]
+
+
+def plan_split_width(E: ELLSoA, bmax: int = 1, min_frac: float = 0.02,
+                     max_hist: int = 1 << 24):
+    """Choose the reshape width W from the offset histogram (host fetch).
+
+    Returns (W, amax) or (None, 0) when the matrix has no dominant band
+    (stay with plain ELL). The two host fetches are one scalar and one
+    (2B+1,) count vector — B is the matrix bandwidth, tiny after RCM.
+    """
+    import numpy as np
+
+    n = E.shape[0]
+    rows = jnp.arange(n, dtype=E.cols.dtype)[None, :]
+    d = E.cols - rows
+    B = int(jnp.max(jnp.abs(d)))
+    if B <= bmax or 2 * B + 1 > max_hist:
+        return None, 0
+    hist = np.array(jnp.bincount((d + B).reshape(-1), length=2 * B + 1))
+    hist[B] = 0  # the main diagonal also includes ELL padding; never a W
+    offs = np.nonzero(hist >= max(1, int(min_frac * n)))[0] - B
+    offs = offs[np.abs(offs) > bmax]
+    if offs.size == 0:
+        return None, 0
+    W = int(np.abs(offs[np.argmax(hist[offs + B])]))
+    amax = max(1, int(round(B / W)))
+    return W, amax
+
+
+def build_banded_split(E: ELLSoA, W: int, amax: int = 1, bmax: int = 1,
+                       max_rem: int = 2):
+    """Split an assembled ELLSoA into GridDIA((R, W)) + ELL remainder.
+
+    Jittable for a STATIC (W, amax, bmax, max_rem). Returns
+    (BandedSplit, rem_overflowed) — overflow means some row has more than
+    `max_rem` unclaimed entries (rebuild with a larger bound; the result's
+    remainder is truncated).
+    """
+    K, n = E.vals.shape
+    R = -(-n // W)
+    rows = jnp.arange(n, dtype=E.cols.dtype)[None, :]
+    d = E.cols - rows
+    j = rows % W  # lane position of each row
+    offsets2d = tuple(
+        (a, b) for a in range(-amax, amax + 1) for b in range(-bmax, bmax + 1)
+    )
+    layers = []
+    claimed = jnp.zeros_like(E.cols, dtype=bool)
+    for (a, b) in offsets2d:
+        delta = a * W + b
+        m = (d == delta) & (j + b >= 0) & (j + b < W)
+        layer = jnp.where(m, E.vals, 0.0).sum(axis=0)  # <=1 match per row
+        claimed = claimed | m
+        layers.append(jnp.pad(layer, (0, R * W - n)).reshape(R, W))
+    G = GridDIAMatrix(jnp.stack(layers), offsets2d, (R, W))
+
+    # remainder compaction: unclaimed real entries -> first max_rem slots
+    # (ELLSoA padding convention: col = row, val = 0)
+    drop = claimed | (E.vals == 0.0)
+    rc = jnp.where(drop, n, E.cols)
+    rv = jnp.where(drop, 0.0, E.vals)
+    order = jnp.argsort(rc, axis=0)
+    rc = jnp.take_along_axis(rc, order, axis=0)
+    rv = jnp.take_along_axis(rv, order, axis=0)
+    overflowed = jnp.any(rc[max_rem:] < n) if max_rem < K else jnp.array(False)
+    rc = rc[:max_rem]
+    rv = rv[:max_rem]
+    rows1 = jnp.broadcast_to(rows.astype(jnp.int32), rc.shape)
+    rem = ELLSoA(rv, jnp.where(rc == n, rows1, rc).astype(jnp.int32),
+                 (n, n))
+    return BandedSplit(G, rem, n), overflowed
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedSplit:
+    """y = (GridDIA over the (R, W) reshape) x + (ELL remainder) x.
+
+    Satisfies the operator protocol (@, diagonal, astype) of
+    fem/solvers.DirichletSystem; `fold_dirichlet` bakes the masking into
+    the stencil data so the CG hot loop (banded_cg) touches no masks.
+    """
+
+    def __init__(self, G: GridDIAMatrix, rem: ELLSoA, n: int):
+        self.G = G
+        self.rem = rem
+        self.n = n
+
+    def tree_flatten(self):
+        return (self.G, self.rem), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def __matmul__(self, v):
+        R, W = self.G.shape2d
+        vg = jnp.pad(v, (0, R * W - self.n))
+        y = (self.G @ vg)[: self.n]
+        return y + self.rem @ v
+
+    def diagonal(self):
+        k0 = self.G.offsets2d.index((0, 0))
+        return self.G.data[k0].reshape(-1)[: self.n] + self.rem.diagonal()
+
+    def astype(self, dtype):
+        return BandedSplit(
+            GridDIAMatrix(self.G.data.astype(dtype), self.G.offsets2d,
+                          self.G.shape2d),
+            self.rem.astype(dtype), self.n,
+        )
+
+    def fold_dirichlet(self, mask):
+        """A' = F A F + (I - F) with F = diag(~mask): the stencil layers are
+        masked via GridDIA.with_dirichlet_identity (tail rows beyond n stay
+        identity), remainder entries via val *= free[row] * free[col]."""
+        R, W = self.G.shape2d
+        free = jnp.pad((~mask).astype(self.G.data.dtype), (0, R * W - self.n))
+        Gm = self.G.with_dirichlet_identity(free)
+        fr = free[: self.n]
+        rv = self.rem.vals * fr[None, :] * fr[self.rem.cols]
+        return BandedSplit(Gm, ELLSoA(rv, self.rem.cols, self.rem.shape),
+                           self.n)
+
+
+def banded_cg(op: BandedSplit, b, n_iter: int, inv_diag=None):
+    """Fixed-count Jacobi-CG on a Dirichlet-folded BandedSplit; the search
+    direction lives in a zero-border (R+2H, W+2H) frame so the stencil part
+    is pure static slices (grid_cg design), the remainder rides flat
+    gathers. Returns (x, |r|)."""
+    R, W = op.G.shape2d
+    n = op.n
+    H = max(max(abs(a), abs(c)) for a, c in op.G.offsets2d)
+    data = op.G.data
+    tail = R * W - n
+
+    b = jnp.asarray(b)
+    if inv_diag is None:
+        inv_diag = 1.0 / op.diagonal()
+
+    def apply_pad(p_pad, p_flat):
+        Ap = stencil_matvec_padded(data, op.G.offsets2d, p_pad, H)
+        return Ap.reshape(-1)[:n] + op.rem @ p_flat
+
+    def to_pad(v_flat):
+        return jnp.pad(jnp.pad(v_flat, (0, tail)).reshape(R, W), H)
+
+    def body(_, state):
+        x, r, p, p_pad, rz = state
+        Ap = apply_pad(p_pad, p)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_diag * r
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = z + beta * p
+        return (x, r, p, to_pad(p), rz_new)
+
+    z0 = inv_diag * b
+    state = (jnp.zeros_like(b), b, z0, to_pad(z0), jnp.sum(b * z0))
+    x, r, *_ = jax.lax.fori_loop(0, n_iter, body, state)
+    return x, jnp.sqrt(jnp.sum(r * r))

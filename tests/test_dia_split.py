@@ -1,0 +1,88 @@
+"""Banded-DIA + ELL-remainder split (ops/dia_split.py): exactness vs the
+assembled ELL operator, auto width planning, Dirichlet fold, and the
+padded-state CG driver."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+from fdapde_core_tpu.ops.dia_split import (
+    BandedSplit,
+    banded_cg,
+    build_banded_split,
+    plan_split_width,
+)
+from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+
+
+def _ell_operator(n=24):
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(n, 0.2)
+    n_dofs = (n + 1) ** 2
+    op, over = MatrixFreeSoA.build(x, y, c0, c1, c2, n_dofs, 8)
+    assert not bool(over)
+    E, overc = op.to_ell(9)
+    assert not bool(overc)
+    return E, bnd, n_dofs
+
+
+def test_plan_picks_band_width():
+    E, _, n_dofs = _ell_operator(24)
+    W, amax = plan_split_width(E)
+    # node ids are i*(n+1)+j: the dominant off-lane offset is m = 25
+    assert W == 25
+    assert amax == 1
+
+
+def test_split_is_exact():
+    E, _, n_dofs = _ell_operator(24)
+    W, amax = plan_split_width(E)
+    op, over = build_banded_split(E, W, amax=amax)
+    assert not bool(over)  # quad-split mesh: stencil window captures all
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op @ v), np.asarray(E @ v), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.diagonal()), np.asarray(E.diagonal()),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_split_remainder_on_narrow_window():
+    """Force a too-small stencil window: the remainder must carry the rest
+    and the split must still be exact."""
+    E, _, n_dofs = _ell_operator(16)
+    W, _ = plan_split_width(E)
+    op, over = build_banded_split(E, W, amax=0, bmax=1, max_rem=6)
+    assert not bool(over)
+    assert bool(jnp.any(op.rem.vals != 0.0))  # off-band rows really remain
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.standard_normal(n_dofs))
+    np.testing.assert_allclose(
+        np.asarray(op @ v), np.asarray(E @ v), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_fold_dirichlet_and_cg():
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+
+    E, bnd, n_dofs = _ell_operator(24)
+    W, amax = plan_split_width(E)
+    op, _ = build_banded_split(E, W, amax=amax)
+    folded = op.fold_dirichlet(bnd)
+
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal(n_dofs))
+    ref = DirichletSystem(E, bnd)
+    np.testing.assert_allclose(
+        np.asarray(folded @ v), np.asarray(ref(v)), rtol=1e-12, atol=1e-12
+    )
+
+    b = jnp.where(bnd, 0.0, 1.0) / (24.0 * 24.0)
+    x, rnorm = banded_cg(folded, b, 400)
+    res = folded @ x - b
+    rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b))
+    assert rel < 1e-8
+    # boundary dofs pinned to the rhs values (here 0)
+    assert float(jnp.max(jnp.abs(jnp.where(bnd, x, 0.0)))) == 0.0
