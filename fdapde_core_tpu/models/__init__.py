@@ -26,11 +26,12 @@ from .space_time import (
 from .sharded_driver import solve_elliptic_sharded
 from .structured import StructuredPoisson
 from .regression import SmoothingRegression
-from .matfree import MatrixFreePoisson
+from .matfree import MatrixFreeElliptic, MatrixFreePoisson
 
 __all__ = [
     "PDE",
     "MatrixFreePoisson",
+    "MatrixFreeElliptic",
     "solve_semilinear",
     "SeparableOperator",
     "solve_space_time",

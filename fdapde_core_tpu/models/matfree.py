@@ -36,7 +36,7 @@ from ..ops.matfree import (
     p1_local_stiffness_3d,
 )
 
-__all__ = ["MatrixFreePoisson"]
+__all__ = ["MatrixFreePoisson", "MatrixFreeElliptic"]
 
 
 class MatrixFreePoisson:
@@ -173,6 +173,219 @@ def _solve_fn(rtol: float, maxiter: int):
         x0 = jnp.where(bnd, g, 0.0)
         x, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
                      maxiter=maxiter)
+        res = b_mod - sys(x)
+        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
+        return x, info.iterations, rel
+
+    return run
+
+
+def _percell(value, C, dtype=jnp.float64):
+    """Normalize a coefficient to a per-cell (C,) array (or None)."""
+    if value is None:
+        return None
+    v = jnp.asarray(value, dtype)
+    if v.ndim == 0:
+        v = jnp.full((C,), v, dtype)
+    return v
+
+
+def _normalize_K(K, centroids, C):
+    """Diffusion spec -> (kxx, kxy, kyy) per-cell arrays or Nones.
+
+    Accepts None (identity), scalar, (2, 2) tensor, (kxx, kxy, kyy) tuple
+    of scalars/(C,) arrays, per-cell (C,) scalar field, or a callable
+    evaluated at cell centroids (midpoint coefficient sampling — cf. the
+    reference's quadrature-point protocol, scalar_expressions.h:98-108).
+    """
+    if K is None:
+        return None, None, None
+    if callable(K):
+        K = K(centroids)
+    K_arr = jnp.asarray(K, jnp.float64)
+    if K_arr.ndim == 2 and K_arr.shape == (2, 2):
+        return (_percell(K_arr[0, 0], C), _percell(K_arr[0, 1], C),
+                _percell(K_arr[1, 1], C))
+    if isinstance(K, tuple) and len(K) == 3:
+        return tuple(_percell(v, C) for v in K)
+    return _percell(K_arr, C), None, None  # isotropic
+
+
+def _normalize_b(b, centroids, C):
+    if b is None:
+        return None, None
+    if callable(b):
+        b = b(centroids)
+    b_arr = jnp.asarray(b, jnp.float64)
+    if b_arr.ndim == 1 and b_arr.shape[0] == 2:
+        return _percell(b_arr[0], C), _percell(b_arr[1], C)
+    if isinstance(b, tuple):
+        return _percell(b[0], C), _percell(b[1], C)
+    return _percell(b_arr[..., 0], C), _percell(b_arr[..., 1], C)
+
+
+class MatrixFreeElliptic:
+    """General 2D elliptic operator at device scale on the gather pipeline:
+
+        -div(K grad u) + b . grad u + c u = f,  u = g on the boundary
+
+    P1 (order=1, raw device arrays) or P2 (order=2 via `from_space`),
+    arbitrary triangulation, SoA layouts throughout (ops/matfree_soa.py).
+    Solver: aux-grid-preconditioned CG when symmetric (b None), BiCGStab
+    otherwise. Extends MatrixFreePoisson to the reference assembler's full
+    operator algebra (fem_assembler.h:63-118, operators/advection.h:33-56)
+    without leaving the device-scale path.
+
+    K: None | scalar | (2,2) | (kxx,kxy,kyy) | (C,) | callable(centroids);
+    b: None | (2,) | (bx,by) | callable; c: None | scalar | (C,) | callable.
+    """
+
+    def __init__(self, nodes, cells, boundary, order: int = 1, K=None,
+                 b=None, c=None, max_degree: int = 8,
+                 grid_n: int | None = None, bbox=None,
+                 format: str = "ell", max_cols: int | None = None,
+                 _space=None):
+        from ..ops.matfree_soa import MatrixFreeP2SoA, MatrixFreeSoA
+
+        if isinstance(nodes, tuple):
+            x, y = (jnp.asarray(v) for v in nodes)
+        else:
+            nodes = jnp.asarray(nodes)
+            x, y = nodes[:, 0], nodes[:, 1]
+        if _space is None:
+            if order != 1:
+                raise ValueError(
+                    "order=2 needs a dof table: use from_space(space, ...)"
+                )
+            dofs = jnp.asarray(cells).T.astype(jnp.int32)  # (3, C)
+            n_dofs = x.shape[0]
+            self.dof_x, self.dof_y = x, y
+        else:
+            dofs = jnp.asarray(_space.dofs.T)
+            n_dofs = _space.n_dofs
+            dc = jnp.asarray(_space.dof_coords)
+            self.dof_x, self.dof_y = dc[:, 0], dc[:, 1]
+        C = dofs.shape[1]
+        cx = (x[dofs[0]] + x[dofs[1]] + x[dofs[2]]) / 3.0
+        cy = (y[dofs[0]] + y[dofs[1]] + y[dofs[2]]) / 3.0
+        centroids = jnp.stack([cx, cy], axis=1)
+        kxx, kxy, kyy = _normalize_K(K, centroids, C)
+        bx, by = _normalize_b(b, centroids, C)
+        react = _percell(c(centroids) if callable(c) else c, C)
+
+        self.order = order
+        self.n_dofs = n_dofs
+        self.boundary = jnp.asarray(boundary)
+        self.is_symmetric = bx is None and by is None
+        if order == 1:
+            build = functools.partial(
+                MatrixFreeSoA.build_general, x, y, dofs[0], dofs[1],
+                dofs[2], n_dofs, max_degree,
+            )
+        else:
+            build = functools.partial(
+                MatrixFreeP2SoA.build, x, y, dofs, n_dofs, max_degree,
+            )
+        mf, over = jax.jit(
+            lambda kxx, kxy, kyy, bx, by, react: build(
+                kxx=kxx, kxy=kxy, kyy=kyy, bx=bx, by=by, react=react
+            )
+        )(kxx, kxy, kyy, bx, by, react)
+        if bool(over):
+            raise ValueError(
+                f"a dof exceeds max_degree={max_degree} cell incidences; "
+                "rebuild with a larger bound"
+            )
+        self.adj, self.adj_mask = mf.adj, mf.adj_mask
+        self.dofs = dofs
+        self._x, self._y = x, y
+        if format == "ell":
+            if max_cols is None:
+                # P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg
+                max_cols = (max_degree + 1 if order == 1
+                            else 3 * max_degree + 1)
+            E, overc = jax.jit(lambda op: op.to_ell(max_cols))(mf)
+            if bool(overc):
+                raise ValueError(
+                    f"a row exceeds {max_cols} distinct columns; "
+                    "rebuild with a larger max_cols"
+                )
+            self.op = E
+        elif format == "matfree":
+            self.op = mf
+        else:
+            raise ValueError(format)
+        self.system = DirichletSystem(self.op, self.boundary)
+        diag32 = jax.jit(
+            lambda op, bnd: DirichletSystem(op, bnd)
+            .diagonal().astype(jnp.float32)
+        )(self.op, self.boundary)
+        if bbox is None:
+            bbox = ((0.0, 0.0), (1.0, 1.0))
+        self.aux = AuxGridPreconditioner.build_device(
+            (self.dof_x, self.dof_y), diag32, grid_n=grid_n, bbox=bbox
+        )
+
+    @classmethod
+    def from_space(cls, space, K=None, b=None, c=None, **kw):
+        """Build from a host FEMSpace (order 1 or 2): dof table, boundary
+        dofs and dof coordinates come from the space."""
+        mesh = space.mesh
+        return cls(
+            jnp.asarray(mesh.nodes), jnp.asarray(mesh.cells),
+            jnp.asarray(space.boundary_dofs), order=space.order,
+            K=K, b=b, c=c, _space=space, **kw,
+        )
+
+    def load_vector(self, f_cells):
+        """Load vector from per-cell forcing values (centroid rule).
+
+        P1: b_a = |T|/3 f per incident cell; P2: vertex basis functions
+        integrate to ZERO on affine triangles (int phi_vertex = 0), edge
+        ones to |T|/3 — both served by the same adjacency combine."""
+        x, y, dofs = self._x, self._y, self.dofs
+        e0x = x[dofs[1]] - x[dofs[0]]
+        e0y = y[dofs[1]] - y[dofs[0]]
+        e1x = x[dofs[2]] - x[dofs[0]]
+        e1y = y[dofs[2]] - y[dofs[0]]
+        area = 0.5 * jnp.abs(e0x * e1y - e0y * e1x)
+        fa = area * f_cells
+        if self.order == 1:
+            floc = jnp.concatenate([fa / 3.0] * 3)
+        else:
+            zero = jnp.zeros_like(fa)
+            floc = jnp.concatenate([zero, zero, zero] + [fa / 3.0] * 3)
+        gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
+        return gathered.sum(axis=0)
+
+    def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 200):
+        """Mixed-precision converged solve (f64 vectors, f32 aux V-cycle);
+        CG when symmetric, BiCGStab otherwise. Returns (x, iterations,
+        true relative residual) as device scalars."""
+        if g is None:
+            g = jnp.zeros_like(b)
+        run = _general_solve_fn(float(rtol), int(maxiter),
+                                self.is_symmetric)
+        return run(self.op, self.boundary, self.aux, b, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _general_solve_fn(rtol: float, maxiter: int, symmetric: bool):
+    from ..linear_algebra.solvers import bicgstab
+
+    solver = cg if symmetric else bicgstab
+
+    @jax.jit
+    def run(op, bnd, aux, b, g):
+        sys = DirichletSystem(op, bnd)
+
+        def pre(r):
+            return aux(r.astype(jnp.float32)).astype(r.dtype)
+
+        b_mod = sys.rhs(b, g)
+        x0 = jnp.where(bnd, g, 0.0)
+        x, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
+                         maxiter=maxiter)
         res = b_mod - sys(x)
         rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
         return x, info.iterations, rel

@@ -20,8 +20,10 @@ import jax.numpy as jnp
 
 __all__ = [
     "p1_offdiag_soa",
+    "p1_general_soa",
     "build_adjacency_soa",
     "MatrixFreeSoA",
+    "MatrixFreeP2SoA",
     "ELLSoA",
 ]
 
@@ -53,6 +55,75 @@ def p1_offdiag_soa(x, y, c0, c1, c2, kappa=None):
     return s01, s02, s12
 
 
+def p1_general_soa(x, y, c0, c1, c2, kxx=None, kxy=None, kyy=None,
+                   bx=None, by=None, react=None):
+    """Per-cell primitives of the general P1 advection-diffusion-reaction
+    local matrix, all SoA (cell axis last).
+
+    Weak form (reference sign conventions, operators/{diffusion,advection,
+    reaction}.h:32-56 with the leading minus inside the diffusion leaf):
+
+        A_ij = area * (g_i . K g_j)  +  (area/3) * (b . g_j)  +
+               c * area/12 * (1 + delta_ij)
+
+    g_i = P1 barycentric gradients (constant per cell), K the (symmetric)
+    diffusion tensor, b the advection vector, c the reaction coefficient —
+    each a per-cell (C,) array (midpoint/centroid coefficient sampling) or
+    None. kxx alone = isotropic scalar diffusivity.
+
+    Returns (sd, w, r): sd (3, C) diffusion off-diagonals (s01, s02, s12;
+    diagonals from zero row sums), w (3, C) advection row-constant column
+    weights w_j = (area/3)(b . g_j) or None, r (C,) reaction weight
+    c*area/12 or None. Closed forms exact for per-cell-constant
+    coefficients (P1 integrands are degree <= 2; cf. the 3-pt rule the
+    host assembler uses, integrator_tables.h 2D order-1).
+    """
+    x0, x1, x2 = x[c0], x[c1], x[c2]
+    y0, y1, y2 = y[c0], y[c1], y[c2]
+    e0x, e0y = x1 - x0, y1 - y0
+    e1x, e1y = x2 - x0, y2 - y0
+    det = e0x * e1y - e0y * e1x
+    sgn = jnp.sign(det)
+    scale = 0.5 * sgn / det  # area / det^2
+    # det * gradients: G1 = (e1y, -e1x), G2 = (-e0y, e0x), G0 = -(G1 + G2)
+    g1x, g1y = e1y, -e1x
+    g2x, g2y = -e0y, e0x
+    g0x, g0y = -(g1x + g2x), -(g1y + g2y)
+    if kxx is None:
+        kxx = 1.0
+    if kyy is None:
+        kyy = kxx  # isotropic when only kxx given
+    if kxy is None:
+        kxy = 0.0
+    # K G_j (times det)
+    def KG(gx, gy):
+        return kxx * gx + kxy * gy, kxy * gx + kyy * gy
+
+    k1x, k1y = KG(g1x, g1y)
+    k2x, k2y = KG(g2x, g2y)
+    s01 = scale * (g0x * k1x + g0y * k1y)
+    s02 = scale * (g0x * k2x + g0y * k2y)
+    s12 = scale * (g1x * k2x + g1y * k2y)
+    sd = jnp.stack([s01, s02, s12])
+
+    w = None
+    if bx is not None or by is not None:
+        bx = 0.0 if bx is None else bx
+        by = 0.0 if by is None else by
+        # (area/3)(b . g_j) = sgn/6 * (b . G_j)
+        w = jnp.stack([
+            (sgn / 6.0) * (bx * g0x + by * g0y),
+            (sgn / 6.0) * (bx * g1x + by * g1y),
+            (sgn / 6.0) * (bx * g2x + by * g2y),
+        ])
+
+    r = None
+    if react is not None:
+        area = 0.5 * sgn * det
+        r = react * area / 12.0
+    return sd, w, r
+
+
 def build_adjacency_soa(flat, n_dofs: int, max_degree: int):
     """(D, n) ELL incidence table of a flat slot-major position array.
 
@@ -82,19 +153,23 @@ class MatrixFreeSoA:
     (@, diagonal) compatible with fem/solvers.DirichletSystem.
     """
 
-    def __init__(self, s, c, adj, adj_mask, n_dofs: int):
+    def __init__(self, s, c, adj, adj_mask, n_dofs: int, w=None, r=None):
         self.s = s
         self.c = c
         self.adj = adj
         self.adj_mask = adj_mask
         self.n_dofs = n_dofs
+        self.w = w  # (3, C) advection column weights or None
+        self.r = r  # (C,) reaction weight or None
 
     def tree_flatten(self):
-        return (self.s, self.c, self.adj, self.adj_mask), (self.n_dofs,)
+        return (self.s, self.c, self.adj, self.adj_mask, self.w,
+                self.r), (self.n_dofs,)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, *aux)
+        s, c, adj, adj_mask, w, r = leaves
+        return cls(s, c, adj, adj_mask, *aux, w=w, r=r)
 
     @classmethod
     def build(cls, x, y, c0, c1, c2, n_dofs: int, max_degree: int,
@@ -106,84 +181,137 @@ class MatrixFreeSoA:
         adj, mask, over = build_adjacency_soa(flat, n_dofs, max_degree)
         return cls(s, c, adj, mask, n_dofs), over
 
+    @classmethod
+    def build_general(cls, x, y, c0, c1, c2, n_dofs: int, max_degree: int,
+                      kxx=None, kxy=None, kyy=None, bx=None, by=None,
+                      react=None):
+        """General advection-diffusion-reaction P1 operator (the
+        fem_assembler.h:63-118 capability envelope at device scale);
+        non-symmetric when b is given — solve with bicgstab/gmres."""
+        sd, w, r = p1_general_soa(x, y, c0, c1, c2, kxx, kxy, kyy,
+                                  bx, by, react)
+        c = jnp.stack([c0, c1, c2])
+        flat = c.reshape(-1)
+        adj, mask, over = build_adjacency_soa(flat, n_dofs, max_degree)
+        return cls(sd, c, adj, mask, n_dofs, w=w, r=r), over
+
+    @property
+    def is_symmetric(self):
+        return self.w is None
+
     @property
     def shape(self):
         return (self.n_dofs, self.n_dofs)
 
     def _entries(self):
-        """The 9 local-matrix entry arrays, (3, 3) of (C,)."""
+        """The 9 local-matrix entry arrays, (3, 3) of (C,), incl. the
+        advection/reaction contributions when present."""
         s01, s02, s12 = self.s[0], self.s[1], self.s[2]
         a00 = -(s01 + s02)
         a11 = -(s01 + s12)
         a22 = -(s02 + s12)
-        return ((a00, s01, s02), (s01, a11, s12), (s02, s12, a22))
+        A = [[a00, s01, s02], [s01, a11, s12], [s02, s12, a22]]
+        if self.w is not None:
+            for i in range(3):
+                for j in range(3):
+                    A[i][j] = A[i][j] + self.w[j]
+        if self.r is not None:
+            for i in range(3):
+                for j in range(3):
+                    A[i][j] = A[i][j] + (2.0 if i == j else 1.0) * self.r
+        return A
 
     def __matmul__(self, v):
         xe = [v[self.c[j]] for j in range(3)]  # three (C,) gathers
-        A = self._entries()
+        s01, s02, s12 = self.s[0], self.s[1], self.s[2]
         ye = [
-            A[i][0] * xe[0] + A[i][1] * xe[1] + A[i][2] * xe[2]
-            for i in range(3)
+            -(s01 + s02) * xe[0] + s01 * xe[1] + s02 * xe[2],
+            s01 * xe[0] - (s01 + s12) * xe[1] + s12 * xe[2],
+            s02 * xe[0] + s12 * xe[1] - (s02 + s12) * xe[2],
         ]
+        if self.w is not None:  # row-constant: one shared dot per cell
+            adv = (self.w[0] * xe[0] + self.w[1] * xe[1]
+                   + self.w[2] * xe[2])
+            ye = [y + adv for y in ye]
+        if self.r is not None:
+            sx = xe[0] + xe[1] + xe[2]
+            ye = [y + self.r * (sx + xe[i]) for i, y in enumerate(ye)]
         flat = jnp.concatenate(ye)  # slot-major (3C,)
         gat = flat[self.adj] * self.adj_mask.astype(flat.dtype)
         return gat.sum(axis=0)
 
     def diagonal(self):
-        A = self._entries()
-        dloc = jnp.concatenate([A[i][i] for i in range(3)])
+        s01, s02, s12 = self.s[0], self.s[1], self.s[2]
+        d = [-(s01 + s02), -(s01 + s12), -(s02 + s12)]
+        if self.w is not None:
+            d = [d[i] + self.w[i] for i in range(3)]
+        if self.r is not None:
+            d = [di + 2.0 * self.r for di in d]
+        dloc = jnp.concatenate(d)
         gat = dloc[self.adj] * self.adj_mask.astype(dloc.dtype)
         return gat.sum(axis=0)
 
     def astype(self, dtype):
-        return MatrixFreeSoA(self.s.astype(dtype), self.c, self.adj,
-                             self.adj_mask, self.n_dofs)
+        return MatrixFreeSoA(
+            self.s.astype(dtype), self.c, self.adj, self.adj_mask,
+            self.n_dofs,
+            w=None if self.w is None else self.w.astype(dtype),
+            r=None if self.r is None else self.r.astype(dtype),
+        )
 
     def to_ell(self, max_cols: int):
         """Assembled (K, n) row-ELL (see ops/ell.ELLMatrix.from_local; same
-        sorted-merge, SoA layout: every transient is (3D, n))."""
-        D = self.adj.shape[0]
-        n = self.n_dofs
-        C = self.c.shape[1]
-        cell = self.adj % C  # (D, n)
-        slot = self.adj // C
-        A = self._entries()
-        aflat = jnp.concatenate(
-            [A[i][j] for i in range(3) for j in range(3)]
-        )  # (9C,) entry (i, j) at offset (3 i + j) C
-        cols_b, vals_b = [], []
-        for j in range(3):
-            cols_b.append(jnp.where(self.adj_mask, self.c[j][cell], n))
-            vals_b.append(
-                jnp.where(
-                    self.adj_mask,
-                    aflat[(slot * 3 + j) * C + cell],
-                    0.0,
-                )
-            )
-        cols_all = jnp.concatenate(cols_b, axis=0)  # (3D, n)
-        vals_all = jnp.concatenate(vals_b, axis=0)
-        order = jnp.argsort(cols_all, axis=0)
-        cols_s = jnp.take_along_axis(cols_all, order, axis=0)
-        vals_s = jnp.take_along_axis(vals_all, order, axis=0)
-        first = jnp.concatenate(
-            [jnp.ones((1, n), bool), cols_s[1:] != cols_s[:-1]], axis=0
+        sorted-merge, SoA layout: every transient is (nb*D, n))."""
+        return _ell_from_entries(self._entries(), self.c, self.adj,
+                                 self.adj_mask, self.n_dofs, max_cols)
+
+
+def _ell_from_entries(A, dofs, adj, adj_mask, n_dofs: int, max_cols: int):
+    """Assemble an ELLSoA from nb x nb local-entry arrays.
+
+    A: nested list, A[i][j] the (C,) local entry (row slot i, col slot j);
+    dofs: (nb, C) global dof id per slot; adj/adj_mask: (D, n) slot-major
+    incidence (positions p = slot * C + cell). Sorted-merge per row:
+    transients are (nb*D, n). Returns (ELLSoA, overflowed).
+    """
+    nb = len(A)
+    D = adj.shape[0]
+    n = n_dofs
+    C = dofs.shape[1]
+    cell = adj % C  # (D, n)
+    slot = adj // C
+    aflat = jnp.concatenate(
+        [A[i][j] for i in range(nb) for j in range(nb)]
+    )  # (nb*nb*C,) entry (i, j) at offset (nb*i + j) * C
+    cols_b, vals_b = [], []
+    for j in range(nb):
+        cols_b.append(jnp.where(adj_mask, dofs[j][cell], n))
+        vals_b.append(
+            jnp.where(adj_mask, aflat[(slot * nb + j) * C + cell], 0.0)
         )
-        real = cols_s < n
-        uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
-        K = max_cols
-        overflowed = jnp.any(real & (uidx >= K))
-        slotk = jnp.where(real & (uidx < K), uidx, K)
-        col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
-        seg = (slotk * n + col_ids).reshape(-1)
-        vals = jax.ops.segment_sum(
-            vals_s.reshape(-1), seg, (K + 1) * n
-        ).reshape(K + 1, n)[:K]
-        cols = jax.ops.segment_max(
-            jnp.where(slotk < K, cols_s, -1).reshape(-1), seg, (K + 1) * n
-        ).reshape(K + 1, n)[:K]
-        cols = jnp.where(cols < 0, col_ids, cols).astype(jnp.int32)
-        return ELLSoA(vals, cols, (n, n)), overflowed
+    cols_all = jnp.concatenate(cols_b, axis=0)  # (nb*D, n)
+    vals_all = jnp.concatenate(vals_b, axis=0)
+    order = jnp.argsort(cols_all, axis=0)
+    cols_s = jnp.take_along_axis(cols_all, order, axis=0)
+    vals_s = jnp.take_along_axis(vals_all, order, axis=0)
+    first = jnp.concatenate(
+        [jnp.ones((1, n), bool), cols_s[1:] != cols_s[:-1]], axis=0
+    )
+    real = cols_s < n
+    uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
+    K = max_cols
+    overflowed = jnp.any(real & (uidx >= K))
+    slotk = jnp.where(real & (uidx < K), uidx, K)
+    col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    seg = (slotk * n + col_ids).reshape(-1)
+    vals = jax.ops.segment_sum(
+        vals_s.reshape(-1), seg, (K + 1) * n
+    ).reshape(K + 1, n)[:K]
+    cols = jax.ops.segment_max(
+        jnp.where(slotk < K, cols_s, -1).reshape(-1), seg, (K + 1) * n
+    ).reshape(K + 1, n)[:K]
+    cols = jnp.where(cols < 0, col_ids, cols).astype(jnp.int32)
+    return ELLSoA(vals, cols, (n, n)), overflowed
 
 
 @jax.tree_util.register_pytree_node_class
@@ -216,3 +344,230 @@ class ELLSoA:
 
     def astype(self, dtype):
         return ELLSoA(self.vals.astype(dtype), self.cols, self.shape)
+
+
+# ---------------------------------------------------------------------------
+# P2 at device scale: universal coefficient tables
+# ---------------------------------------------------------------------------
+#
+# On an affine triangle every P2 weak-form integral reduces to per-cell
+# SCALARS times universal rational tables: with S_pq = area * (g_p . K g_q)
+# (zero row sums since sum_p g_p = 0), the 6x6 diffusion matrix is
+# A = sum_e S_e * T_e over the three off-diagonal directions e; advection
+# is A = sum_q w_q * E_q with w_q = area * (b . g_q); mass is c*area * M.
+# The tables come from the exact barycentric monomial integral
+# int_T l0^a l1^b l2^c = 2|T| a! b! c! / (a+b+c+2)!  — so the P2 operator
+# stores the SAME 3 per-cell scalars as P1 (plus dof ids), and the local
+# 6x6 is reconstructed in-register during the SpMV.
+# (Replaces the reference's per-element Vandermonde basis + quadrature
+# loop, lagrangian_basis.h:65-91 + fem_assembler.h:79-110, for order 2.)
+# Local dof order: vertices 0,1,2 then edges (0,1),(0,2),(1,2) — the lex
+# `combinations` parity order (geometry conventions, CLAUDE.md).
+
+
+def _p2_tables():
+    import numpy as np
+    from math import factorial
+
+    basis = []
+    for a in range(3):  # vertex a: l_a (2 l_a - 1)
+        e1 = [0, 0, 0]
+        e1[a] = 1
+        e2 = [0, 0, 0]
+        e2[a] = 2
+        basis.append({tuple(e2): 2.0, tuple(e1): -1.0})
+    for a, b in ((0, 1), (0, 2), (1, 2)):  # edge {a,b}: 4 l_a l_b
+        e = [0, 0, 0]
+        e[a] += 1
+        e[b] += 1
+        basis.append({tuple(e): 4.0})
+
+    def dpoly(p, k):
+        out = {}
+        for m, c in p.items():
+            if m[k]:
+                m2 = list(m)
+                m2[k] -= 1
+                key = tuple(m2)
+                out[key] = out.get(key, 0.0) + c * m[k]
+        return out
+
+    def pmul(p, q):
+        out = {}
+        for m1, c1 in p.items():
+            for m2, c2 in q.items():
+                m = (m1[0] + m2[0], m1[1] + m2[1], m1[2] + m2[2])
+                out[m] = out.get(m, 0.0) + c1 * c2
+        return out
+
+    def pint(p):  # integral over the cell / area
+        return sum(
+            c * 2.0 * factorial(m[0]) * factorial(m[1]) * factorial(m[2])
+            / factorial(m[0] + m[1] + m[2] + 2)
+            for m, c in p.items()
+        )
+
+    D = np.zeros((3, 3, 6, 6))
+    grads = [[dpoly(basis[a], p) for p in range(3)] for a in range(6)]
+    for p in range(3):
+        for q in range(3):
+            for a in range(6):
+                for b in range(6):
+                    D[p, q, a, b] = pint(pmul(grads[a][p], grads[b][q]))
+    T = np.stack([
+        D[p, q] + D[q, p] - D[p, p] - D[q, q]
+        for p, q in ((0, 1), (0, 2), (1, 2))
+    ])
+    E = np.zeros((3, 6, 6))
+    for q in range(3):
+        for a in range(6):
+            for b in range(6):
+                E[q, a, b] = pint(pmul(basis[a], grads[b][q]))
+    M = np.zeros((6, 6))
+    for a in range(6):
+        for b in range(6):
+            M[a, b] = pint(pmul(basis[a], basis[b]))
+    return T, E, M
+
+
+_P2_T, _P2_E, _P2_M = _p2_tables()
+
+
+def p2_primitives_soa(x, y, c0, c1, c2, kxx=None, kxy=None, kyy=None,
+                      bx=None, by=None, react=None):
+    """Per-cell P2 primitives: (s (3,C), wq (3,C) or None, r (C,) or None).
+
+    s_e = area * (g_p . K g_q) for e = (0,1),(0,2),(1,2) — identical to the
+    P1 off-diagonals; wq_q = area * (b . g_q); r = c * area.
+    """
+    sd, _, _ = p1_general_soa(x, y, c0, c1, c2, kxx, kxy, kyy)
+    x0, x1, x2 = x[c0], x[c1], x[c2]
+    y0, y1, y2 = y[c0], y[c1], y[c2]
+    e0x, e0y = x1 - x0, y1 - y0
+    e1x, e1y = x2 - x0, y2 - y0
+    det = e0x * e1y - e0y * e1x
+    sgn = jnp.sign(det)
+    wq = None
+    if bx is not None or by is not None:
+        bx = 0.0 if bx is None else bx
+        by = 0.0 if by is None else by
+        g1x, g1y = e1y, -e1x
+        g2x, g2y = -e0y, e0x
+        g0x, g0y = -(g1x + g2x), -(g1y + g2y)
+        # area * (b . g_q) = sgn/2 * (b . G_q)
+        wq = jnp.stack([
+            (sgn / 2.0) * (bx * g0x + by * g0y),
+            (sgn / 2.0) * (bx * g1x + by * g1y),
+            (sgn / 2.0) * (bx * g2x + by * g2y),
+        ])
+    r = None
+    if react is not None:
+        r = react * (0.5 * sgn * det)
+    return sd, wq, r
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFreeP2SoA:
+    """Matrix-free P2 advection-diffusion-reaction operator, SoA layout.
+
+    s: (3, C) diffusion primitives; dofs: (6, C) global dof ids (vertices
+    then lex edges — fem/space.FEMSpace order-2 cell_dofs transposed);
+    adj/adj_mask: (D, n) slot-major incidence over the (6C,) positions;
+    wq: (3, C) advection primitives or None; r: (C,) reaction primitive or
+    None. The 6x6 local matrix is reconstructed from universal tables
+    during each SpMV — same storage as P1.
+    """
+
+    NB = 6
+
+    def __init__(self, s, dofs, adj, adj_mask, n_dofs: int, wq=None,
+                 r=None):
+        self.s = s
+        self.dofs = dofs
+        self.adj = adj
+        self.adj_mask = adj_mask
+        self.n_dofs = n_dofs
+        self.wq = wq
+        self.r = r
+
+    def tree_flatten(self):
+        return (self.s, self.dofs, self.adj, self.adj_mask, self.wq,
+                self.r), (self.n_dofs,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        s, dofs, adj, adj_mask, wq, r = leaves
+        return cls(s, dofs, adj, adj_mask, *aux, wq=wq, r=r)
+
+    @classmethod
+    def build(cls, x, y, dofs, n_dofs: int, max_degree: int,
+              kxx=None, kxy=None, kyy=None, bx=None, by=None, react=None):
+        """dofs: (6, C) int32; vertex coordinate lookups use rows 0..2
+        (vertex dof id == node id, FEMSpace P1-node-first enumeration)."""
+        sd, wq, r = p2_primitives_soa(x, y, dofs[0], dofs[1], dofs[2],
+                                      kxx, kxy, kyy, bx, by, react)
+        flat = dofs.reshape(-1)  # slot-major: position = slot * C + cell
+        adj, mask, over = build_adjacency_soa(flat, n_dofs, max_degree)
+        return cls(sd, dofs, adj, mask, n_dofs, wq=wq, r=r), over
+
+    @property
+    def shape(self):
+        return (self.n_dofs, self.n_dofs)
+
+    @property
+    def is_symmetric(self):
+        return self.wq is None
+
+    def _entry(self, a, b):
+        ent = None
+        for e in range(3):
+            cf = float(_P2_T[e, a, b])
+            if abs(cf) > 1e-14:
+                t = cf * self.s[e]
+                ent = t if ent is None else ent + t
+        if self.wq is not None:
+            for q in range(3):
+                cf = float(_P2_E[q, a, b])
+                if abs(cf) > 1e-14:
+                    ent = (ent if ent is not None else 0.0) \
+                        + cf * self.wq[q]
+        if self.r is not None:
+            cf = float(_P2_M[a, b])
+            if abs(cf) > 1e-14:
+                ent = (ent if ent is not None else 0.0) + cf * self.r
+        if ent is None:
+            ent = jnp.zeros_like(self.s[0])
+        return ent
+
+    def _entries(self):
+        return [[self._entry(a, b) for b in range(6)] for a in range(6)]
+
+    def __matmul__(self, v):
+        xe = [v[self.dofs[b]] for b in range(6)]  # six (C,) gathers
+        ye = []
+        for a in range(6):
+            acc = None
+            for b in range(6):
+                t = self._entry(a, b) * xe[b]
+                acc = t if acc is None else acc + t
+            ye.append(acc)
+        flat = jnp.concatenate(ye)  # slot-major (6C,)
+        gat = flat[self.adj] * self.adj_mask.astype(flat.dtype)
+        return gat.sum(axis=0)
+
+    def diagonal(self):
+        dloc = jnp.concatenate([self._entry(a, a) for a in range(6)])
+        gat = dloc[self.adj] * self.adj_mask.astype(dloc.dtype)
+        return gat.sum(axis=0)
+
+    def astype(self, dtype):
+        return MatrixFreeP2SoA(
+            self.s.astype(dtype), self.dofs, self.adj, self.adj_mask,
+            self.n_dofs,
+            wq=None if self.wq is None else self.wq.astype(dtype),
+            r=None if self.r is None else self.r.astype(dtype),
+        )
+
+    def to_ell(self, max_cols: int):
+        return _ell_from_entries(self._entries(), self.dofs, self.adj,
+                                 self.adj_mask, self.n_dofs, max_cols)
