@@ -994,6 +994,14 @@ def _space_time_fdm_converged(T0, T1, mst, n_t, sink):
 # --------------------------------------------------------------------------
 
 
+def _aux_cast_pre(aux, rr):
+    """f32 aux V-cycle inside f64 CG (module-level: stable identity keeps
+    the cg_chunked program cache warm across calls)."""
+    import jax.numpy as jnp
+
+    return aux(rr.astype(jnp.float32)).astype(jnp.float64)
+
+
 def _general_gather_metrics(small, sink):
     """Flagship-size general path: genuinely irregular topology, fully on
     device, SoA LAYOUTS THROUGHOUT (ops/matfree_soa.py — the round-2 AoS
@@ -1012,7 +1020,7 @@ def _general_gather_metrics(small, sink):
 
     from fdapde_core_tpu.fem.solvers import DirichletSystem
     from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
-    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
     from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
     from fdapde_core_tpu.ops.matfree_soa import (
         MatrixFreeSoA,
@@ -1078,20 +1086,23 @@ def _general_gather_metrics(small, sink):
     op32 = op64.astype(jnp.float32)
 
     ITERS = 40
+    # Bounded device programs: the remote executor kills any single
+    # program running past ~60 s (measured: 55 s survives, 73 s kills the
+    # worker) — r02's gen10m "TPU worker crashed" was exactly the 40-iter
+    # gather CG in ONE program. cg_chunked carries the full Krylov state
+    # across ≤CH-iteration programs (bit-identical iterates; one host
+    # fence per chunk, ~0.05 s, negligible vs multi-second chunks).
+    CH = 8
+
+    rhs32 = jax.jit(
+        lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
+    )(bnd)
 
     # stage 4: matrix-free CG iteration throughput (f32)
-    @jax.jit
-    def throughput(op32, bnd):
-        sys_ = DirichletSystem(op32, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
-        x, info = cg(sys_, b, rtol=0.0, maxiter=ITERS)  # fixed-iteration
-        return info.residual
-
-    r = throughput(op32, bnd)
-    float(r)  # warm
+    sys32 = DirichletSystem(op32, bnd)
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)  # warm
     t0 = time.time()
-    r = throughput(op32, bnd)
-    float(r)
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
     sink.put(gen10m_matfree_cg_iters_per_s=round(
         ITERS / (time.time() - t0), 2))
 
@@ -1111,25 +1122,56 @@ def _general_gather_metrics(small, sink):
     sink.put(gen10m_ell_convert_s=round(time.time() - t0, 3),
              gen10m_ell_overflow=ell_overflow)
     E32 = jax.jit(lambda E: E.astype(jnp.float32))(E64)
-    del op32, s  # the f32 operator rides the assembled ELL from here
+    del op32, s, sys32  # the f32 operator rides the assembled ELL from here
 
-    @jax.jit
-    def throughput_ell(E32, bnd):
-        sys_ = DirichletSystem(E32, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
-        x, info = cg(sys_, b, rtol=0.0, maxiter=ITERS)
-        return info.residual
-
-    r = throughput_ell(E32, bnd)
-    float(r)
+    sys_ell = DirichletSystem(E32, bnd)
+    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)  # warm
     t0 = time.time()
-    r = throughput_ell(E32, bnd)
-    float(r)
+    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
     t_iter = (time.time() - t0) / ITERS
     # bytes model: vals+cols+gathered x per nonzero + ~10 vector passes
     ell_bytes = (MAXC * 12 + 10 * 4) * n_dofs
     sink.put(gen10m_ell_cg_iters_per_s=round(1.0 / t_iter, 2),
              gen10m_ell_gbps=round(ell_bytes / t_iter / 1e9, 1))
+
+    # stage 5b: banded DIA + ELL-remainder split (ops/dia_split.py) — the
+    # dominant offsets of the RCM-banded operator become STATIC 2D stencil
+    # shifts at memory bandwidth; gathers only for the tiny remainder
+    from fdapde_core_tpu.ops.dia_split import (
+        banded_cg, build_banded_split, plan_split_width,
+    )
+
+    t0 = time.time()
+    W, amax = plan_split_width(E32)
+    sink.put(gen10m_dia_plan_s=round(time.time() - t0, 3),
+             gen10m_dia_W=int(W or 0), gen10m_dia_amax=int(amax))
+    if W:
+        @jax.jit
+        def to_split(E, bnd):
+            S, over = build_banded_split(E, W, amax=amax)
+            F = S.fold_dirichlet(bnd)
+            rem_nnz = jnp.sum(F.rem.vals != 0.0)
+            return F, over.astype(jnp.int32), rem_nnz.astype(jnp.int32)
+
+        S32, overs, remnnz = to_split(E32, bnd)
+        t0 = time.time()
+        S32, overs, remnnz = to_split(E32, bnd)
+        int(overs)
+        sink.put(gen10m_dia_split_s=round(time.time() - t0, 3),
+                 gen10m_dia_rem_overflow=int(overs),
+                 gen10m_dia_rem_nnz=int(remnnz))
+
+        b32 = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
+        run_dia = jax.jit(lambda S, bb: banded_cg(S, bb, ITERS)[1])
+        float(run_dia(S32, b32))  # warm
+        t0 = time.time()
+        float(run_dia(S32, b32))
+        t_dia_iter = (time.time() - t0) / ITERS
+        L = len(S32.G.offsets2d)
+        RW = S32.G.shape2d[0] * S32.G.shape2d[1]
+        dia_bytes = (L + 1) * RW * 4 + 10 * n_dofs * 4
+        sink.put(gen10m_dia_cg_iters_per_s=round(1.0 / t_dia_iter, 2),
+                 gen10m_dia_gbps=round(dia_bytes / t_dia_iter / 1e9, 1))
 
     # stage 6: device-built aux-grid preconditioner (SoA (x, y) nodes)
     diag32 = jax.jit(
@@ -1140,29 +1182,60 @@ def _general_gather_metrics(small, sink):
     float(aux.mg.datas[-1][0, 0, 0])
     sink.put(gen10m_aux_setup_s=round(time.time() - t0, 3))
 
-    # stage 7: converged mixed-precision solve (f64 ELL + f32 aux V-cycle)
+    # stage 7: converged mixed-precision solve (f64 ELL + f32 aux V-cycle),
+    # chunked — 100 preconditioned f64 iterations in one program would trip
+    # the executor watchdog
+    rhs64 = jax.jit(
+        lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / (n * n)
+    )(bnd)
+    sys64 = DirichletSystem(E64, bnd)
+    pre64 = jax.tree_util.Partial(_aux_cast_pre, aux)
+
     @jax.jit
-    def converged(op64, bnd, aux):
-        sys_ = DirichletSystem(op64, bnd)
-        b = jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / (n * n)
-
-        def pre(rr):
-            return aux(rr.astype(jnp.float32)).astype(jnp.float64)
-
-        xx, info = cg(sys_, b, M_inv=pre, rtol=1e-9, maxiter=100)
+    def true_rel(sys_, xx, b):
         res = b - sys_(xx)  # true residual, f64 fine operator
-        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
-        return xx, info.iterations, rel
+        return jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
 
-    xc, it, rel = converged(E64, bnd, aux)
-    float(rel)  # warm
+    xc, info = cg_chunked(sys64, rhs64, M_inv=pre64, rtol=1e-9,
+                          maxiter=100, chunk=CH)
+    float(true_rel(sys64, xc, rhs64))  # warm
     t0 = time.time()
-    xc, it, rel = converged(E64, bnd, aux)
-    itv, relv = int(it), float(rel)
+    xc, info = cg_chunked(sys64, rhs64, M_inv=pre64, rtol=1e-9,
+                          maxiter=100, chunk=CH)
+    itv, relv = int(info.iterations), float(true_rel(sys64, xc, rhs64))
     sink.put(gen10m_converged_solve_s=round(time.time() - t0, 3),
              gen10m_converged_iters=itv,
-             gen10m_converged_true_rel_res=relv,
-             gen10m_section_s=round(time.time() - t_sec, 1))
+             gen10m_converged_true_rel_res=relv)
+
+    # stage 7b: same converged solve riding the f64 DIA split (the fast
+    # general SpMV) — identical math, stencil-speed iteration
+    if W:
+        @jax.jit
+        def to_split64(E, bnd):
+            S, _ = build_banded_split(E, W, amax=amax)
+            F = S.fold_dirichlet(bnd)
+            return F, F.G.data[0, 0, 0]
+
+        S64, w64 = to_split64(E64, bnd)
+        float(w64)
+
+        @jax.jit
+        def true_rel_dia(S, xx, b):
+            res = b - S @ xx
+            return jnp.sqrt(jnp.sum(res * res) / jnp.sum(b * b))
+
+        xd, info_d = cg_chunked(S64, rhs64, M_inv=pre64, rtol=1e-9,
+                                maxiter=100, chunk=2 * CH)
+        float(true_rel_dia(S64, xd, rhs64))  # warm
+        t0 = time.time()
+        xd, info_d = cg_chunked(S64, rhs64, M_inv=pre64, rtol=1e-9,
+                                maxiter=100, chunk=2 * CH)
+        reld = float(true_rel_dia(S64, xd, rhs64))
+        sink.put(gen10m_dia_converged_solve_s=round(time.time() - t0, 3),
+                 gen10m_dia_converged_iters=int(info_d.iterations),
+                 gen10m_dia_converged_true_rel_res=reld)
+
+    sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
 
 
 # --------------------------------------------------------------------------

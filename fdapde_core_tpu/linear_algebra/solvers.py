@@ -18,12 +18,14 @@ SURVEY.md) marks `converged=False` without crashing.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "bicgstab", "gmres", "cg_differentiable", "SolveInfo"]
+__all__ = ["cg", "cg_chunked", "bicgstab", "gmres", "cg_differentiable",
+           "SolveInfo"]
 
 
 class SolveInfo(NamedTuple):
@@ -79,6 +81,133 @@ def cg(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
     x, r, *_, k = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
     rnorm = jnp.linalg.norm(r)
     return x, SolveInfo(k, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+
+
+def _cg_chunk_fn(chunk: int, has_pre: bool):
+    """Jitted `chunk`-iteration CG step carrying full Krylov state.
+
+    Module-level cache (keyed on the static chunk size / preconditioner
+    presence): one compile serves every chunk of every same-shaped solve.
+    """
+
+    @jax.jit
+    def step(A, M_inv, state, tol, maxiter):
+        op = _as_operator(A)
+        pre = _as_operator(M_inv) if has_pre else _identity
+        k0 = state[-1]
+
+        def cond(s):
+            x, r, z, p, rz, k = s
+            rnorm = jnp.linalg.norm(r)
+            return ((rnorm > tol) & (k < maxiter) & (k < k0 + chunk)
+                    & jnp.isfinite(rnorm))
+
+        def body(s):
+            x, r, z, p, rz, k = s
+            Ap = op(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = pre(r)
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (x, r, z, p, rz_new, k + 1)
+
+        state = jax.lax.while_loop(cond, body, state)
+        return state, jnp.linalg.norm(state[1])
+
+    return step
+
+
+def _cg_setup_fn(has_pre: bool, has_x0: bool):
+    """Jitted Krylov-state initialization (cached like the chunk step):
+    keeps every per-solve device op inside one compiled program — eager
+    ops are unusable on the remote-TPU harness."""
+
+    @jax.jit
+    def setup(A, M_inv, b, x0, rtol, atol):
+        op = _as_operator(A)
+        pre = _as_operator(M_inv) if has_pre else _identity
+        x0_ = x0 if has_x0 else jnp.zeros_like(b)
+        r0 = b - op(x0_)
+        z0 = pre(r0)
+        tol = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+        state = (x0_, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0, jnp.int32))
+        return state, tol
+
+    return setup
+
+
+_CG_CHUNK_CACHE: dict = {}
+_CG_SETUP_CACHE: dict = {}
+
+
+def _as_chunk_operand(A):
+    """Make `A` a valid jit argument: pytree operators (registered classes,
+    arrays) pass through; bare Python callables are wrapped in
+    `jax.tree_util.Partial` (function identity lands in the treedef, so a
+    new function triggers the one retrace it needs)."""
+    if A is None or isinstance(A, jax.Array):
+        return A
+    leaves = jax.tree_util.tree_leaves(A)
+    if callable(A) and len(leaves) == 1 and leaves[0] is A:
+        return jax.tree_util.Partial(A)
+    return A
+
+
+def cg_chunked(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0,
+               maxiter=200, chunk=10, on_chunk=None):
+    """Exact preconditioned CG split into `chunk`-iteration device programs.
+
+    Mathematically identical to `cg` — the full Krylov state (x, r, z, p,
+    rho) crosses the program boundary, so there is no restart penalty; the
+    host fetches ||r|| between chunks (~one fence each). Use it where one
+    long-running device program is unsafe (this harness's remote executor
+    kills programs past ~60 s — measured: a 55 s program survives, a 73 s
+    one kills the TPU worker) or where between-chunk observability is
+    wanted (SURVEY §5.3: stall detection hooks). A and M_inv must be
+    pytree operators (callable or `@`, e.g. DirichletSystem /
+    AuxGridPreconditioner / BandedSplit) so the chunk program compiles
+    once per shape, not once per solve.
+
+    on_chunk: optional host callback (k_iterations, rnorm) -> None after
+    every chunk. Returns (x, SolveInfo) like `cg`.
+    """
+    b = jnp.asarray(b)
+    A = _as_chunk_operand(A)
+    M_inv = _as_chunk_operand(M_inv)
+    has_pre = M_inv is not None
+    has_x0 = x0 is not None
+    key = (int(chunk), has_pre)
+    step = _CG_CHUNK_CACHE.get(key)
+    if step is None:
+        step = _CG_CHUNK_CACHE[key] = _cg_chunk_fn(int(chunk), has_pre)
+    skey = (has_pre, has_x0)
+    setup = _CG_SETUP_CACHE.get(skey)
+    if setup is None:
+        setup = _CG_SETUP_CACHE[skey] = _cg_setup_fn(has_pre, has_x0)
+
+    dummy = b[:0] if not has_pre else M_inv
+    state, tol = setup(A, dummy, b, x0 if has_x0 else b[:0],
+                       jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype))
+    tolf = float(tol)  # one host fence
+    maxiter_dev = jnp.asarray(maxiter, jnp.int32)
+    rnorm = float("inf")
+    while True:
+        k_before = int(state[-1])
+        state, rnorm_dev = step(A, dummy, state, tol, maxiter_dev)
+        k = int(state[-1])  # host fence per chunk (fetches rnorm too)
+        rnorm = float(rnorm_dev)
+        if on_chunk is not None:
+            on_chunk(k, rnorm)
+        if (rnorm <= tolf or k >= maxiter or k == k_before
+                or not math.isfinite(rnorm)):
+            break
+    x = state[0]
+    k = state[-1]
+    return x, SolveInfo(k, jnp.asarray(rnorm),
+                        jnp.asarray(rnorm <= tolf))
 
 
 def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
