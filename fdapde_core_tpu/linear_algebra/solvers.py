@@ -24,8 +24,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "cg_chunked", "bicgstab", "gmres", "cg_differentiable",
-           "SolveInfo"]
+__all__ = ["cg", "cg_chunked", "bicgstab", "bicgstab_chunked", "gmres",
+           "cg_differentiable", "SolveInfo"]
 
 
 class SolveInfo(NamedTuple):
@@ -259,6 +259,96 @@ def bicgstab(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None):
     k = out[-1]
     rnorm = jnp.linalg.norm(r)
     return x, SolveInfo(k, rnorm, (rnorm <= tol) & jnp.isfinite(rnorm))
+
+
+def _bicgstab_chunk_fns(chunk: int, has_pre: bool, has_x0: bool):
+    """Cached (setup, step) programs for chunked BiCGStab — same recurrence
+    as `bicgstab`, full state (incl. the shadow residual) crossing the
+    program boundary."""
+
+    @jax.jit
+    def setup(A, M_inv, b, x0, rtol, atol):
+        op = _as_operator(A)
+        x0 = x0 if has_x0 else jnp.zeros_like(b)
+        r0 = b - op(x0)
+        one = jnp.array(1.0, b.dtype)
+        state = (x0, r0, r0, jnp.zeros_like(b), one, one, one,
+                 jnp.zeros_like(b), jnp.array(0, jnp.int32))
+        tol = jnp.maximum(rtol * jnp.linalg.norm(b), atol)
+        return state, tol
+
+    @jax.jit
+    def step(A, M_inv, state, tol, maxiter):
+        op = _as_operator(A)
+        pre = _as_operator(M_inv) if has_pre else _identity
+        k0 = state[-1]
+
+        def cond(s):
+            rnorm = jnp.linalg.norm(s[1])
+            return ((rnorm > tol) & (s[-1] < maxiter)
+                    & (s[-1] < k0 + chunk) & jnp.isfinite(rnorm))
+
+        def body(s):
+            x, r, rhat, p, rho, alpha, omega, v, k = s
+            rho_new = jnp.vdot(rhat, r)
+            beta = (rho_new / rho) * (alpha / omega)
+            p = r + beta * (p - omega * v)
+            phat = pre(p)
+            v = op(phat)
+            alpha = rho_new / jnp.vdot(rhat, v)
+            s_ = r - alpha * v
+            shat = pre(s_)
+            t = op(shat)
+            tt = jnp.vdot(t, t)
+            omega = jnp.where(tt > 0, jnp.vdot(t, s_) / tt, 0.0)
+            x = x + alpha * phat + omega * shat
+            r = s_ - omega * t
+            return (x, r, rhat, p, rho_new, alpha, omega, v, k + 1)
+
+        state = jax.lax.while_loop(cond, body, state)
+        return state, jnp.linalg.norm(state[1])
+
+    return setup, step
+
+
+_BICGSTAB_CHUNK_CACHE: dict = {}
+
+
+def bicgstab_chunked(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0,
+                     maxiter=200, chunk=10, on_chunk=None):
+    """`bicgstab` split into bounded device programs — see `cg_chunked`
+    for why (remote-executor watchdog, between-chunk observability).
+    Iterates are bit-identical to the single-program form."""
+    b = jnp.asarray(b)
+    A = _as_chunk_operand(A)
+    M_inv = _as_chunk_operand(M_inv)
+    has_pre = M_inv is not None
+    has_x0 = x0 is not None
+    key = (int(chunk), has_pre, has_x0)
+    fns = _BICGSTAB_CHUNK_CACHE.get(key)
+    if fns is None:
+        fns = _BICGSTAB_CHUNK_CACHE[key] = _bicgstab_chunk_fns(
+            int(chunk), has_pre, has_x0)
+    setup, step = fns
+
+    dummy = b[:0] if not has_pre else M_inv
+    state, tol = setup(A, dummy, b, x0 if has_x0 else b[:0],
+                       jnp.asarray(rtol, b.dtype), jnp.asarray(atol, b.dtype))
+    tolf = float(tol)
+    maxiter_dev = jnp.asarray(maxiter, jnp.int32)
+    rnorm = float("inf")
+    while True:
+        k_before = int(state[-1])
+        state, rnorm_dev = step(A, dummy, state, tol, maxiter_dev)
+        k = int(state[-1])
+        rnorm = float(rnorm_dev)
+        if on_chunk is not None:
+            on_chunk(k, rnorm)
+        if (rnorm <= tolf or k >= maxiter or k == k_before
+                or not math.isfinite(rnorm)):
+            break
+    return state[0], SolveInfo(state[-1], jnp.asarray(rnorm),
+                               jnp.asarray(rnorm <= tolf))
 
 
 def gmres(A, b, M_inv=None, x0=None, rtol=1e-12, atol=0.0, maxiter=None, restart=20):

@@ -147,13 +147,63 @@ class MatrixFreePoisson:
         gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
         return gathered.sum(axis=1)
 
-    def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 100):
+    def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 100,
+              chunk: int | None = None, on_chunk=None):
         """Mixed-precision converged solve; returns (x, iterations, true
-        relative residual) — all device scalars (fetch to fence)."""
+        relative residual) — all device scalars (fetch to fence).
+
+        chunk: split the Krylov loop into <=chunk-iteration device
+        programs (bit-identical iterates). Required at 10M-dof scale on
+        watchdog-limited remote executors (a single ~60 s+ program is
+        killed), and the hook for between-chunk stall observation
+        (on_chunk(k, rnorm) after every chunk; SURVEY §5.3)."""
         if g is None:
             g = jnp.zeros_like(b)
+        if chunk is not None:
+            return _solve_chunked(self.op, self.boundary, self.aux, b, g,
+                                  True, rtol, maxiter, chunk, on_chunk)
         run = _solve_fn(float(rtol), int(maxiter))
         return run(self.op, self.boundary, self.aux, b, g)
+
+
+def _aux_apply(aux, r):
+    """f32 aux V-cycle inside a higher-precision Krylov loop (module-level
+    identity: stable across solves for the chunk-program caches)."""
+    return aux(r.astype(jnp.float32)).astype(r.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_fn():
+    @jax.jit
+    def prep(op, bnd, b, g):
+        sys = DirichletSystem(op, bnd)
+        return sys.rhs(b, g), jnp.where(bnd, g, 0.0)
+
+    return prep
+
+
+@functools.lru_cache(maxsize=None)
+def _rel_fn():
+    @jax.jit
+    def rel(op, bnd, x, b_mod):
+        sys = DirichletSystem(op, bnd)
+        res = b_mod - sys(x)
+        return jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
+
+    return rel
+
+
+def _solve_chunked(op, bnd, aux, b, g, symmetric, rtol, maxiter, chunk,
+                   on_chunk):
+    from ..linear_algebra.solvers import bicgstab_chunked, cg_chunked
+
+    b_mod, x0 = _prep_fn()(op, bnd, b, g)
+    pre = jax.tree_util.Partial(_aux_apply, aux)
+    solver = cg_chunked if symmetric else bicgstab_chunked
+    x, info = solver(DirichletSystem(op, bnd), b_mod, M_inv=pre, x0=x0,
+                     rtol=rtol, maxiter=maxiter, chunk=chunk,
+                     on_chunk=on_chunk)
+    return x, info.iterations, _rel_fn()(op, bnd, x, b_mod)
 
 
 @functools.lru_cache(maxsize=None)
@@ -358,12 +408,19 @@ class MatrixFreeElliptic:
         gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
         return gathered.sum(axis=0)
 
-    def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 200):
+    def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 200,
+              chunk: int | None = None, on_chunk=None):
         """Mixed-precision converged solve (f64 vectors, f32 aux V-cycle);
         CG when symmetric, BiCGStab otherwise. Returns (x, iterations,
-        true relative residual) as device scalars."""
+        true relative residual) as device scalars. `chunk` bounds each
+        device program to <=chunk Krylov iterations (watchdog-limited
+        executors / stall observability) — see MatrixFreePoisson.solve."""
         if g is None:
             g = jnp.zeros_like(b)
+        if chunk is not None:
+            return _solve_chunked(self.op, self.boundary, self.aux, b, g,
+                                  self.is_symmetric, rtol, maxiter, chunk,
+                                  on_chunk)
         run = _general_solve_fn(float(rtol), int(maxiter),
                                 self.is_symmetric)
         return run(self.op, self.boundary, self.aux, b, g)

@@ -438,3 +438,18 @@ def test_cg_chunked_matches_cg_exactly():
     x3, info3 = cg_chunked(op, jnp.asarray(b), M_inv=pre, x0=x_ref,
                            rtol=1e-12, maxiter=50, chunk=8)
     assert bool(info3.converged) and int(info3.iterations) == 0
+
+
+def test_bicgstab_chunked_matches_bicgstab():
+    from fdapde_core_tpu.linear_algebra.solvers import bicgstab, bicgstab_chunked
+
+    rng = np.random.default_rng(3)
+    n = 80
+    a = np.eye(n) * n + rng.normal(size=(n, n))
+    A = jnp.asarray(a)
+    b = jnp.asarray(rng.normal(size=n))
+    x1, i1 = bicgstab(A, b, rtol=1e-11, maxiter=400)
+    x2, i2 = bicgstab_chunked(A, b, rtol=1e-11, maxiter=400, chunk=6)
+    assert bool(i2.converged)
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

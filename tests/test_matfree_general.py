@@ -226,3 +226,33 @@ def test_matrixfree_elliptic_model_p2(mesh):
     assert float(rel) < 1e-10
     # u = x + y is in the P2 space and the forcing is exact -> near-exact
     np.testing.assert_allclose(np.asarray(xh), np.asarray(g), atol=1e-7)
+
+
+def test_model_chunked_solve_identical():
+    """chunk= splits the model solve into bounded device programs with
+    bit-identical iterates (CG for symmetric, BiCGStab otherwise)."""
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device
+    from fdapde_core_tpu.models.matfree import (
+        MatrixFreeElliptic,
+        MatrixFreePoisson,
+    )
+
+    nodes, cells, bnd = irregular_mesh_device(16, 0.2, dtype=jnp.float64)
+    m = MatrixFreePoisson(nodes, cells, bnd)
+    b = m.load_vector(jnp.ones(cells.shape[0], jnp.float64))
+    x, it, rel = m.solve(b, rtol=1e-10, maxiter=200)
+    seen = []
+    xc, itc, relc = m.solve(b, rtol=1e-10, maxiter=200, chunk=5,
+                            on_chunk=lambda k, r: seen.append((k, r)))
+    assert int(it) == int(itc) and len(seen) >= 2
+    assert float(jnp.max(jnp.abs(x - xc))) == 0.0
+
+    e = MatrixFreeElliptic((nodes[:, 0], nodes[:, 1]), cells, bnd,
+                           b=(1.0, 0.5), c=0.3)
+    be = e.load_vector(jnp.ones(cells.shape[0], jnp.float64))
+    x2, it2, rel2 = e.solve(be, rtol=1e-10, maxiter=300)
+    xc2, itc2, relc2 = e.solve(be, rtol=1e-10, maxiter=300, chunk=7)
+    assert int(it2) == int(itc2)
+    assert float(jnp.max(jnp.abs(x2 - xc2))) == 0.0
