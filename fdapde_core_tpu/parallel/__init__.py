@@ -18,6 +18,7 @@ SpMV costs one `psum` over ICI. Owned-dof partitioning with halo
 """
 
 from .halo import HaloDIAParabolic, HaloDIASolver
+from .halo_ell import HaloELLSolver
 from .halo_grid import HaloGridDIASolver
 from .partition import morton_order, partition_elements
 from .sharded import ShardedPoisson, make_device_mesh
@@ -31,5 +32,6 @@ __all__ = [
     "make_device_mesh",
     "HaloDIASolver",
     "HaloDIAParabolic",
+    "HaloELLSolver",
     "HaloGridDIASolver",
 ]

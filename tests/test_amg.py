@@ -66,6 +66,7 @@ def test_amg_cg_matches_dense_solution():
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_h_independent_iterations():
     """Iteration counts must stay O(1) under refinement (the point of MG)."""
     iters = {}

@@ -37,6 +37,7 @@ def _problem(nx, seed=0):
     return mesh, Am, b
 
 
+@pytest.mark.slow
 def test_preconditioner_is_spd():
     mesh, Am, _ = _problem(16)
     pre = AuxGridPreconditioner.build(mesh.nodes, Am.diagonal())
@@ -49,6 +50,7 @@ def test_preconditioner_is_spd():
     assert float(x @ pre(x)) > 0
 
 
+@pytest.mark.slow
 def test_aux_grid_pcg_converges_near_h_independently():
     iters = {}
     for nx in (16, 32, 64):
@@ -65,6 +67,7 @@ def test_aux_grid_pcg_converges_near_h_independently():
     assert counts[-1] <= 2 * counts[0] + 5, iters
 
 
+@pytest.mark.slow
 def test_aux_grid_beats_jacobi():
     mesh, Am, b = _problem(64)
     pre = AuxGridPreconditioner.build(mesh.nodes, Am.diagonal())
@@ -90,6 +93,7 @@ def test_pde_product_path_with_auxgrid():
     assert pde.l2_error(exact) < 1e-6
 
 
+@pytest.mark.slow
 def test_aux_grid_3d_on_tet_mesh():
     """3D trilinear auxiliary-grid preconditioner on the unit_sphere tet
     mesh (ball domain inside its bounding-box grid)."""
@@ -122,6 +126,7 @@ def test_aux_grid_3d_on_tet_mesh():
     assert res < 1e-9
 
 
+@pytest.mark.slow
 def test_aux_grid_auto_mask_non_box_domain():
     """grid_free='auto' on the quasi_circle mesh: grid nodes in the void
     outside the (non-box) domain get identity rows; the preconditioner
@@ -155,6 +160,7 @@ def test_aux_grid_auto_mask_non_box_domain():
     assert res < 1e-9
 
 
+@pytest.mark.slow
 def test_pde_auxgrid_3d():
     """PDE(solver_preconditioner='auxgrid') dispatches to the 3D class on
     tetrahedral meshes."""

@@ -3,6 +3,7 @@ assembled ELL operator, auto width planning, Dirichlet fold, and the
 padded-state CG driver."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
@@ -25,6 +26,7 @@ def _ell_operator(n=24):
     return E, bnd, n_dofs
 
 
+@pytest.mark.slow
 def test_plan_picks_band_width():
     E, _, n_dofs = _ell_operator(24)
     W, amax = plan_split_width(E)
@@ -33,6 +35,7 @@ def test_plan_picks_band_width():
     assert amax == 1
 
 
+@pytest.mark.slow
 def test_split_is_exact():
     E, _, n_dofs = _ell_operator(24)
     W, amax = plan_split_width(E)
@@ -49,6 +52,7 @@ def test_split_is_exact():
     )
 
 
+@pytest.mark.slow
 def test_split_remainder_on_narrow_window():
     """Force a too-small stencil window: the remainder must carry the rest
     and the split must still be exact."""

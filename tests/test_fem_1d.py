@@ -11,6 +11,7 @@ PI = np.pi
 
 
 @pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.slow
 def test_1d_poisson(order):
     """-u'' = pi^2 sin(pi x), u(0) = u(1) = 0 -> u = sin(pi x)."""
     pde = fdm.PDE(
@@ -29,6 +30,7 @@ def test_1d_poisson(order):
     assert err < (5e-4 if order == 1 else 5e-7), (order, err)
 
 
+@pytest.mark.slow
 def test_1d_linear_exact():
     """u = x is in the P1 space: solver-tolerance accuracy."""
     pde = fdm.PDE(Interval(0.0, 2.0, 10), -fdm.laplacian(), order=1)

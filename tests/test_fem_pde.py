@@ -113,6 +113,7 @@ def _parabolic_problem(order, n_times, mesh):
     return pde, g
 
 
+@pytest.mark.slow
 def test_parabolic_isotropic_order2(unit_square):
     """fem_pde_test.cpp:222-285: heat equation, P2, 101 steps, max-over-time
     L2 error < 1e-7."""
@@ -230,6 +231,7 @@ def test_variable_diffusion_mixed_bc():
     assert err < 5e-5, err
 
 
+@pytest.mark.slow
 def test_p3_cubic_exact():
     """P3 elements (order-3 dof enumeration goes beyond the reference's
     order<=2 support, lagrangian_basis.h:94): cubic solutions are exact."""
@@ -273,6 +275,7 @@ def test_p3_continuity_partition_of_unity(unit_square):
     np.testing.assert_allclose(vals, want, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_parabolic_advection_diffusion():
     """Parabolic with a non-symmetric spatial operator (BiCGStab inner
     solves): dt(u) - Lap(u) + b.grad(u) = f with manufactured solution."""

@@ -279,6 +279,7 @@ def test_differentiable_solve_gradients():
     assert abs(float(g) - float(fd)) < 1e-5 * max(1.0, abs(float(fd)))
 
 
+@pytest.mark.slow
 def test_differentiable_fem_coefficient_gradient():
     """End-to-end: gradient of a data-misfit w.r.t. a diffusion coefficient
     through assembly + solve."""
@@ -313,6 +314,7 @@ def test_differentiable_fem_coefficient_gradient():
     assert abs(float(g) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
 
 
+@pytest.mark.slow
 def test_coefficient_estimation_inverse_problem():
     """PDE-constrained estimation: recover a diffusion coefficient kappa*
     from observations of the solution by gradient descent through the

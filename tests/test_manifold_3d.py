@@ -134,6 +134,7 @@ def test_face_to_edges(unit_sphere):
         assert got == want
 
 
+@pytest.mark.slow
 def test_laplace_beltrami_on_extracted_sphere(unit_sphere):
     """Solve (-Lap_S + 1) u = 3 z on the extracted sphere surface.
 

@@ -8,6 +8,7 @@ formulas, same dtypes).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ def test_irregular_mesh_topology_varies():
     assert deg[interior].max() >= 7
 
 
+@pytest.mark.slow
 def test_matfree_matches_assembled_matrix():
     nodes, cells, bnd = _device_mesh(8)
     mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
@@ -74,6 +76,7 @@ def test_matfree_matches_assembled_matrix():
                                np.asarray(A.diagonal()), rtol=0, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_matfree_solve_matches_explicit():
     nodes, cells, bnd = _device_mesh(10)
     mesh = Triangulation(nodes, cells.astype(np.int32), bnd)
@@ -101,6 +104,7 @@ def test_local_stiffness_kappa_scaling():
                                rtol=1e-15, atol=0)
 
 
+@pytest.mark.slow
 def test_ell_matrix_from_local_matches_assembled():
     from fdapde_core_tpu.ops.ell import ELLMatrix
 
@@ -127,6 +131,7 @@ def test_ell_matrix_from_local_matches_assembled():
     assert bool(over_small)
 
 
+@pytest.mark.slow
 def test_matrixfree_poisson_model():
     """Product-level driver: harmonic manufactured solution is exact (up to
     solver tolerance) since u = x + y is in the P1 space; and a forcing
@@ -164,6 +169,7 @@ def test_matrixfree_poisson_model():
     np.testing.assert_allclose(np.asarray(x_mf), np.asarray(x), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_matfree_3d_matches_assembled():
     """Tet local stiffness + matrix-free operator vs the assembled sparse
     path on a jittered device-generated Freudenthal mesh."""
@@ -209,6 +215,7 @@ def test_matrixfree_poisson_model_3d():
     np.testing.assert_allclose(np.asarray(x), np.asarray(g), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_soa_pipeline_matches_aos():
     """The SoA device-scale pipeline (ops/matfree_soa.py) is bit-equivalent
     to the AoS forms: mesh generator, matrix-free SpMV, diagonal, assembled
@@ -261,6 +268,7 @@ def test_soa_pipeline_matches_aos():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_auxgrid_build_device_matches_host():
     from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
 

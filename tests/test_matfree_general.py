@@ -46,6 +46,7 @@ def _assembled_action(space, op, v):
     return np.asarray(A @ jnp.asarray(v))
 
 
+@pytest.mark.slow
 def test_p1_general_matches_assembler(mesh):
     space = FEMSpace(mesh, order=1)
     x, y, c = _soa_arrays(mesh)
@@ -228,6 +229,7 @@ def test_matrixfree_elliptic_model_p2(mesh):
     np.testing.assert_allclose(np.asarray(xh), np.asarray(g), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_model_chunked_solve_identical():
     """chunk= splits the model solve into bounded device programs with
     bit-identical iterates (CG for symmetric, BiCGStab otherwise)."""

@@ -2,6 +2,7 @@
 preconditioner SPD-ness, h-independent MG-CG convergence."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import fdapde_core_tpu as fdm
@@ -84,6 +85,7 @@ def test_v_cycle_is_spd_preconditioner():
     assert float(jnp.vdot(v, Mv)) > 0
 
 
+@pytest.mark.slow
 def test_mgcg_h_independent_convergence():
     """Iteration count stays ~constant across mesh refinement, solution
     matches a long Jacobi-CG reference."""
@@ -104,6 +106,7 @@ def test_mgcg_h_independent_convergence():
     assert max(iters.values()) - min(iters.values()) <= 2, iters
 
 
+@pytest.mark.slow
 def test_structured_poisson_model_matches_general_path():
     """StructuredPoisson (fast pipeline incl. MG) == the general PDE path."""
     import fdapde_core_tpu as fdm
@@ -137,6 +140,7 @@ def test_structured_poisson_model_matches_general_path():
     assert np.abs(np.asarray(xr) - ref).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_mgcg_variable_coefficient_diffusion():
     """Galerkin coarsening needs no rediscretization: MG-CG converges fast
     for variable anisotropic diffusion (full 7-point stencil, no zero
@@ -179,6 +183,7 @@ def test_mgcg_variable_coefficient_diffusion():
     assert max(iters.values()) <= 14, iters
 
 
+@pytest.mark.slow
 def test_3d_cube_stencil_fast_path():
     """Freudenthal cube mesh: closed-form tet assembly -> scatter-free 3D
     stencil == assembled sparse operator; pruned 7-point CG == general
@@ -262,6 +267,7 @@ def _poisson_cube(n):
     return Gm, b
 
 
+@pytest.mark.slow
 def test_galerkin_coarsen3d_is_ptap():
     """3D A_c == P^T A P against the explicit trilinear prolongation,
     exercised matrix-free: for random coarse vectors u, v it must hold
@@ -287,6 +293,7 @@ def test_galerkin_coarsen3d_is_ptap():
         assert abs(lhs - rhs) < 1e-12 * max(1.0, abs(rhs))
 
 
+@pytest.mark.slow
 def test_3d_multigrid_h_independent():
     """3D MG-CG: solution matches long Jacobi-CG; iteration count stays
     small and flat across refinements (h-independence)."""
@@ -308,6 +315,7 @@ def test_3d_multigrid_h_independent():
     assert max(iters.values()) <= 14, iters
 
 
+@pytest.mark.slow
 def test_mg_bf16_storage_keeps_h_independence():
     """bf16 STENCIL STORAGE (f32/f64 vector arithmetic) must not degrade
     the V-cycle: same iteration count and residual as full-precision MG
@@ -346,6 +354,7 @@ def test_mg_bf16_storage_keeps_h_independence():
         )
 
 
+@pytest.mark.slow
 def test_3d_mg_bf16_storage():
     """3D bf16-storage hierarchy: same iterations + residual as full
     precision (vector arithmetic unchanged)."""
@@ -363,6 +372,7 @@ def test_3d_mg_bf16_storage():
     np.testing.assert_allclose(np.asarray(x16), np.asarray(x), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mixed_precision_mg_cg_matches_f64():
     """mg_preconditioned_cg(prec_dtype=f32): same iteration count and
     final accuracy class as the all-f64 solve (the f32 V-cycle perturbs the

@@ -1,6 +1,7 @@
 """Semilinear Newton solver test with a manufactured solution."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import fdapde_core_tpu as fdm
@@ -63,6 +64,7 @@ def test_semilinear_reduces_to_linear():
     assert np.abs(np.asarray(u) - np.asarray(pde.solution())).max() < 1e-9
 
 
+@pytest.mark.slow
 def test_bfgs_fallback_agrees_with_newton():
     """BASELINE config 4: Newton with BFGS fallback. Force the fallback by
     giving Newton zero iterations of slack and verify the energy minimizer

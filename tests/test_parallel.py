@@ -73,6 +73,7 @@ def test_sharded_1_vs_8_devices_identical():
     assert np.abs(sols[0] - sols[1]).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_ell_spmv_matches_segment():
     """Scatter-free per-shard ELL combine == segment_sum combine, on 1 and
     8 devices (same solutions to solver tolerance)."""
@@ -163,6 +164,7 @@ def test_halo_dia_solver_matches_single_chip():
         assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
 
 
+@pytest.mark.slow
 def test_models_sharded_driver():
     """High-level driver: halo-DIA strategy on a structured mesh, 8 devices,
     matches the single-chip PDE solve."""
@@ -226,6 +228,7 @@ def test_halo_parabolic_matches_single_chip():
     assert np.abs(got - np.asarray(ref)).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_halo_grid_dia_matches_single_chip():
     """Row-sharded 2D-stencil CG on 8 devices == single-chip masked solve."""
     import fdapde_core_tpu as fdm
@@ -300,6 +303,7 @@ def test_halo_dia_p2_via_rcm_matches_single_chip():
         assert np.abs(x - np.asarray(ref)).max() < 1e-8, n_dev
 
 
+@pytest.mark.slow
 def test_sharded_multigrid_matches_single_chip():
     """Row-sharded V-cycle MG-CG == replicated MG-CG == long Jacobi-CG, on
     1 and 8 virtual devices, with >= 2 sharded levels exercised."""
@@ -379,6 +383,7 @@ def test_rcm_native_matches_python():
     np.testing.assert_array_equal(inv_nat, inv_py)
 
 
+@pytest.mark.slow
 def test_time_sharded_space_time_matches_single_chip():
     """Time-sharded Kronecker CG (SURVEY SS5.7) == unsharded SeparableOperator
     solve: banded spline-like time factors, sparse FEM space factors."""
@@ -423,6 +428,7 @@ def test_time_sharded_space_time_matches_single_chip():
     )
 
 
+@pytest.mark.slow
 def test_sharded_auxgrid_preconditioner_matches_and_accelerates():
     """ShardedPoisson(preconditioner='auxgrid'): replicated aux-grid apply +
     sharded SpMV — same solution as the Jacobi path, fewer iterations, and
@@ -453,3 +459,44 @@ def test_sharded_auxgrid_preconditioner_matches_and_accelerates():
     )
     x1, r1, k1 = sp1.solve(b, g, rtol=1e-10, maxiter=2000)
     np.testing.assert_allclose(np.asarray(xa), np.asarray(x1), atol=1e-10)
+
+
+def test_halo_ell_general_path_matches_single_chip():
+    """Sharded GENERAL gather path (parallel/halo_ell.py): halo-exchange CG
+    over an assembled ELLSoA matches the single-device DirichletSystem CG
+    solve, and 1-vs-8 devices agree to f64 round-off."""
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+    from fdapde_core_tpu.parallel.halo_ell import HaloELLSolver
+    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+
+    n = 24
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(n, 0.2,
+                                                      dtype=jnp.float64)
+    n_dofs = (n + 1) ** 2
+    soa, over = MatrixFreeSoA.build(x, y, c0, c1, c2, n_dofs, 8)
+    assert not bool(over)
+    E, overc = soa.to_ell(9)
+    assert not bool(overc)
+
+    free = ~bnd
+    b = jnp.where(bnd, 0.0, 1.0) / (n * n)
+
+    sys_ = DirichletSystem(E, bnd)
+    x_ref, info = cg(sys_, b, rtol=1e-11, maxiter=2000)
+    assert bool(info.converged)
+
+    s8 = HaloELLSolver(E, make_device_mesh(8))
+    x8, r8, k8 = s8.solve(b, free.astype(jnp.float64), rtol=1e-11,
+                          maxiter=2000)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x_ref), atol=1e-9)
+
+    s1 = HaloELLSolver(E, make_device_mesh(1))
+    x1, r1, k1 = s1.solve(b, free.astype(jnp.float64), rtol=1e-11,
+                          maxiter=2000)
+    assert int(k1) == int(k8)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-12)

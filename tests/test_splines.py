@@ -103,6 +103,7 @@ def test_spline_areal_eval():
     np.testing.assert_allclose(dense.sum(axis=1), 1.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_spline_l2_projection_solve():
     """Solve M c = F (reaction(1) system): the L2 projection of f(x)=x
     reproduces x (linear functions are in the cubic spline space)."""

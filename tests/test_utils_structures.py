@@ -277,6 +277,7 @@ def test_space_time_fast_diagonalization():
     np.testing.assert_allclose(np.asarray(x_fdm), x_ref, rtol=0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_space_time_fdm_mode_parallel():
     """solve_space_time_fdm(device_mesh=...): mode-parallel across 8
     devices, zero per-iteration communication; matches the single-device
