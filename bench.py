@@ -753,7 +753,20 @@ def _space_time_metrics(small, sink):
              st_unknowns=int(n_t * mst * mst))
 
     # space stencils of the uniform criss-cross P1 grid (closed form),
-    # stiffness with Dirichlet identity fold; mass lumped (lumping.h:30)
+    # stiffness with Dirichlet identity fold; mass lumped (lumping.h:30).
+    # PRODUCT-API path from here on: ops/grid_dia.GridDIAMatrix space
+    # factors inside models/space_time.SeparableOperator, preconditioned
+    # by models/space_time.ModeMGPreconditioner, iterated by
+    # linear_algebra.solvers.cg_chunked (watchdog-bounded programs).
+    from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
+    from fdapde_core_tpu.models.space_time import (
+        ModeMGPreconditioner,
+        SeparableOperator,
+    )
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+
+    offs5 = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+
     @jax.jit
     def st_build(shift):
         gi = jnp.arange(mst, dtype=jnp.float32)
@@ -761,92 +774,56 @@ def _space_time_metrics(small, sink):
         free = (interior1d[:, None] & interior1d[None, :]).astype(jnp.float32)
         h2 = (1.0 / (mst - 1)) ** 2 + shift
         # 5-point stiffness layers (criss-cross P1 == FD Laplacian here)
-        s_c = 4.0 * jnp.ones((mst, mst), jnp.float32)
-        s_n = -1.0 * jnp.ones((mst, mst), jnp.float32)
-        diag = jnp.where(free > 0, s_c, 1.0)
-        off = s_n * free  # rows: masked to identity
-        mass = h2 * jnp.ones((mst, mst), jnp.float32)
-        return diag, off, mass, free, diag[0, 0]
+        diag = jnp.where(free > 0, 4.0, 1.0)
+        off = -1.0 * free
+        dataA = jnp.stack([diag, off, off, off, off])
+        # lumped mass on shared offsets (zero off-layers) for the Galerkin
+        # chain AXPY inside ModeMGPreconditioner
+        zero = jnp.zeros((mst, mst), jnp.float32)
+        dataE = jnp.stack([h2 * jnp.ones((mst, mst), jnp.float32),
+                           zero, zero, zero, zero])
+        return dataA, dataE, free, dataA[0, 0, 0]
 
-    diag, off, mass, free, wst = st_build(jnp.float32(0.0))
+    dataA, dataE, free, wst = st_build(jnp.float32(0.0))
     float(wst)
-
-    offs = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
-
-    # all space/time arrays enter the jit as ARGUMENTS: closed-over device
-    # arrays become program constants that the remote harness must upload
-    @jax.jit
-    def st_cg(b, diag, off, mass, free, T0j, T1j):
-        def s1_apply(X):  # (n_t, m, m) stiffness per slice, masked cols too
-            Xf = X * free
-            xp = jnp.pad(Xf, ((0, 0), (1, 1), (1, 1)))
-            acc = diag * X  # identity on boundary rows
-            for di, dj in offs[1:]:
-                acc += off * jax.lax.slice(
-                    xp,
-                    (0, 1 + di, 1 + dj),
-                    (X.shape[0], 1 + di + mst, 1 + dj + mst),
-                )
-            return acc * free + X * (1.0 - free)
-
-        def s0_apply(X):  # lumped mass
-            return mass * X
-
-        def R_apply(X):  # (n_t, m, m)
-            y1 = jnp.einsum("ts,smn->tmn", T1j, s0_apply(X))
-            y2 = jnp.einsum("ts,smn->tmn", T0j, s1_apply(X))
-            return y1 + y2
-
-        dT1 = jnp.diagonal(T1j)
-        dT0 = jnp.diagonal(T0j)
-        d0 = dT1[:, None, None] * mass[None] + dT0[:, None, None] * jnp.where(
-            free > 0, diag, 1.0
-        )[None]
-        dinv = 1.0 / d0
-
-        def dot(a, c):
-            return jnp.sum(a * c)
-
-        r = b
-        z = dinv * r
-        p = z
-        rz = dot(r, z)
-
-        def body(_, s):
-            x, r, p, rz = s
-            Ap = R_apply(p)
-            pAp = dot(p, Ap)
-            alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = dinv * r
-            rz_new = dot(r, z)
-            beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-            p = z + beta * p
-            return (x, r, p, rz_new)
-
-        x0 = jnp.zeros_like(b)
-        x, r, _, _ = jax.lax.fori_loop(0, ST_ITERS, body, (x0, b, z, rz))
-        return x, jnp.sqrt(jnp.sum(r * r) / jnp.sum(b * b))
-
-    b = jnp.ones((n_t, mst, mst), jnp.float32)
-    args = (b, diag, off, mass, free, T0j, T1j)
-    x, rel = st_cg(*args)
-    float(rel)  # warm
-    t0 = time.time()
-    x, rel = st_cg(*args)
-    relv = float(rel)
-    t_cg = time.time() - t0
-
-    sink.put(
-        st_cg_iters_per_s=round(ST_ITERS / t_cg, 1),
-        # ITERATION-THROUGHPUT metric: f32 Jacobi-CG does not converge at
-        # kappa(S1) ~ 4e6 (documented f32 floor); the convergent solve
-        # follows below via fast diagonalization
-        st_cg_rel_res_after=relv,
-        st_cg_iters_timed=ST_ITERS,
+    S1 = GridDIAMatrix(dataA, offs5, (mst, mst)).with_dirichlet_identity(
+        free.reshape(-1)
     )
-    del x, b, args, diag, off, mass, free
+    S0 = GridDIAMatrix(dataE, offs5, (mst, mst))
+
+    op = SeparableOperator([(T1j, S0), (T0j, S1)])
+    t0 = time.time()
+    pre = ModeMGPreconditioner.build(T0, T1, S0, S1)
+    float(jax.jit(lambda d: d[0, 0, 0, 0])(pre.mg.datas[-1]))
+    sink.put(st_pre_build_s=round(time.time() - t0, 2),
+             st_mg_levels=pre.mg.n_levels)
+
+    b = jnp.ones((n_t * mst * mst,), jnp.float32)
+    bnorm = (n_t * mst * mst) ** 0.5
+
+    # iteration throughput, fixed ST_ITERS (chunked: watchdog-bounded)
+    x, info = cg_chunked(op, b, M_inv=pre, rtol=0.0, maxiter=ST_ITERS,
+                         chunk=10)  # warm/compile
+    t0 = time.time()
+    x, info = cg_chunked(op, b, M_inv=pre, rtol=0.0, maxiter=ST_ITERS,
+                         chunk=10)
+    t_cg = time.time() - t0
+    iters_done = max(int(info.iterations), 1)
+    sink.put(
+        st_cg_iters_per_s=round(iters_done / t_cg, 1),
+        st_cg_rel_res_after=float(info.residual) / bnorm,
+        st_cg_iters_timed=iters_done,
+    )
+
+    # CONVERGED product-API solve (mode-MG CG, f32)
+    t0 = time.time()
+    xc, infoc = cg_chunked(op, b, M_inv=pre, rtol=1e-6, maxiter=60,
+                           chunk=10)
+    sink.put(st_solve_s=round(time.time() - t0, 2),
+             st_solve_iters=int(infoc.iterations),
+             st_solve_rel_res=float(infoc.residual) / bnorm)
+
+    del x, xc, b, dataA, dataE, free, op, pre
     _space_time_fdm_converged(T0, T1, mst, n_t, sink)
     sink.put(st_section_s=round(time.time() - t_sec, 1))
 

@@ -11,6 +11,7 @@ Kronecker factors and every matvec is two batched matmuls per term
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,29 +19,55 @@ from ..linear_algebra.kron import kron_matvec
 from ..linear_algebra.solvers import bicgstab, cg
 from ..linear_algebra.sparse import SparseMatrix
 
-__all__ = ["SeparableOperator", "solve_space_time", "SpaceTimeSmoothing"]
+__all__ = ["SeparableOperator", "ModeDiagPreconditioner", "solve_space_time",
+           "SpaceTimeSmoothing"]
+
+
+def _space_n(S):
+    return S.shape2d[0] * S.shape2d[1] if hasattr(S, "shape2d") else S.shape[0]
+
+
+def _apply_space_batch(S, X):
+    """S applied to every row of X (n_t, n_s): matrices via one matmul /
+    sparse transpose trick, stencil operators via their batched hook."""
+    if hasattr(S, "matvec_batch"):
+        return S.matvec_batch(X)
+    if isinstance(S, SparseMatrix):
+        return (S @ X.T).T
+    return X @ jnp.asarray(S).T
+
+
+def _diag_of(M):
+    return M.diagonal() if hasattr(M, "diagonal") and not isinstance(
+        M, jnp.ndarray
+    ) else jnp.diagonal(jnp.asarray(M))
 
 
 class SeparableOperator:
     """sum_k  T_k (x) S_k  as a matrix-free linear operator.
 
     T_k act on the time index (n_t x n_t), S_k on space (n_s x n_s); the
-    operator acts on vec(u) with u of shape (n_t, n_s) row-major.
+    operator acts on vec(u) with u of shape (n_t, n_s) row-major. S_k may
+    be dense, SparseMatrix, or ANY operator exposing `matvec_batch(X)` +
+    `diagonal()` (e.g. ops/grid_dia.GridDIAMatrix) — the device-scale form
+    where materializing S is hostile to the accelerator.
     """
 
     def __init__(self, terms):
         self.terms = list(terms)  # [(T, S), ...]
         T0, S0 = self.terms[0]
         self.n_t = T0.shape[0]
-        self.n_s = S0.shape[0]
+        self.n_s = _space_n(S0)
         self.shape = (self.n_t * self.n_s, self.n_t * self.n_s)
 
     def __call__(self, x):
+        X = jnp.asarray(x).reshape(self.n_t, self.n_s)
         out = None
         for T, S in self.terms:
-            y = kron_matvec(T, S, x)
+            SX = _apply_space_batch(S, X)
+            y = (T @ SX) if isinstance(T, SparseMatrix) else jnp.asarray(T) @ SX
             out = y if out is None else out + y
-        return out
+        return out.reshape(-1)
 
     __matmul__ = __call__
 
@@ -48,11 +75,138 @@ class SeparableOperator:
         """Diagonal of the operator (for Jacobi preconditioning)."""
         d = None
         for T, S in self.terms:
-            dT = T.diagonal() if isinstance(T, SparseMatrix) else jnp.diagonal(T)
-            dS = S.diagonal() if isinstance(S, SparseMatrix) else jnp.diagonal(S)
-            term = jnp.kron(dT, dS)
+            term = jnp.kron(_diag_of(T), _diag_of(S))
             d = term if d is None else d + term
         return d
+
+    def tree_flatten(self):
+        return tuple(self.terms), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, terms):
+        return cls(list(terms))
+
+
+jax.tree_util.register_pytree_node_class(SeparableOperator)
+
+
+@jax.tree_util.register_pytree_node_class
+class ModeDiagPreconditioner:
+    """Mode-diagonal preconditioner for  R = T1 (x) S0 + T0 (x) S1.
+
+    With the generalized time eigenbasis Z^T T1 Z = diag(lam),
+    Z^T T0 Z = I (host eigh on the tiny n_t x n_t pair), the exact
+    transform (Z (x) I)^T R (Z (x) I) = diag(lam) (x) S0 + I (x) S1
+    decouples time; replacing S0/S1 by their DIAGONALS gives the SPD
+    approximation  M^{-1} r = (Z (x) I) D^{-1} (Z^T (x) I) r  with
+    D_t = lam_t diag(S0) + diag(S1) — two small time matmuls plus an
+    elementwise scale per application, MXU-shaped. This is what makes an
+    f32 Krylov iteration on the ill-conditioned space-time sum actually
+    REDUCE the residual (unpreconditioned f32 CG diverges at
+    kappa ~ 1e6+); the exact per-mode solve is solve_space_time_fdm.
+    """
+
+    def __init__(self, Z, Dinv):
+        self.Z = Z  # (n_t, n_t)
+        self.Dinv = Dinv  # (n_t, n_s)
+
+    def tree_flatten(self):
+        return (self.Z, self.Dinv), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @classmethod
+    def build(cls, T0, T1, dS0, dS1, floor: float = 0.0):
+        """Host-side setup (T0/T1 host arrays, tiny); dS0/dS1 device (n_s,)."""
+        import scipy.linalg as sla
+
+        lam, Z = sla.eigh(np.asarray(T1), np.asarray(T0))
+        dtype = jnp.asarray(dS0).dtype
+        lamj = jnp.asarray(lam, dtype)
+        D = lamj[:, None] * dS0[None, :] + dS1[None, :]
+        D = jnp.where(jnp.abs(D) > floor, D, 1.0)
+        return cls(jnp.asarray(Z, dtype), 1.0 / D)
+
+    def __call__(self, r):
+        n_t = self.Z.shape[0]
+        X = jnp.asarray(r).reshape(n_t, -1)
+        W = self.Z.T @ X
+        W = W * self.Dinv
+        return (self.Z @ W).reshape(-1)
+
+    __matmul__ = __call__
+
+
+@jax.tree_util.register_pytree_node_class
+class ModeMGPreconditioner:
+    """Mode-batched MULTIGRID preconditioner for R = T1 (x) S0 + T0 (x) S1
+    on structured space grids (S0/S1 ops/grid_dia.GridDIAMatrix).
+
+    Time is diagonalized exactly (host eigh of the tiny (T1, T0) pencil);
+    each time mode's space system  S1 + lam_t S0  gets ONE GridMG V-cycle,
+    batched over ALL modes with jax.vmap (the two Galerkin chains share
+    the bilinear P, so level data is the AXPY  A_l + lam_t E_l — one
+    (n_t, K_l, m_l, m_l) stack per level, built in a single jit). Against
+    the kappa ~ 1e6 space conditioning that defeats diagonal
+    preconditioning, this makes the f32 space-time CG iteration converge
+    h-independently — the iteration THAT solve_space_time_fdm runs to
+    convergence, exposed as a reusable SPD preconditioner.
+    """
+
+    def __init__(self, Z, mg):
+        self.Z = Z  # (n_t, n_t) time eigenbasis, T0-orthonormal
+        self.mg = mg  # GridMG with mode-batched level data
+
+    def tree_flatten(self):
+        return (self.Z, self.mg), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @classmethod
+    def build(cls, T0, T1, S0, S1, dtype=jnp.float32, coarse_n: int = 32,
+              omega: float = 0.8, nu: int = 2, coarse_iters: int = 64):
+        """T0/T1 host (n_t, n_t); S0/S1 GridDIAMatrix with IDENTICAL
+        offsets2d (pad the sparser one with zero layers) and boundary
+        treatment already folded (with_dirichlet_identity on S1)."""
+        import scipy.linalg as sla
+
+        from ..ops.grid_mg import GridMG
+
+        if S0.offsets2d != S1.offsets2d:
+            raise ValueError("S0/S1 must share offsets2d (pad zero layers)")
+        lam, Z = sla.eigh(np.asarray(T1), np.asarray(T0))
+        mgA = GridMG.build(S1, coarse_n=coarse_n, omega=omega, nu=nu,
+                           coarse_iters=coarse_iters)
+        mgE = GridMG.build(S0, coarse_n=coarse_n, omega=omega, nu=nu,
+                           coarse_iters=coarse_iters)
+        lamj = jnp.asarray(lam, dtype)
+
+        @jax.jit
+        def combine(As, Es, lamj):
+            return tuple(
+                A[None].astype(dtype)
+                + lamj[:, None, None, None] * E[None].astype(dtype)
+                for A, E in zip(As, Es)
+            )
+
+        datas = list(combine(tuple(mgA.datas), tuple(mgE.datas), lamj))
+        mg = GridMG(datas, mgA.offsets, mgA.shapes, omega, nu, coarse_iters)
+        return cls(jnp.asarray(Z, dtype), mg)
+
+    def __call__(self, r):
+        from ..ops.grid_mg import GridMG
+
+        n_t = self.Z.shape[0]
+        X = jnp.asarray(r).reshape(n_t, -1)
+        W = self.Z.T @ X
+        W = jax.vmap(GridMG.v_cycle)(self.mg, W)
+        return (self.Z @ W).reshape(-1)
+
+    __matmul__ = __call__
 
 
 def solve_space_time(op: SeparableOperator, b, symmetric=True, rtol=1e-10, maxiter=None):

@@ -72,6 +72,24 @@ class GridDIAMatrix:
             )
         return y.reshape(-1)
 
+    def matvec_batch(self, X):
+        """Batched stencil apply: X (B, n) flat rows -> (B, n).
+
+        One padded slice per layer serves ALL B slices (vs B separate
+        matvecs) — the space-factor hook for separable space-time
+        operators (models/space_time.SeparableOperator)."""
+        mx, my = self.shape2d
+        B = X.shape[0]
+        Xg = jnp.asarray(X).reshape(B, mx, my)
+        H = max(max(abs(a), abs(b)) for a, b in self.offsets2d)
+        xp = jnp.pad(Xg, ((0, 0), (H, H), (H, H)))
+        y = jnp.zeros_like(Xg)
+        for k, (di, dj) in enumerate(self.offsets2d):
+            y = y + self.data[k][None] * jax.lax.slice(
+                xp, (0, H + di, H + dj), (B, H + di + mx, H + dj + my)
+            )
+        return y.reshape(B, -1)
+
     def diagonal(self):
         k = self.offsets2d.index((0, 0))
         return self.data[k].reshape(-1)

@@ -77,6 +77,7 @@ def test_aux_grid_beats_jacobi():
     assert int(i_aux.iterations) * 3 < int(i_jac.iterations)
 
 
+@pytest.mark.slow
 def test_pde_product_path_with_auxgrid():
     mesh = _jittered_delaunay(32, seed=3)
     pde = fdm.PDE(

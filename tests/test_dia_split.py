@@ -68,6 +68,7 @@ def test_split_remainder_on_narrow_window():
     )
 
 
+@pytest.mark.slow
 def test_fold_dirichlet_and_cg():
     from fdapde_core_tpu.fem.solvers import DirichletSystem
 

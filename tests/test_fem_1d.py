@@ -57,6 +57,7 @@ def test_p2_on_surface(surface):
     assert np.abs(np.asarray(A @ ones)).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_network_fem_solve():
     """FEM on a 1.5D network (Kirchhoff continuity at junctions comes for
     free from the conforming basis): constant Dirichlet data reproduces the

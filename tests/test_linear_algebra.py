@@ -209,6 +209,7 @@ def test_gmres_nonsymmetric():
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(a, b), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dia_matvec_matches_sparse():
     from fdapde_core_tpu.linear_algebra.dia import DIAMatrix, dia_from_coo, unique_offsets
     from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
@@ -230,6 +231,7 @@ def test_dia_matvec_matches_sparse():
     np.testing.assert_allclose(D.to_sparse().toarray(), A.toarray(), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_iterative_refinement_recovers_f64_accuracy():
     from fdapde_core_tpu.linear_algebra.solvers import cg, iterative_refinement
 

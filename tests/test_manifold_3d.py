@@ -14,6 +14,7 @@ import fdapde_core_tpu as fdm
 from fdapde_core_tpu.fem import FEMSpace, assemble_matrix
 
 
+@pytest.mark.slow
 def test_3d_poisson_unit_sphere(unit_sphere):
     """-Lap(u) = -6 with exact u = x^2+y^2+z^2 (quadratic, P1 approx)."""
     pde = fdm.PDE(
@@ -79,6 +80,7 @@ def test_network_mass_matrix():
     )
 
 
+@pytest.mark.slow
 def test_3d_p2_harmonic(unit_sphere):
     """P2 on tets: 3D edge-dof enumeration + quadrature. u = x+y+z exact."""
     pde = fdm.PDE(unit_sphere, -fdm.laplacian(), order=2)

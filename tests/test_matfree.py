@@ -200,6 +200,7 @@ def test_matfree_3d_matches_assembled():
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_matrixfree_poisson_model_3d():
     """3D product driver: harmonic manufactured solution is exact."""
     from fdapde_core_tpu.geometry.structured import cube_mesh_device

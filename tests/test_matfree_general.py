@@ -119,6 +119,7 @@ def test_p2_diffusion_matches_assembler(mesh):
     np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_p2_full_operator_matches_assembler(mesh):
     space = FEMSpace(mesh, order=2)
     x, y, _ = _soa_arrays(mesh)
@@ -196,6 +197,7 @@ def test_sym_general_reaction_cg_spd(mesh):
     assert float(np.linalg.norm(res)) / bn < 1e-10
 
 
+@pytest.mark.slow
 def test_matrixfree_elliptic_model_p1_advection(mesh):
     """Product API: non-symmetric device solve vs manufactured u = x + y."""
     from fdapde_core_tpu.models import MatrixFreeElliptic
@@ -212,6 +214,7 @@ def test_matrixfree_elliptic_model_p1_advection(mesh):
     np.testing.assert_allclose(np.asarray(xh), np.asarray(g), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_matrixfree_elliptic_model_p2(mesh):
     """P2 from_space: symmetric reaction-diffusion solve parity vs the host
     assembled path on u = x + y (-lap u + u = x + y manufactured)."""

@@ -49,6 +49,7 @@ def _dense_from_grid(G):
     return M
 
 
+@pytest.mark.slow
 def test_galerkin_coarsen_is_ptap():
     """A_c == P^T A P with the explicit dense bilinear prolongation."""
     n = 8
@@ -70,6 +71,7 @@ def test_galerkin_coarsen_is_ptap():
     np.testing.assert_allclose(Ac, Ac_ref, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_v_cycle_is_spd_preconditioner():
     """<u, M v> == <M u, v> and <v, M v> > 0 (validity inside CG)."""
     G, _ = _poisson_grid(16)

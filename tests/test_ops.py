@@ -1,6 +1,7 @@
 """Tests for the scatter-free ELL SpMV against the sparse reference path."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 import fdapde_core_tpu as fdm
@@ -10,6 +11,7 @@ from fdapde_core_tpu.geometry.structured import unit_square_mesh
 from fdapde_core_tpu.ops import build_ell_adjacency, ell_spmv
 
 
+@pytest.mark.slow
 def test_ell_spmv_matches_sparse():
     mesh = unit_square_mesh(12)
     space = FEMSpace(mesh, 1)
@@ -48,6 +50,7 @@ def test_ell_overflow_detection():
     assert bool(overflow)
 
 
+@pytest.mark.slow
 def test_pallas_p1_stiffness_matches_einsum():
     """Closed-form Pallas kernel == quadrature einsum path (interpret mode
     on CPU)."""
@@ -78,6 +81,7 @@ def test_pallas_p1_stiffness_matches_einsum():
     np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_soa_assembly_matches_aos():
     """C-last assembly equals the standard path for a composed operator."""
     from fdapde_core_tpu.ops.soa_assembly import assemble_soa_values

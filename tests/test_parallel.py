@@ -52,6 +52,7 @@ def _solve_both_ways(n, order):
 
 
 @pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.slow
 def test_sharded_matches_single_chip(order):
     for pde, ref, got, n_dev in _solve_both_ways(12, order):
         assert np.abs(ref - got).max() < 1e-8, (order, n_dev)
@@ -94,6 +95,7 @@ def test_sharded_ell_spmv_matches_segment():
         assert np.abs(sols[0] - s).max() < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_space_varying_coefficients():
     """Callable (space-varying) reaction + advection coefficients shard with
     the cells and reproduce the single-chip PDE solution."""
@@ -135,6 +137,7 @@ def test_sharded_assembly_matches_sparse():
     assert np.abs(dense - A).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_halo_dia_solver_matches_single_chip():
     """Halo-exchange DIA CG on 8 devices == single-chip masked solve."""
     import fdapde_core_tpu as fdm
@@ -187,6 +190,7 @@ def test_models_sharded_driver():
     assert np.abs(np.asarray(x) - np.asarray(pde.solution())).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_halo_parabolic_matches_single_chip():
     """Distributed implicit Euler (scan inside shard_map) == single-chip
     parabolic solver, 8 devices."""
@@ -261,6 +265,7 @@ def test_halo_grid_dia_matches_single_chip():
         assert np.abs(np.asarray(x) - np.asarray(ref)).max() < 1e-8, n_dev
 
 
+@pytest.mark.slow
 def test_halo_dia_p2_via_rcm_matches_single_chip():
     """Sharded P2 elliptic solve: RCM dof reordering restores DIA locality
     (parity numbering has H ~ n_dofs; RCM gives H = O(bandwidth)), then the

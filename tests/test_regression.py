@@ -43,6 +43,7 @@ def test_lambda_grid_selection():
     assert errs[np.argmin(errs)] < errs[-1]
 
 
+@pytest.mark.slow
 def test_gcv_exact_matches_dense_smoother():
     """Exact GCV trace == trace of the explicitly-formed smoother matrix."""
     rng = np.random.default_rng(2)

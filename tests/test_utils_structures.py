@@ -84,6 +84,7 @@ def test_shapefile_roundtrip(tmp_path):
     assert shp.attributes[1]["VAL"] == pytest.approx(-99.0)
 
 
+@pytest.mark.slow
 def test_space_time_separable_solve():
     """(T1 x S0 + T0 x S1) x = b matches the dense assembled system."""
     import jax.numpy as jnp
@@ -111,6 +112,7 @@ def test_space_time_separable_solve():
     np.testing.assert_allclose(np.asarray(op.diagonal()), np.diag(dense), atol=1e-13)
 
 
+@pytest.mark.slow
 def test_space_time_fem_spline_system():
     """BASELINE config 5 (space-time): separable system built from REAL
     assembled blocks — spline mass/penalty in time x FEM mass/stiffness in
@@ -232,6 +234,7 @@ def test_shapefile_pointz(tmp_path):
     np.testing.assert_allclose(rec.m, [4.0])
 
 
+@pytest.mark.slow
 def test_space_time_fast_diagonalization():
     """solve_space_time_fdm == matrix-free Kronecker CG == dense solve."""
     import fdapde_core_tpu as fdm
@@ -311,3 +314,70 @@ def test_space_time_fdm_mode_parallel():
     )
     assert bool(info8.converged)
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), rtol=0, atol=1e-9)
+
+
+def test_separable_operator_grid_stencil_and_mode_preconditioners():
+    """SeparableOperator with GridDIAMatrix space factors matches the dense
+    Kronecker sum; ModeDiag and ModeMG preconditioners are SPD-consistent
+    (CG converges to the dense solution, MG in far fewer iterations)."""
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.linear_algebra.solvers import cg, cg_chunked
+    from fdapde_core_tpu.models.space_time import (
+        ModeDiagPreconditioner,
+        ModeMGPreconditioner,
+        SeparableOperator,
+    )
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+
+    rng = np.random.default_rng(1)
+    m, nt = 17, 5
+    ns = m * m
+    gi = np.arange(m)
+    int1d = (gi > 0) & (gi < m - 1)
+    free = (int1d[:, None] & int1d[None, :]).astype(float)
+    offs5 = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+    diag = np.where(free > 0, 4.0, 1.0)
+    dataA = np.stack([diag] + [-1.0 * np.ones((m, m))] * 4)
+    S1 = GridDIAMatrix(jnp.asarray(dataA), offs5, (m, m)).with_dirichlet_identity(
+        jnp.asarray(free.reshape(-1))
+    )
+    dataE = np.zeros((5, m, m))
+    dataE[0] = 0.01
+    S0 = GridDIAMatrix(jnp.asarray(dataE), offs5, (m, m))
+
+    T0 = (np.diag(4.0 * np.ones(nt)) + np.diag(np.ones(nt - 1), 1)
+          + np.diag(np.ones(nt - 1), -1)) / 6.0
+    T1 = (np.diag(2.0 * np.ones(nt)) + np.diag(-np.ones(nt - 1), 1)
+          + np.diag(-np.ones(nt - 1), -1))
+
+    op = SeparableOperator([(jnp.asarray(T1), S0), (jnp.asarray(T0), S1)])
+
+    # dense reference via columns of the stencil operators
+    eye = np.eye(ns)
+    S1d = np.stack([np.asarray(S1 @ jnp.asarray(eye[:, i]))
+                    for i in range(ns)], axis=1)
+    S0d = np.stack([np.asarray(S0 @ jnp.asarray(eye[:, i]))
+                    for i in range(ns)], axis=1)
+    dense = np.kron(T1, S0d) + np.kron(T0, S1d)
+    v = rng.standard_normal(nt * ns)
+    np.testing.assert_allclose(np.asarray(op @ jnp.asarray(v)), dense @ v,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(op.diagonal()), np.diag(dense),
+                               atol=1e-13)
+
+    b = jnp.asarray(rng.standard_normal(nt * ns))
+    x_ref = np.linalg.solve(dense, np.asarray(b))
+
+    pre_d = ModeDiagPreconditioner.build(T0, T1, S0.diagonal(), S1.diagonal())
+    xd, infod = cg(op, b, M_inv=pre_d, rtol=1e-12, maxiter=3000)
+    assert bool(infod.converged)
+    np.testing.assert_allclose(np.asarray(xd), x_ref, atol=1e-8)
+
+    pre_mg = ModeMGPreconditioner.build(T0, T1, S0, S1, dtype=jnp.float64,
+                                        coarse_n=4)
+    xm, infom = cg_chunked(op, b, M_inv=pre_mg, rtol=1e-12, maxiter=300,
+                           chunk=25)
+    assert bool(infom.converged)
+    assert int(infom.iterations) < int(infod.iterations)
+    np.testing.assert_allclose(np.asarray(xm), x_ref, atol=1e-8)
