@@ -166,7 +166,7 @@ def _recover_elliptic(A, sys, b_mod, x, x0, symmetric, rtol, maxiter, pre):
 
 def solve_parabolic(
     A, Mass, F, mask, g, u0, times, rtol=1e-12, maxiter=None, lumped=False,
-    symmetric=True,
+    symmetric=True, recovery=True, return_info=False,
 ):
     """Implicit-Euler time stepping (fem_linear_parabolic_solver.h:37-72).
 
@@ -175,6 +175,15 @@ def solve_parabolic(
     times: (m,) uniform grid (dt taken from the first two entries, as
     upstream). With `lumped=True` the mass matrix is row-sum lumped
     (linear_algebra/lumping.h:30) making M/dt diagonal.
+
+    Failure recovery (SURVEY §5.3): the scan collects per-step
+    (converged, iterations); a silently stalled step inside lax.scan
+    poisons every later step, so if ANY step failed the WHOLE trajectory
+    is re-run once with GMRES(50) (lax-loop based, scan-safe). Eager path
+    only — inside a jit trace the flags are tracers and escalation is
+    unavailable (same contract as the elliptic recovery above).
+    `return_info=True` additionally returns a dict with per-step
+    iterations/converged arrays and the escalation flag.
 
     Returns (n, m) solution with column 0 = u0.
     """
@@ -204,16 +213,44 @@ def solve_parabolic(
 
     solver = cg if symmetric else bicgstab
 
-    def step(u_prev, inputs):
-        f_next, g_next = inputs
-        rhs = mass_apply(u_prev) + f_next
-        b_mod = sys.rhs(rhs, g_next)
-        x0 = jnp.where(mask, g_next, u_prev)
-        u_next, info = solver(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol, maxiter=maxiter)
-        return u_next, u_next
+    def make_step(krylov, **kw):
+        def step(u_prev, inputs):
+            f_next, g_next = inputs
+            rhs = mass_apply(u_prev) + f_next
+            b_mod = sys.rhs(rhs, g_next)
+            x0 = jnp.where(mask, g_next, u_prev)
+            u_next, info = krylov(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
+                                  maxiter=maxiter, **kw)
+            return u_next, (u_next, info.converged, info.iterations)
 
-    _, us = jax.lax.scan(step, u0, (F[:, 1:].T, g[:, 1:].T))
-    return jnp.concatenate([u0[:, None], us.T], axis=1)
+        return step
+
+    _, (us, conv, iters) = jax.lax.scan(
+        make_step(solver), u0, (F[:, 1:].T, g[:, 1:].T)
+    )
+    escalated = False
+    if (
+        recovery
+        and not isinstance(conv, jax.core.Tracer)
+        and not bool(jnp.all(conv))
+    ):
+        import warnings
+
+        first_bad = int(jnp.argmin(conv))
+        warnings.warn(
+            f"parabolic step {first_bad + 1} did not converge (and poisons "
+            "every later step); re-running the trajectory with GMRES(50)",
+            stacklevel=2,
+        )
+        escalated = True
+        _, (us, conv, iters) = jax.lax.scan(
+            make_step(gmres, restart=50), u0, (F[:, 1:].T, g[:, 1:].T)
+        )
+    out = jnp.concatenate([u0[:, None], us.T], axis=1)
+    if return_info:
+        return out, {"converged": conv, "iterations": iters,
+                     "escalated": escalated}
+    return out
 
 
 def _diag_sparse(d):

@@ -43,6 +43,13 @@ def _diag_of(M):
     ) else jnp.diagonal(jnp.asarray(M))
 
 
+def _host_dense(T):
+    """Small time factor as a host numpy array (for the eigh setup)."""
+    if hasattr(T, "toarray"):
+        return np.asarray(T.toarray())
+    return np.asarray(T)
+
+
 class SeparableOperator:
     """sum_k  T_k (x) S_k  as a matrix-free linear operator.
 
@@ -209,12 +216,61 @@ class ModeMGPreconditioner:
     __matmul__ = __call__
 
 
-def solve_space_time(op: SeparableOperator, b, symmetric=True, rtol=1e-10, maxiter=None):
-    """Solve (sum_k T_k (x) S_k) x = b matrix-free with Jacobi-CG/BiCGStab."""
+def solve_space_time(op: SeparableOperator, b, symmetric=True, rtol=1e-10,
+                     maxiter=None, recovery=True):
+    """Solve (sum_k T_k (x) S_k) x = b matrix-free with Jacobi-CG/BiCGStab.
+
+    Failure recovery (SURVEY §5.3): on a stalled/diverged Krylov loop, one
+    escalation — for the two-term penalty form T_a (x) S_a + T_b (x) S_b
+    the retry swaps Jacobi for the mode-diagonal preconditioner (exact
+    time diagonalization; the conditioning of the time pencil, e.g. a
+    spline bilaplacian Gram spanning ~h_t^-3, is what usually defeats
+    plain Jacobi here); otherwise GMRES(50). Eager path only (flags are
+    tracers inside jit)."""
+    import jax
+
     d = op.diagonal()
     inv = 1.0 / jnp.where(jnp.abs(d) > 0, d, 1.0)
     solver = cg if symmetric else bicgstab
-    x, info = solver(op, jnp.asarray(b), M_inv=lambda r: inv * r, rtol=rtol, maxiter=maxiter)
+    b = jnp.asarray(b)
+    x, info = solver(op, b, M_inv=lambda r: inv * r, rtol=rtol, maxiter=maxiter)
+    if (
+        recovery
+        and not isinstance(info.converged, jax.core.Tracer)
+        and not bool(info.converged)
+    ):
+        import warnings
+
+        from ..linear_algebra.solvers import gmres
+
+        x_start = jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))
+        pre = None
+        if len(op.terms) == 2 and symmetric:
+            # terms [(T_b, S_a), (T_a, S_b)]: mode system S_b + lam S_a
+            # from eigh(T_b, T_a) — matches the R = T1 (x) S0 + T0 (x) S1
+            # convention of ModeDiagPreconditioner.build(T0, T1, dS0, dS1)
+            (Tb, Sa), (Ta, Sb) = op.terms
+            try:
+                pre = ModeDiagPreconditioner.build(
+                    _host_dense(Ta), _host_dense(Tb),
+                    _diag_of(Sa), _diag_of(Sb),
+                )
+            except Exception:  # non-SPD pencil etc.: fall through to GMRES
+                pre = None
+        if pre is not None:
+            warnings.warn(
+                "space-time solve stalled; escalating to the "
+                "mode-diagonal preconditioner", stacklevel=2,
+            )
+            x, info = cg(op, b, M_inv=pre, x0=x_start, rtol=rtol,
+                         maxiter=maxiter)
+        else:
+            warnings.warn(
+                "space-time solve stalled; escalating to GMRES(50)",
+                stacklevel=2,
+            )
+            x, info = gmres(op, b, M_inv=lambda r: inv * r, x0=x_start,
+                            rtol=rtol, maxiter=maxiter, restart=50)
     return x, info
 
 

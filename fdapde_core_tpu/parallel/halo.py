@@ -22,6 +22,58 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["HaloDIASolver", "HaloDIAParabolic"]
 
 
+def _maybe_escalate(solver, float_attrs, args, x, res, k, bnorm, rtol,
+                    maxiter):
+    """One-shot escalation for distributed Krylov solves (SURVEY §5.3).
+
+    If the returned residual is non-finite or above tol: recast an f32
+    operator to f64 and re-run (the dominant distributed stall on TPU is
+    the f32 residual floor, BENCH_NOTES.md); an already-f64 solve gets a
+    tripled iteration budget instead. Host-level, one retry, mirrors
+    fem/solvers._recover_elliptic.
+    """
+    import copy
+    import math
+    import warnings
+
+    resf, bnf = float(res), float(bnorm)
+    if math.isfinite(resf) and resf <= rtol * bnf:
+        return x, res, k
+    if isinstance(float_attrs, str):
+        float_attrs = (float_attrs,)
+    dt = getattr(solver, float_attrs[0]).dtype
+    if dt == jnp.float32:
+        warnings.warn(
+            "distributed CG stalled at f32 "
+            f"(||r||/||b|| = {resf / max(bnf, 1e-300):.2e}); "
+            "escalating to an f64 recast of the operator",
+            stacklevel=3,
+        )
+        s2 = copy.copy(solver)
+        for a in float_attrs:
+            setattr(s2, a, getattr(solver, a).astype(jnp.float64))
+        if hasattr(s2, "dtype"):
+            s2.dtype = jnp.float64
+        s2._solve_jit = jax.jit(s2._solve, static_argnames=("maxiter",))
+        args64 = tuple(
+            a.astype(jnp.float64) if a.dtype in (jnp.float32, jnp.bfloat16)
+            else a
+            for a in args
+        )
+        x, res, k, bnorm = s2._solve_jit(*args64, rtol, maxiter=maxiter)
+    else:
+        warnings.warn(
+            "distributed CG stalled "
+            f"(||r||/||b|| = {resf / max(bnf, 1e-300):.2e}); "
+            "escalating with a 3x iteration budget",
+            stacklevel=3,
+        )
+        x, res, k, bnorm = solver._solve_jit(
+            *args, rtol, maxiter=3 * maxiter
+        )
+    return x, res, k
+
+
 class HaloDIASolver:
     """Distributed Jacobi-CG for a DIAMatrix over a 1D device mesh."""
 
@@ -106,25 +158,34 @@ class HaloDIASolver:
             x, r, *_, k = jax.lax.while_loop(
                 cond, body, (jnp.zeros_like(b), r0, z0, z0, rz0, 0)
             )
-            return x, jnp.sqrt(dot(r, r)), k
+            return x, jnp.sqrt(dot(r, r)), k, bnorm
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(None, "shard"), P("shard"), P("shard")),
-            out_specs=(P("shard"), P(), P()),
+            out_specs=(P("shard"), P(), P(), P()),
         )(self.data, b, free)
 
-    def solve(self, b, free_mask, rtol=1e-10, maxiter=1000):
+    def solve(self, b, free_mask, rtol=1e-10, maxiter=1000, recovery=True):
         """Solve A x = b with Dirichlet dofs pinned where free_mask == 0.
 
         b must already carry boundary values at pinned dofs (see
         fem/solvers.py DirichletSystem.rhs for the reduction).
         Returns (x[:n], residual, iterations).
+
+        Failure recovery (SURVEY §5.3): a distributed CG that stalls or
+        goes non-finite gets ONE escalation — f32 operators are recast to
+        f64 (the dominant stall cause on TPU is the f32 residual floor),
+        otherwise the iteration budget is tripled.
         """
         b = self._pad(b)
         free = self._pad(jnp.asarray(free_mask, self.data.dtype))
-        x, res, k = self._solve_jit(b, free, rtol, maxiter=maxiter)
+        x, res, k, bnorm = self._solve_jit(b, free, rtol, maxiter=maxiter)
+        if recovery:
+            x, res, k = _maybe_escalate(
+                self, "data", (b, free), x, res, k, bnorm, rtol, maxiter,
+            )
         return x[: self.n], res, k
 
 

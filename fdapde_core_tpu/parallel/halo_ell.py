@@ -150,23 +150,32 @@ class HaloELLSolver:
             x, r, *_, k = jax.lax.while_loop(
                 cond, body, (jnp.zeros_like(b), r0, z0, z0, rz0, 0)
             )
-            return x, jnp.sqrt(dot(r, r)), k
+            return x, jnp.sqrt(dot(r, r)), k, bnorm
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(P(None, "shard"), P(None, "shard"), P("shard"),
                       P("shard"), P("shard")),
-            out_specs=(P("shard"), P(), P()),
+            out_specs=(P("shard"), P(), P(), P()),
         )(self.vals, self.lcols, self.diag, b, free)
 
-    def solve(self, b, free_mask, rtol=1e-10, maxiter=1000):
+    def solve(self, b, free_mask, rtol=1e-10, maxiter=1000, recovery=True):
         """Solve A x = b with Dirichlet dofs pinned where free_mask == 0.
 
         b must already carry boundary values at pinned dofs (see
         fem/solvers.py DirichletSystem.rhs). Returns (x[:n], ||r||, iters).
+        Failure recovery: see parallel/halo._maybe_escalate (f32 -> f64
+        recast, else 3x iteration budget; one retry).
         """
+        from .halo import _maybe_escalate
+
         b = self._pad(b)
         free = self._pad(jnp.asarray(free_mask, self.dtype))
-        x, res, k = self._solve_jit(b, free, rtol, maxiter=maxiter)
+        x, res, k, bnorm = self._solve_jit(b, free, rtol, maxiter=maxiter)
+        if recovery:
+            x, res, k = _maybe_escalate(
+                self, ("vals", "diag"), (b, free), x, res, k, bnorm, rtol,
+                maxiter,
+            )
         return x[: self.n], res, k

@@ -338,8 +338,29 @@ class ShardedPoisson:
         A_loc = self._assemble()
         return self._cg(A_loc, b, g, rtol, maxiter=maxiter)
 
-    def solve(self, b, g, rtol=1e-6, maxiter=200):
-        """Assemble + CG in one jit: the 'training step' of this framework."""
-        return self._solve_jit(
-            jnp.asarray(b, self.dtype), jnp.asarray(g, self.dtype), rtol, maxiter=maxiter
-        )
+    def solve(self, b, g, rtol=1e-6, maxiter=200, recovery=True):
+        """Assemble + CG in one jit: the 'training step' of this framework.
+
+        Failure recovery (SURVEY §5.3): a stalled/non-finite distributed CG
+        gets one retry with a 3x iteration budget (the assembled operator's
+        dtype is fixed at construction, so no precision recast here)."""
+        bj = jnp.asarray(b, self.dtype)
+        gj = jnp.asarray(g, self.dtype)
+        x, res, k = self._solve_jit(bj, gj, rtol, maxiter=maxiter)
+        if recovery:
+            import math
+            import warnings
+
+            resf = float(res)
+            # k == maxiter is the while_loop's "budget exhausted" exit; the
+            # in-kernel tolerance references the boundary-reduced rhs, so
+            # res alone cannot be compared against rtol*||b|| here
+            if not math.isfinite(resf) or int(k) >= maxiter:
+                warnings.warn(
+                    "sharded solve stalled "
+                    f"(||r|| = {resf:.2e}); escalating with a 3x "
+                    "iteration budget",
+                    stacklevel=2,
+                )
+                x, res, k = self._solve_jit(bj, gj, rtol, maxiter=3 * maxiter)
+        return x, res, k
