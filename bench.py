@@ -1069,7 +1069,11 @@ def _general_gather_metrics(small, sink):
     # gather CG in ONE program. cg_chunked carries the full Krylov state
     # across ≤CH-iteration programs (bit-identical iterates; one host
     # fence per chunk, ~0.05 s, negligible vs multi-second chunks).
-    CH = 8
+    CH = 4
+    # full size: the matrix-free SpMV runs ~2 s/iter (246M near-scalar
+    # gathers; measured 0.53 iters/s) — 8 iterations bound the stage
+    ITERS_MF = ITERS if small else 8
+    ITERS_ELL = ITERS if small else 16
 
     rhs32 = jax.jit(
         lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
@@ -1077,24 +1081,23 @@ def _general_gather_metrics(small, sink):
 
     # stage 4: matrix-free CG iteration throughput (f32)
     sys32 = DirichletSystem(op32, bnd)
-    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)  # warm
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS_MF, chunk=CH)  # warm
     t0 = time.time()
-    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS_MF, chunk=CH)
     sink.put(gen10m_matfree_cg_iters_per_s=round(
-        ITERS / (time.time() - t0), 2))
+        ITERS_MF / (time.time() - t0), 2))
 
     # stage 5: assembled row-ELL (SoA (K, n)): one gather per nonzero per
     # SpMV vs the matrix-free form's one per incidence PLUS one per local
-    # entry — ~1.6x fewer gathered elements
-    @jax.jit
-    def to_ell(op):
-        E, over = op.to_ell(MAXC)
-        return E, over.astype(jnp.int32)
+    # entry — ~1.6x fewer gathered elements. BLOCKED conversion: the fused
+    # single-program form trips the executor watchdog at 20M cells
+    # (ops/matfree_soa.ell_from_op_blocked — bounded per-block programs)
+    from fdapde_core_tpu.ops.matfree_soa import ell_from_op_blocked
 
-    E64, overe = to_ell(op64)
+    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=8 if not small else 2)
     ell_overflow = int(overe)
     t0 = time.time()
-    E64, overe = to_ell(op64)
+    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=8 if not small else 2)
     int(overe)
     sink.put(gen10m_ell_convert_s=round(time.time() - t0, 3),
              gen10m_ell_overflow=ell_overflow)
@@ -1102,10 +1105,10 @@ def _general_gather_metrics(small, sink):
     del op32, s, sys32  # the f32 operator rides the assembled ELL from here
 
     sys_ell = DirichletSystem(E32, bnd)
-    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)  # warm
+    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS_ELL, chunk=CH)  # warm
     t0 = time.time()
-    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
-    t_iter = (time.time() - t0) / ITERS
+    cg_chunked(sys_ell, rhs32, rtol=0.0, maxiter=ITERS_ELL, chunk=CH)
+    t_iter = (time.time() - t0) / ITERS_ELL
     # bytes model: vals+cols+gathered x per nonzero + ~10 vector passes
     ell_bytes = (MAXC * 12 + 10 * 4) * n_dofs
     sink.put(gen10m_ell_cg_iters_per_s=round(1.0 / t_iter, 2),

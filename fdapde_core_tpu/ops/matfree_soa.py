@@ -25,6 +25,7 @@ __all__ = [
     "MatrixFreeSoA",
     "MatrixFreeP2SoA",
     "ELLSoA",
+    "ell_from_op_blocked",
 ]
 
 
@@ -571,3 +572,111 @@ class MatrixFreeP2SoA:
     def to_ell(self, max_cols: int):
         return _ell_from_entries(self._entries(), self.dofs, self.adj,
                                  self.adj_mask, self.n_dofs, max_cols)
+
+
+# ---------------------------------------------------------------------------
+# blocked ELL conversion: bounded device programs
+# ---------------------------------------------------------------------------
+#
+# The fused _ell_from_entries program at 10M+ rows (transients (nb*D, n),
+# a 246M-element gather + scatter cascade) runs long enough to trip the
+# remote executor's ~60 s execution watchdog (the same failure class the
+# chunked Krylov solvers guard against; linear_algebra/solvers.cg_chunked).
+# Rows are INDEPENDENT in the conversion, so it blocks cleanly: one
+# compiled per-block program executed `blocks` times + one concat.
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _ell_block_core(aflat, dofs, adj_pad, mask_pad, B, K, n_dofs, s0):
+    """ELL conversion of rows [s0, s0+B) (same math as _ell_from_entries)."""
+    nb = dofs.shape[0]
+    C = dofs.shape[1]
+    n = n_dofs
+    adj = jax.lax.dynamic_slice_in_dim(adj_pad, s0, B, axis=1)
+    mask = jax.lax.dynamic_slice_in_dim(mask_pad, s0, B, axis=1)
+    cell = adj % C
+    slot = adj // C
+    cols_b, vals_b = [], []
+    for j in range(nb):
+        cols_b.append(jnp.where(mask, dofs[j][cell], n))
+        vals_b.append(
+            jnp.where(mask, aflat[(slot * nb + j) * C + cell], 0.0)
+        )
+    cols_all = jnp.concatenate(cols_b, axis=0)  # (nb*D, B)
+    vals_all = jnp.concatenate(vals_b, axis=0)
+    order = jnp.argsort(cols_all, axis=0)
+    cols_s = jnp.take_along_axis(cols_all, order, axis=0)
+    vals_s = jnp.take_along_axis(vals_all, order, axis=0)
+    first = jnp.concatenate(
+        [jnp.ones((1, B), bool), cols_s[1:] != cols_s[:-1]], axis=0
+    )
+    real = cols_s < n
+    uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
+    overflowed = jnp.any(real & (uidx >= K))
+    slotk = jnp.where(real & (uidx < K), uidx, K)
+    col_local = jnp.arange(B, dtype=jnp.int32)[None, :]
+    seg = (slotk * B + col_local).reshape(-1)
+    vals = jax.ops.segment_sum(
+        vals_s.reshape(-1), seg, (K + 1) * B
+    ).reshape(K + 1, B)[:K]
+    cols = jax.ops.segment_max(
+        jnp.where(slotk < K, cols_s, -1).reshape(-1), seg, (K + 1) * B
+    ).reshape(K + 1, B)[:K]
+    col_global = s0 + col_local
+    cols = jnp.where(cols < 0, col_global, cols).astype(jnp.int32)
+    return vals, cols, overflowed
+
+
+@jax.jit
+def _ell_aflat(op):
+    A = op._entries()
+    nb = len(A)
+    return jnp.concatenate([A[i][j] for i in range(nb) for j in range(nb)])
+
+
+@_functools.partial(jax.jit, static_argnums=(0,))
+def _ell_concat(n, vals_list, cols_list, over_list):
+    vals = jnp.concatenate(vals_list, axis=1)[:, :n]
+    cols = jnp.concatenate(cols_list, axis=1)[:, :n]
+    cols = jnp.minimum(cols, n - 1)  # padded-block fallback ids clamp
+    over = jnp.stack(over_list).any()
+    return vals, cols, over
+
+
+def ell_from_op_blocked(op, max_cols: int, blocks: int = 8):
+    """Host-staged `to_ell`: identical result, split into `blocks` bounded
+    device programs over independent row blocks. NOT for use inside jit —
+    this is the watchdog-safe path for 10M+-row conversions; use
+    `op.to_ell(max_cols)` inside jitted pipelines at moderate sizes.
+    Returns (ELLSoA, overflowed bool array).
+    """
+    n = op.n_dofs
+    dofs = op.c if hasattr(op, "c") else op.dofs
+    D = op.adj.shape[0]
+    B = -(-n // blocks)
+    pad = blocks * B - n
+
+    @jax.jit
+    def pad_adj(adj, mask):
+        return (
+            jnp.pad(adj, ((0, 0), (0, pad))),
+            jnp.pad(mask, ((0, 0), (0, pad))),
+        )
+
+    adj_pad, mask_pad = pad_adj(op.adj, op.adj_mask)
+    aflat = _ell_aflat(op)
+    vals_l, cols_l, over_l = [], [], []
+    for kblk in range(blocks):
+        v, c, o = _ell_block_core(
+            aflat, dofs, adj_pad, mask_pad, B, int(max_cols), int(n),
+            jnp.int32(kblk * B),
+        )
+        vals_l.append(v)
+        cols_l.append(c)
+        over_l.append(o)
+    vals, cols, over = _ell_concat(
+        int(n), tuple(vals_l), tuple(cols_l), tuple(over_l)
+    )
+    return ELLSoA(vals, cols, (n, n)), over
