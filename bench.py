@@ -1140,6 +1140,8 @@ def _general_gather_metrics(small, sink):
         sink.put(gen10m_dia_split_s=round(time.time() - t0, 3),
                  gen10m_dia_rem_overflow=int(overs),
                  gen10m_dia_rem_nnz=int(remnnz))
+        if int(remnnz) == 0:  # never gather to multiply zeros
+            S32 = S32.drop_empty_remainder()
 
         b32 = jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / (n * n)
         run_dia = jax.jit(lambda S, bb: banded_cg(S, bb, ITERS)[1])
@@ -1198,6 +1200,8 @@ def _general_gather_metrics(small, sink):
 
         S64, w64 = to_split64(E64, bnd)
         float(w64)
+        if int(remnnz) == 0:
+            S64 = S64.drop_empty_remainder()
 
         @jax.jit
         def true_rel_dia(S, xx, b):
@@ -1214,6 +1218,40 @@ def _general_gather_metrics(small, sink):
         sink.put(gen10m_dia_converged_solve_s=round(time.time() - t0, 3),
                  gen10m_dia_converged_iters=int(info_d.iterations),
                  gen10m_dia_converged_true_rel_res=reld)
+
+    # stage 8 (full only): PRODUCT-API general elliptic at 1M+ dofs —
+    # tensor-K advection-diffusion-reaction, non-symmetric, chunked
+    # BiCGStab + device aux-grid (models/matfree.MatrixFreeElliptic).
+    # The reference assembler's operator envelope (fem_assembler.h:63-118,
+    # operators/advection.h:33-56) at device scale.
+    if not small:
+        del E32, E64, sys64, sys_ell, aux, op64, adj, mask8
+        from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+        n1 = 1024  # 1.05M dofs, 2.1M cells
+        t0 = time.time()
+        x1, y1, c01, c11, c21, bnd1 = jax.jit(
+            lambda amp: irregular_mesh_device_soa(n1, amp, dtype=jnp.float64)
+        )(jnp.float64(0.2))
+        cells1 = jax.jit(
+            lambda a, b_, c_: jnp.stack([a, b_, c_], axis=1)
+        )(c01, c11, c21)
+        model = MatrixFreeElliptic(
+            (x1, y1), cells1, bnd1,
+            K=(1.3, 0.2, 0.9), b=(1.0, 0.5), c=0.3,
+        )
+        sink.put(gen1m_advdiff_setup_s=round(time.time() - t0, 2),
+                 gen1m_n_dofs=int(model.n_dofs))
+
+        C1 = 2 * n1 * n1
+        b1 = model.load_vector(jnp.ones(C1, jnp.float64))
+        xs, it1, rel1 = model.solve(b1, rtol=1e-9, maxiter=200, chunk=CH)
+        float(rel1)  # warm
+        t0 = time.time()
+        xs, it1, rel1 = model.solve(b1, rtol=1e-9, maxiter=200, chunk=CH)
+        sink.put(gen1m_advdiff_solve_s=round(time.time() - t0, 2),
+                 gen1m_advdiff_iters=int(it1),
+                 gen1m_advdiff_true_rel_res=float(rel1))
 
     sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
 

@@ -230,6 +230,27 @@ def _solve_fn(rtol: float, maxiter: int):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _load_vector_fn(order: int):
+    @jax.jit
+    def run(x, y, dofs, adj, adj_mask, f_cells):
+        e0x = x[dofs[1]] - x[dofs[0]]
+        e0y = y[dofs[1]] - y[dofs[0]]
+        e1x = x[dofs[2]] - x[dofs[0]]
+        e1y = y[dofs[2]] - y[dofs[0]]
+        area = 0.5 * jnp.abs(e0x * e1y - e0y * e1x)
+        fa = area * f_cells
+        if order == 1:
+            floc = jnp.concatenate([fa / 3.0] * 3)
+        else:
+            zero = jnp.zeros_like(fa)
+            floc = jnp.concatenate([zero, zero, zero] + [fa / 3.0] * 3)
+        gathered = floc[adj] * adj_mask.astype(floc.dtype)
+        return gathered.sum(axis=0)
+
+    return run
+
+
 def _percell(value, C, dtype=jnp.float64):
     """Normalize a coefficient to a per-cell (C,) array (or None)."""
     if value is None:
@@ -251,7 +272,7 @@ def _normalize_K(K, centroids, C):
     if K is None:
         return None, None, None
     if callable(K):
-        K = K(centroids)
+        K = K(centroids())
     K_arr = jnp.asarray(K, jnp.float64)
     if K_arr.ndim == 2 and K_arr.shape == (2, 2):
         return (_percell(K_arr[0, 0], C), _percell(K_arr[0, 1], C),
@@ -265,7 +286,7 @@ def _normalize_b(b, centroids, C):
     if b is None:
         return None, None
     if callable(b):
-        b = b(centroids)
+        b = b(centroids())
     b_arr = jnp.asarray(b, jnp.float64)
     if b_arr.ndim == 1 and b_arr.shape[0] == 2:
         return _percell(b_arr[0], C), _percell(b_arr[1], C)
@@ -316,12 +337,22 @@ class MatrixFreeElliptic:
             dc = jnp.asarray(_space.dof_coords)
             self.dof_x, self.dof_y = dc[:, 0], dc[:, 1]
         C = dofs.shape[1]
-        cx = (x[dofs[0]] + x[dofs[1]] + x[dofs[2]]) / 3.0
-        cy = (y[dofs[0]] + y[dofs[1]] + y[dofs[2]]) / 3.0
-        centroids = jnp.stack([cx, cy], axis=1)
+
+        # centroids are only materialized for CALLABLE coefficients — the
+        # scalar/tuple/per-cell forms skip six eager gathers over (C,)
+        # (each eager op is a remote round-trip on the TPU harness)
+        _cent_cache = []
+
+        def centroids():
+            if not _cent_cache:
+                cx = (x[dofs[0]] + x[dofs[1]] + x[dofs[2]]) / 3.0
+                cy = (y[dofs[0]] + y[dofs[1]] + y[dofs[2]]) / 3.0
+                _cent_cache.append(jnp.stack([cx, cy], axis=1))
+            return _cent_cache[0]
+
         kxx, kxy, kyy = _normalize_K(K, centroids, C)
         bx, by = _normalize_b(b, centroids, C)
-        react = _percell(c(centroids) if callable(c) else c, C)
+        react = _percell(c(centroids()) if callable(c) else c, C)
 
         self.order = order
         self.n_dofs = n_dofs
@@ -392,21 +423,13 @@ class MatrixFreeElliptic:
 
         P1: b_a = |T|/3 f per incident cell; P2: vertex basis functions
         integrate to ZERO on affine triangles (int phi_vertex = 0), edge
-        ones to |T|/3 — both served by the same adjacency combine."""
-        x, y, dofs = self._x, self._y, self.dofs
-        e0x = x[dofs[1]] - x[dofs[0]]
-        e0y = y[dofs[1]] - y[dofs[0]]
-        e1x = x[dofs[2]] - x[dofs[0]]
-        e1y = y[dofs[2]] - y[dofs[0]]
-        area = 0.5 * jnp.abs(e0x * e1y - e0y * e1x)
-        fa = area * f_cells
-        if self.order == 1:
-            floc = jnp.concatenate([fa / 3.0] * 3)
-        else:
-            zero = jnp.zeros_like(fa)
-            floc = jnp.concatenate([zero, zero, zero] + [fa / 3.0] * 3)
-        gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
-        return gathered.sum(axis=0)
+        ones to |T|/3 — both served by the same adjacency combine.
+        One cached jitted program (the eager form costs ~10 remote
+        round-trips per call on the TPU harness)."""
+        return _load_vector_fn(self.order)(
+            self._x, self._y, self.dofs, self.adj, self.adj_mask,
+            jnp.asarray(f_cells),
+        )
 
     def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 200,
               chunk: int | None = None, on_chunk=None):

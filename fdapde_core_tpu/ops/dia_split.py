@@ -120,9 +120,9 @@ class BandedSplit:
     the stencil data so the CG hot loop (banded_cg) touches no masks.
     """
 
-    def __init__(self, G: GridDIAMatrix, rem: ELLSoA, n: int):
+    def __init__(self, G: GridDIAMatrix, rem: ELLSoA | None, n: int):
         self.G = G
-        self.rem = rem
+        self.rem = rem  # None: band captured every entry (rem_nnz == 0)
         self.n = n
 
     def tree_flatten(self):
@@ -136,21 +136,29 @@ class BandedSplit:
     def shape(self):
         return (self.n, self.n)
 
+    def drop_empty_remainder(self):
+        """Band-only operator (host decision after checking rem_nnz == 0):
+        the remainder's gathers are the SpMV's dominant cost at 10M rows
+        (~2n gathered elements vs pure static slices) — never pay them to
+        multiply zeros."""
+        return BandedSplit(self.G, None, self.n)
+
     def __matmul__(self, v):
         R, W = self.G.shape2d
         vg = jnp.pad(v, (0, R * W - self.n))
         y = (self.G @ vg)[: self.n]
-        return y + self.rem @ v
+        return y if self.rem is None else y + self.rem @ v
 
     def diagonal(self):
         k0 = self.G.offsets2d.index((0, 0))
-        return self.G.data[k0].reshape(-1)[: self.n] + self.rem.diagonal()
+        d = self.G.data[k0].reshape(-1)[: self.n]
+        return d if self.rem is None else d + self.rem.diagonal()
 
     def astype(self, dtype):
         return BandedSplit(
             GridDIAMatrix(self.G.data.astype(dtype), self.G.offsets2d,
                           self.G.shape2d),
-            self.rem.astype(dtype), self.n,
+            None if self.rem is None else self.rem.astype(dtype), self.n,
         )
 
     def fold_dirichlet(self, mask):
@@ -160,6 +168,8 @@ class BandedSplit:
         R, W = self.G.shape2d
         free = jnp.pad((~mask).astype(self.G.data.dtype), (0, R * W - self.n))
         Gm = self.G.with_dirichlet_identity(free)
+        if self.rem is None:
+            return BandedSplit(Gm, None, self.n)
         fr = free[: self.n]
         rv = self.rem.vals * fr[None, :] * fr[self.rem.cols]
         return BandedSplit(Gm, ELLSoA(rv, self.rem.cols, self.rem.shape),
@@ -183,7 +193,8 @@ def banded_cg(op: BandedSplit, b, n_iter: int, inv_diag=None):
 
     def apply_pad(p_pad, p_flat):
         Ap = stencil_matvec_padded(data, op.G.offsets2d, p_pad, H)
-        return Ap.reshape(-1)[:n] + op.rem @ p_flat
+        Ap = Ap.reshape(-1)[:n]
+        return Ap if op.rem is None else Ap + op.rem @ p_flat
 
     def to_pad(v_flat):
         return jnp.pad(jnp.pad(v_flat, (0, tail)).reshape(R, W), H)

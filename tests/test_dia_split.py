@@ -91,3 +91,38 @@ def test_fold_dirichlet_and_cg():
     assert rel < 1e-8
     # boundary dofs pinned to the rhs values (here 0)
     assert float(jnp.max(jnp.abs(jnp.where(bnd, x, 0.0)))) == 0.0
+
+
+def test_drop_empty_remainder_exact():
+    """When the band captures every entry (rem_nnz == 0) the band-only
+    operator is exact — no gathers paid to multiply zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.ops.dia_split import (
+        banded_cg,
+        build_banded_split,
+        plan_split_width,
+    )
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+
+    n = 16
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(n, 0.2,
+                                                      dtype=jnp.float64)
+    nd = (n + 1) ** 2
+    op, _ = MatrixFreeSoA.build(x, y, c0, c1, c2, nd, 8)
+    E, _ = jax.jit(lambda o: o.to_ell(9))(op)
+    W, amax = plan_split_width(E)
+    S, over = jax.jit(lambda E_: build_banded_split(E_, W, amax=amax))(E)
+    rem_nnz = int(jnp.sum(S.rem.vals != 0.0))
+    assert rem_nnz == 0 and not bool(over)
+    S0 = S.drop_empty_remainder()
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(nd))
+    np.testing.assert_array_equal(np.asarray(S @ v), np.asarray(S0 @ v))
+    np.testing.assert_array_equal(np.asarray(S.diagonal()),
+                                  np.asarray(S0.diagonal()))
+    F = S0.fold_dirichlet(bnd)
+    b = jnp.where(bnd, 0.0, 1.0)
+    xs, rn = jax.jit(lambda F_, b_: banded_cg(F_, b_, 200))(F, b)
+    assert float(rn) < 1e-10
