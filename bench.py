@@ -71,7 +71,7 @@ GROUPS = ("structured", "general", "spacetime", "gen10m")
 # elapsed() gate before STARTING a group (full size; --small runs all)
 GATES = {"structured": 10**9, "general": 1000, "spacetime": 1250, "gen10m": 1500}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program)
-CAPS = {"structured": 1300, "general": 650, "spacetime": 700, "gen10m": 900}
+CAPS = {"structured": 1300, "general": 650, "spacetime": 700, "gen10m": 1250}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500, "gen10m": 500}
 
 DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
