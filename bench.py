@@ -618,6 +618,26 @@ def _general_path_metrics(small, sink):
     sink.put(gen_amg_setup_s=round(t_amg_setup, 3), gen_amg_levels=mg.n_levels,
              gen_amg_op_complexity=round(mg.operator_complexity(), 3))
 
+    # setup amortization (SURVEY §5.4): the AMG hierarchy is a HOST-side
+    # artifact, the class where checkpointing beats rebuild (device-scale
+    # hierarchies would round-trip through the ~O(min)/100MB host relay —
+    # slower than rebuilding on chip; see BENCH_NOTES.md compile-cache
+    # audit). Warm restore should be <~1/10 of the cold build.
+    from fdapde_core_tpu.utils.checkpoint import load_amg, save_amg
+
+    ckpt = f"/tmp/fdapde_amg_ckpt_{os.getpid()}.npz"
+    t0 = time.time()
+    save_amg(ckpt, mg)
+    t_save = time.time() - t0
+    t0 = time.time()
+    mg = load_amg(ckpt)
+    sink.put(gen_amg_ckpt_save_s=round(t_save, 3),
+             gen_amg_ckpt_restore_s=round(time.time() - t0, 3))
+    try:
+        os.remove(ckpt)
+    except OSError:
+        pass
+
     t0 = time.time()
     coo = Am.tocoo()
     order = np.lexsort((coo.col, coo.row))

@@ -27,6 +27,10 @@ from .operators import DifferentialOp
 
 __all__ = ["PDE"]
 
+# beyond this size, an unpreconditioned/Jacobi CG pays more iterations than
+# the auxgrid/AMG setup costs: switch to the "auto" preconditioner ladder
+_AUTO_PRECOND_DOFS = 20_000
+
 
 class PDE:
     """An initialized boundary-value problem over a mesh."""
@@ -187,22 +191,41 @@ class PDE:
             from ..fem.solvers import solve_elliptic
 
             gvec = jnp.asarray(g.reshape(-1) if g.ndim > 1 else g)
-            x, info = solve_elliptic(
-                self._stiff,
-                self._force
-                if self._force.ndim == 1
-                else self._force.reshape(-1),
-                mask,
-                gvec,
-                symmetric=self.operator.is_symmetric,
-                rtol=self.solver_rtol,
-                maxiter=self.solver_maxiter,
-                preconditioner=(
-                    ("auxgrid", self.space.dof_coords)
-                    if self.solver_preconditioner == "auxgrid"
-                    else self.solver_preconditioner
-                ),
+            # preconditioner selection. "auto" (also the default beyond
+            # _AUTO_PRECOND_DOFS): auxiliary-grid first — measured ~13x
+            # cheaper per application than on-chip SA-AMG V-cycles at equal
+            # (h-independent) iteration counts, 6.0 s vs 41.6 s refined
+            # solve at 0.52M dofs (BENCH_NOTES.md "AMG vs aux-grid") —
+            # with SA-AMG as the fallback for domains no covering grid
+            # preconditions (auxgrid build/mask failures).
+            precond = self.solver_preconditioner
+            auto = precond == "auto" or (
+                precond is None and self.space.n_dofs >= _AUTO_PRECOND_DOFS
             )
+            if precond == "auxgrid" or auto:
+                precond = ("auxgrid", self.space.dof_coords)
+
+            def _run(pre):
+                return solve_elliptic(
+                    self._stiff,
+                    self._force
+                    if self._force.ndim == 1
+                    else self._force.reshape(-1),
+                    mask,
+                    gvec,
+                    symmetric=self.operator.is_symmetric,
+                    rtol=self.solver_rtol,
+                    maxiter=self.solver_maxiter,
+                    preconditioner=pre,
+                )
+
+            if auto:
+                try:
+                    x, info = _run(precond)
+                except Exception:
+                    x, info = _run("amg")
+            else:
+                x, info = _run(precond)
             self._solution = x
             self.solve_info = info
             self.success = bool(info.converged)
