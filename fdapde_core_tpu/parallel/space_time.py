@@ -171,6 +171,25 @@ class ShardedSpaceTime:
         )(b, self.diag, *self.datas)
         return x[:n_t].reshape(-1), res, iters
 
-    def solve(self, b, rtol: float = 1e-10, maxiter: int = 20000):
-        """Returns (x, sqrt(final r.z), iterations)."""
-        return self._solve_jit(b, rtol, maxiter)
+    def solve(self, b, rtol: float = 1e-10, maxiter: int = 20000,
+              recovery=True):
+        """Returns (x, sqrt(final r.z), iterations).
+
+        Failure recovery (SURVEY §5.3): a non-finite/budget-exhausted
+        distributed iteration gets one retry with a 3x iteration budget
+        (mirrors parallel/sharded.ShardedPoisson.solve)."""
+        x, res, iters = self._solve_jit(b, rtol, maxiter)
+        if recovery:
+            import math
+            import warnings
+
+            resf = float(res)
+            if not math.isfinite(resf) or int(iters) >= maxiter:
+                warnings.warn(
+                    "time-sharded space-time solve stalled "
+                    f"(res = {resf:.2e}); escalating with a 3x iteration "
+                    "budget",
+                    stacklevel=2,
+                )
+                x, res, iters = self._solve_jit(b, rtol, 3 * maxiter)
+        return x, res, iters
