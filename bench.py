@@ -1239,6 +1239,30 @@ def _general_gather_metrics(small, sink):
                  gen10m_dia_converged_iters=int(info_d.iterations),
                  gen10m_dia_converged_true_rel_res=reld)
 
+        # stage 7c: ZERO-GATHER preconditioning — GridMG directly on the
+        # (R, W) banded grid (ops/dia_split.BandedMGPreconditioner): every
+        # V-cycle level is static slices at memory bandwidth; measured 8
+        # PCG iters at small (aux-grid: 12, with 8n gathers per apply)
+        from fdapde_core_tpu.ops.dia_split import BandedMGPreconditioner
+
+        t0 = time.time()
+        bmg = BandedMGPreconditioner.build(S32)
+        if bmg is not None:
+            float(jax.jit(lambda d: d[0, 0, 0])(bmg.mg.datas[-1]))
+            sink.put(gen10m_bmg_setup_s=round(time.time() - t0, 3),
+                     gen10m_bmg_levels=bmg.mg.n_levels)
+            pre_bmg = jax.tree_util.Partial(_aux_cast_pre, bmg)
+            xb, info_b = cg_chunked(S64, rhs64, M_inv=pre_bmg, rtol=1e-9,
+                                    maxiter=100, chunk=4 * CH)
+            float(true_rel_dia(S64, xb, rhs64))  # warm
+            t0 = time.time()
+            xb, info_b = cg_chunked(S64, rhs64, M_inv=pre_bmg, rtol=1e-9,
+                                    maxiter=100, chunk=4 * CH)
+            relb = float(true_rel_dia(S64, xb, rhs64))
+            sink.put(gen10m_bmg_converged_solve_s=round(time.time() - t0, 3),
+                     gen10m_bmg_converged_iters=int(info_b.iterations),
+                     gen10m_bmg_converged_true_rel_res=relb)
+
     # stage 8 (full only): PRODUCT-API general elliptic at 1M+ dofs —
     # tensor-K advection-diffusion-reaction, non-symmetric, chunked
     # BiCGStab + device aux-grid (models/matfree.MatrixFreeElliptic).
