@@ -72,7 +72,12 @@ class SeparableOperator:
         out = None
         for T, S in self.terms:
             SX = _apply_space_batch(S, X)
-            y = (T @ SX) if isinstance(T, SparseMatrix) else jnp.asarray(T) @ SX
+            # HIGHEST: TPU f32 matmuls default to bf16 passes — a ~3-digit
+            # perturbation of the time factor stalls tight-tolerance Krylov
+            # iterations at scale (measured: 5 iters CPU vs 60+ on chip)
+            y = (T @ SX) if isinstance(T, SparseMatrix) else jnp.matmul(
+                jnp.asarray(T), SX, precision=jax.lax.Precision.HIGHEST
+            )
             out = y if out is None else out + y
         return out.reshape(-1)
 
@@ -139,9 +144,10 @@ class ModeDiagPreconditioner:
     def __call__(self, r):
         n_t = self.Z.shape[0]
         X = jnp.asarray(r).reshape(n_t, -1)
-        W = self.Z.T @ X
+        hi = jax.lax.Precision.HIGHEST
+        W = jnp.matmul(self.Z.T, X, precision=hi)
         W = W * self.Dinv
-        return (self.Z @ W).reshape(-1)
+        return jnp.matmul(self.Z, W, precision=hi).reshape(-1)
 
     __matmul__ = __call__
 
@@ -209,9 +215,10 @@ class ModeMGPreconditioner:
 
         n_t = self.Z.shape[0]
         X = jnp.asarray(r).reshape(n_t, -1)
-        W = self.Z.T @ X
+        hi = jax.lax.Precision.HIGHEST
+        W = jnp.matmul(self.Z.T, X, precision=hi)
         W = jax.vmap(GridMG.v_cycle)(self.mg, W)
-        return (self.Z @ W).reshape(-1)
+        return jnp.matmul(self.Z, W, precision=hi).reshape(-1)
 
     __matmul__ = __call__
 
