@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["BlockFrame", "BlockVector"]
+__all__ = ["BlockFrame", "BlockView", "BlockVector"]
 
 
 class BlockFrame:
@@ -58,14 +58,76 @@ class BlockFrame:
         else:
             self._dirty.discard(name)
 
-    def row(self, i: int) -> dict:
-        """Row view across all blocks (block_frame.h BlockView)."""
-        return {k: v[i] for k, v in self._blocks.items()}
+    def row(self, i: int) -> "BlockView":
+        """Single-row VIEW across all blocks (block_frame.h:202 BlockView
+        with row access pattern) — reads through to the live frame, writes
+        propagate back and mark the touched block dirty."""
+        return BlockView(self, i)
+
+    def range(self, begin: int, end: int) -> "BlockView":
+        """Contiguous row-range view [begin, end) (range access pattern)."""
+        return BlockView(self, slice(begin, end))
+
+    def sparse_view(self, idxs) -> "BlockView":
+        """Arbitrary row-subset view (sparse access pattern)."""
+        return BlockView(self, np.asarray(idxs, dtype=np.int64))
 
     def rows(self, sl) -> "BlockFrame":
+        """Materialized row-subset COPY (use row/range/sparse_view for
+        write-through views)."""
         out = BlockFrame()
         for k, v in self._blocks.items():
             out.insert(k, v[sl])
+        return out
+
+
+class BlockView:
+    """Write-through row view over a BlockFrame (block_frame.h:202).
+
+    Covers the reference's three access patterns — single row, contiguous
+    range, sparse index set — with one selector. `get` reads the CURRENT
+    frame contents (no snapshot); `set`/`__setitem__` writes back into the
+    parent and propagates the dirty bit (block_frame.h dirty-bit semantics:
+    mutating through a view marks the underlying block modified)."""
+
+    def __init__(self, frame: "BlockFrame", sel):
+        self._frame = frame
+        # a single row keeps its leading axis (consistent shapes across the
+        # three access patterns)
+        self._sel = slice(sel, sel + 1) if isinstance(sel, int) else sel
+
+    @property
+    def n_rows(self) -> int:
+        if isinstance(self._sel, slice):
+            start, stop, step = self._sel.indices(self._frame.n_rows)
+            return max(0, (stop - start + (step - 1)) // step)
+        if isinstance(self._sel, np.ndarray):
+            return int(self._sel.size)
+        return 1
+
+    def columns(self):
+        return self._frame.columns()
+
+    def get(self, name: str) -> np.ndarray:
+        return self._frame.get(name)[self._sel]
+
+    __getitem__ = get
+
+    def set(self, name: str, value) -> None:
+        block = self._frame.get(name)
+        block[self._sel] = value
+        self._frame._dirty.add(name)
+
+    __setitem__ = set
+
+    def as_dict(self) -> dict:
+        return {k: self.get(k) for k in self._frame.columns()}
+
+    def materialize(self) -> "BlockFrame":
+        """Copy the viewed rows into a standalone frame."""
+        out = BlockFrame()
+        for k in self._frame.columns():
+            out.insert(k, np.array(self.get(k)))
         return out
 
 

@@ -381,3 +381,38 @@ def test_separable_operator_grid_stencil_and_mode_preconditioners():
     assert bool(infom.converged)
     assert int(infom.iterations) < int(infod.iterations)
     np.testing.assert_allclose(np.asarray(xm), x_ref, atol=1e-8)
+
+
+def test_block_view_write_through_and_dirty():
+    """BlockView (block_frame.h:202): row/range/sparse access patterns read
+    the LIVE frame and writes propagate back with dirty-bit marking."""
+    from fdapde_core_tpu.utils.block_frame import BlockFrame, BlockView
+
+    bf = BlockFrame()
+    bf.insert("y", np.arange(6.0))
+    bf.insert("X", np.arange(12.0).reshape(6, 2))
+    bf.clear_dirty()
+
+    rv = bf.range(1, 4)
+    assert isinstance(rv, BlockView) and rv.n_rows == 3
+    np.testing.assert_array_equal(rv["y"].ravel(), [1.0, 2.0, 3.0])
+
+    # live view: mutations of the frame are visible through the view
+    bf["y"] = np.arange(6.0) * 10
+    bf.clear_dirty()
+    np.testing.assert_array_equal(rv["y"].ravel(), [10.0, 20.0, 30.0])
+
+    # write-through + dirty propagation
+    rv["y"] = np.zeros((3, 1))
+    assert bf.is_dirty("y") and not bf.is_dirty("X")
+    np.testing.assert_array_equal(bf["y"].ravel(), [0.0, 0, 0, 0, 40, 50])
+
+    sv = bf.sparse_view([0, 5])
+    assert sv.n_rows == 2
+    np.testing.assert_array_equal(sv["X"], [[0.0, 1.0], [10.0, 11.0]])
+    sv["X"] = -np.ones((2, 2))
+    assert bf.is_dirty("X")
+    np.testing.assert_array_equal(bf["X"][5], [-1.0, -1.0])
+
+    m = bf.row(2).materialize()
+    assert m.n_rows == 1 and m.columns() == ["y", "X"]
