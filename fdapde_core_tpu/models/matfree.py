@@ -53,7 +53,7 @@ class MatrixFreePoisson:
     def __init__(self, nodes, cells, boundary, max_degree: int | None = None,
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
-                 kappa=None):
+                 kappa=None, preconditioner: str = "auto"):
         from ..ops.ell import ELLMatrix
 
         self.nodes = nodes
@@ -111,15 +111,35 @@ class MatrixFreePoisson:
         else:
             raise ValueError(format)
         self.system = DirichletSystem(self.op, boundary)
-        diag32 = jax.jit(
-            lambda op, bnd: DirichletSystem(op, bnd)
-            .diagonal().astype(jnp.float32)
-        )(self.op, boundary)
-        aux_cls = (
-            AuxGridPreconditioner if self.dim == 2 else AuxGridPreconditioner3D
-        )
-        self.aux = aux_cls.build_device(nodes, diag32, grid_n=grid_n,
-                                        bbox=bbox)
+        self.preconditioner = "auxgrid"
+        if preconditioner in ("auto", "banded_mg") and format == "ell":
+            from ..ops.matfree_soa import ELLSoA
+
+            E_soa = jax.jit(
+                lambda v, c: ELLSoA(v.T, c.T, self.op.shape)
+            )(self.op.vals, self.op.cols)
+            S, bmg = _try_banded_upgrade(E_soa, boundary)
+            if S is not None:
+                self.op = S
+                self.system = DirichletSystem(S, boundary)
+                self.aux = bmg
+                self.preconditioner = "banded_mg"
+        if preconditioner == "banded_mg" and self.preconditioner != "banded_mg":
+            raise ValueError(
+                "banded_mg requested but the operator has no concentrated "
+                "band (plan_split_width rejected it); use 'auto' or 'auxgrid'"
+            )
+        if self.preconditioner == "auxgrid":
+            diag32 = jax.jit(
+                lambda op, bnd: DirichletSystem(op, bnd)
+                .diagonal().astype(jnp.float32)
+            )(self.op, boundary)
+            aux_cls = (
+                AuxGridPreconditioner if self.dim == 2
+                else AuxGridPreconditioner3D
+            )
+            self.aux = aux_cls.build_device(nodes, diag32, grid_n=grid_n,
+                                            bbox=bbox)
 
     def load_vector(self, f_cells):
         """P1 load b_i = sum_T |T|/(d+1) * f(centroid_T) over incident cells
@@ -170,6 +190,48 @@ def _aux_apply(aux, r):
     """f32 aux V-cycle inside a higher-precision Krylov loop (module-level
     identity: stable across solves for the chunk-program caches)."""
     return aux(r.astype(jnp.float32)).astype(r.dtype)
+
+
+def _try_banded_upgrade(E_soa, boundary, **mg_kw):
+    """Structure auto-detection (preconditioner="auto"): when the assembled
+    operator's offset histogram is band-concentrated (quasi-uniform /
+    RCM-tight meshes — decided from the MATRIX alone by plan_split_width's
+    coverage guard), swap the gather-SpMV + aux-grid pair for the banded
+    DIA split + BandedMGPreconditioner: the SpMV becomes static 2D stencil
+    shifts at memory bandwidth (measured 546 vs 1.3 iters/s at 10.25M
+    dofs) and the V-cycle has zero gathers (converged 10M solve 4.1 s vs
+    20-74 s). Returns (split_operator, bmg) or (None, None) to keep the
+    general gather path.
+
+    The returned operator is the UNFOLDED split (exact A): boundary
+    handling stays in DirichletSystem — its rhs reduction needs A's
+    boundary columns (a Dirichlet-folded operator would zero the -A@g
+    coupling term). Folding happens only inside the preconditioner build.
+    """
+    from ..ops.dia_split import (
+        BandedMGPreconditioner,
+        build_banded_split,
+        plan_split_width,
+    )
+
+    W, amax = plan_split_width(E_soa)
+    if W is None:
+        return None, None
+    S, over = jax.jit(
+        lambda E_: build_banded_split(E_, W, amax=amax)
+    )(E_soa)
+    if bool(over):
+        return None, None
+    rem_nnz = int(jax.jit(lambda S_: jnp.sum(S_.rem.vals != 0.0))(S))
+    if rem_nnz == 0:
+        S = S.drop_empty_remainder()
+    F32 = jax.jit(
+        lambda S_, b_: S_.astype(jnp.float32).fold_dirichlet(b_)
+    )(S, boundary)
+    bmg = BandedMGPreconditioner.build(F32, **mg_kw)
+    if bmg is None:
+        return None, None
+    return S, bmg
 
 
 @functools.lru_cache(maxsize=None)
@@ -315,7 +377,7 @@ class MatrixFreeElliptic:
                  b=None, c=None, max_degree: int = 8,
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
-                 _space=None):
+                 preconditioner: str = "auto", _space=None):
         from ..ops.matfree_soa import MatrixFreeP2SoA, MatrixFreeSoA
 
         if isinstance(nodes, tuple):
@@ -397,15 +459,29 @@ class MatrixFreeElliptic:
         else:
             raise ValueError(format)
         self.system = DirichletSystem(self.op, self.boundary)
-        diag32 = jax.jit(
-            lambda op, bnd: DirichletSystem(op, bnd)
-            .diagonal().astype(jnp.float32)
-        )(self.op, self.boundary)
-        if bbox is None:
-            bbox = ((0.0, 0.0), (1.0, 1.0))
-        self.aux = AuxGridPreconditioner.build_device(
-            (self.dof_x, self.dof_y), diag32, grid_n=grid_n, bbox=bbox
-        )
+        self.preconditioner = "auxgrid"
+        if preconditioner in ("auto", "banded_mg") and format == "ell":
+            S, bmg = _try_banded_upgrade(self.op, self.boundary)
+            if S is not None:
+                self.op = S
+                self.system = DirichletSystem(S, self.boundary)
+                self.aux = bmg
+                self.preconditioner = "banded_mg"
+        if preconditioner == "banded_mg" and self.preconditioner != "banded_mg":
+            raise ValueError(
+                "banded_mg requested but the operator has no concentrated "
+                "band (plan_split_width rejected it); use 'auto' or 'auxgrid'"
+            )
+        if self.preconditioner == "auxgrid":
+            diag32 = jax.jit(
+                lambda op, bnd: DirichletSystem(op, bnd)
+                .diagonal().astype(jnp.float32)
+            )(self.op, self.boundary)
+            if bbox is None:
+                bbox = ((0.0, 0.0), (1.0, 1.0))
+            self.aux = AuxGridPreconditioner.build_device(
+                (self.dof_x, self.dof_y), diag32, grid_n=grid_n, bbox=bbox
+            )
 
     @classmethod
     def from_space(cls, space, K=None, b=None, c=None, **kw):

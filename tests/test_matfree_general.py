@@ -245,7 +245,9 @@ def test_model_chunked_solve_identical():
     )
 
     nodes, cells, bnd = irregular_mesh_device(16, 0.2, dtype=jnp.float64)
-    m = MatrixFreePoisson(nodes, cells, bnd)
+    # auxgrid: enough iterations that chunk=5 actually crosses chunks
+    # (the banded-MG auto path converges in ~2)
+    m = MatrixFreePoisson(nodes, cells, bnd, preconditioner="auxgrid")
     b = m.load_vector(jnp.ones(cells.shape[0], jnp.float64))
     x, it, rel = m.solve(b, rtol=1e-10, maxiter=200)
     seen = []
@@ -261,3 +263,34 @@ def test_model_chunked_solve_identical():
     xc2, itc2, relc2 = e.solve(be, rtol=1e-10, maxiter=300, chunk=7)
     assert int(it2) == int(itc2)
     assert float(jnp.max(jnp.abs(x2 - xc2))) == 0.0
+
+
+def test_auto_banded_upgrade_matches_auxgrid():
+    """preconditioner='auto' detects the band-concentrated operator and
+    swaps in the DIA-split + BandedMG pair; solutions match the aux-grid
+    path, incl. nonzero Dirichlet data through the rhs reduction (the
+    operator stays UNFOLDED so -A@g boundary coupling survives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device
+    from fdapde_core_tpu.models.matfree import MatrixFreePoisson
+
+    nodes, cells, bnd = jax.jit(
+        lambda a: irregular_mesh_device(20, a, dtype=jnp.float64)
+    )(0.2)
+    m_auto = MatrixFreePoisson(nodes, cells, bnd)
+    m_aux = MatrixFreePoisson(nodes, cells, bnd, preconditioner="auxgrid")
+    assert m_auto.preconditioner == "banded_mg"
+    assert m_aux.preconditioner == "auxgrid"
+
+    b = m_aux.load_vector(jnp.ones(cells.shape[0], jnp.float64))
+    x1, i1, r1 = m_auto.solve(b, rtol=1e-10, maxiter=200)
+    x2, i2, r2 = m_aux.solve(b, rtol=1e-10, maxiter=200)
+    assert int(i1) <= int(i2)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-9)
+
+    g = jnp.asarray(nodes[:, 0] + nodes[:, 1])  # harmonic: u == g
+    x3, i3, r3 = m_auto.solve(jnp.zeros_like(b), g=g, rtol=1e-10,
+                              maxiter=200)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(g), atol=1e-9)
