@@ -217,17 +217,19 @@ def _try_banded_upgrade(E_soa, boundary, **mg_kw):
     W, amax = plan_split_width(E_soa)
     if W is None:
         return None, None
-    S, over = jax.jit(
-        lambda E_: build_banded_split(E_, W, amax=amax)
-    )(E_soa)
+
+    @jax.jit
+    def split_fold(E_, b_):  # one program: split + rem count + f32 fold
+        S_, over_ = build_banded_split(E_, W, amax=amax)
+        rem_nnz_ = jnp.sum(S_.rem.vals != 0.0).astype(jnp.int32)
+        F32_ = S_.astype(jnp.float32).fold_dirichlet(b_)
+        return S_, over_.astype(jnp.int32), rem_nnz_, F32_
+
+    S, over, rem_nnz, F32 = split_fold(E_soa, boundary)
     if bool(over):
         return None, None
-    rem_nnz = int(jax.jit(lambda S_: jnp.sum(S_.rem.vals != 0.0))(S))
-    if rem_nnz == 0:
+    if int(rem_nnz) == 0:
         S = S.drop_empty_remainder()
-    F32 = jax.jit(
-        lambda S_, b_: S_.astype(jnp.float32).fold_dirichlet(b_)
-    )(S, boundary)
     bmg = BandedMGPreconditioner.build(F32, **mg_kw)
     if bmg is None:
         return None, None

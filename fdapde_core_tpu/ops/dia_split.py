@@ -29,6 +29,8 @@ replaces SparseLU, fem_linear_elliptic_solver.h:38-47).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,25 @@ from .matfree_soa import ELLSoA
 
 __all__ = ["BandedSplit", "BandedMGPreconditioner", "plan_split_width",
            "build_banded_split", "banded_cg"]
+
+
+@jax.jit
+def _bandwidth_jit(cols):
+    n = cols.shape[1]
+    rows = jnp.arange(n, dtype=cols.dtype)[None, :]
+    return jnp.max(jnp.abs(cols - rows))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _band_hist_jit(cols, vals, B):
+    """Offset histogram of REAL entries (padding carries col = row)."""
+    n = cols.shape[1]
+    rows = jnp.arange(n, dtype=cols.dtype)[None, :]
+    d = cols - rows
+    dreal = jnp.where(vals != 0.0, d, B + 1 + B)  # park padding out of range
+    return jnp.bincount(
+        jnp.clip(dreal + B, 0, 2 * B + 1).reshape(-1), length=2 * B + 2
+    )
 
 
 def plan_split_width(E: ELLSoA, bmax: int = 1, min_frac: float = 0.02,
@@ -60,16 +81,12 @@ def plan_split_width(E: ELLSoA, bmax: int = 1, min_frac: float = 0.02,
     import numpy as np
 
     n = E.shape[0]
-    rows = jnp.arange(n, dtype=E.cols.dtype)[None, :]
-    d = E.cols - rows
-    B = int(jnp.max(jnp.abs(d)))
+    # two device programs total (jitted; eager per-op execution costs a
+    # remote round-trip each on the TPU harness)
+    B = int(_bandwidth_jit(E.cols))
     if B <= bmax or 2 * B + 1 > max_hist:
         return None, 0
-    # histogram of REAL entries only (padding carries col = row, d = 0)
-    dreal = jnp.where(E.vals != 0.0, d, B + 1 + B)  # park padding out of range
-    hist = np.array(jnp.bincount(
-        (jnp.clip(dreal + B, 0, 2 * B + 1)).reshape(-1), length=2 * B + 2
-    ))[: 2 * B + 1]
+    hist = np.array(_band_hist_jit(E.cols, E.vals, B))[: 2 * B + 1]
     total = hist.sum()
     center = hist[B]
     hist[B] = 0  # the main diagonal is always captured; never a W
@@ -238,7 +255,7 @@ class BandedMGPreconditioner:
         The (R, W) grid is embedded into the next (m, m) with
         (m - 1) % 8 == 0 (three guaranteed coarsenings), identity on the
         padding. The hierarchy is built in one jitted program."""
-        from .grid_mg import GridMG
+        from .grid_mg import GridMG, galerkin_coarsen
 
         if any(abs(a) > 1 or abs(b) > 1 for a, b in F.G.offsets2d):
             return None  # galerkin_coarsen needs a 9-point window
@@ -247,20 +264,40 @@ class BandedMGPreconditioner:
         m = m0 + ((-(m0 - 1)) % 8)
         k0 = F.G.offsets2d.index((0, 0))
 
+        # static level plan (same rule as GridMG.build)
+        shapes = [m]
+        offsets = [F.G.offsets2d]
+        while True:
+            nn = shapes[-1] - 1
+            if nn % 2 != 0 or nn // 2 < coarse_n:
+                break
+            shapes.append(nn // 2 + 1)
+            offsets.append(
+                tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
+            )
+
+        # ONE program: embed + full Galerkin chain (each first execution
+        # of a separate program pays the remote-compile roulette)
         @jax.jit
-        def embed(data):
+        def embed_and_coarsen(data):
             K = data.shape[0]
             out = jnp.zeros((K, m, m), dtype)
             out = out.at[:, :R, :W].set(data.astype(dtype))
             ii = jnp.arange(m)
             padmask = (ii[:, None] >= R) | (ii[None, :] >= W)
-            return out.at[k0].set(jnp.where(padmask, 1.0, out[k0]))
+            out = out.at[k0].set(jnp.where(padmask, 1.0, out[k0]))
+            from .grid_dia import GridDIAMatrix as _G
 
-        from .grid_dia import GridDIAMatrix as _G
+            levels = [out]
+            lvl = _G(out, F.G.offsets2d, (m, m))
+            for _ in range(len(shapes) - 1):
+                lvl = galerkin_coarsen(lvl)
+                levels.append(lvl.data)
+            return tuple(levels)
 
-        Gm = _G(embed(F.G.data), F.G.offsets2d, (m, m))
-        mg = GridMG.build(Gm, coarse_n=coarse_n, omega=omega, nu=nu,
-                          coarse_iters=coarse_iters)
+        datas = list(embed_and_coarsen(F.G.data))
+        mg = GridMG(datas, tuple(offsets), tuple(shapes), omega, nu,
+                    coarse_iters)
         return cls(mg, (R, W), F.n, m)
 
     def __call__(self, r):
