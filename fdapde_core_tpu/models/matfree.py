@@ -118,7 +118,7 @@ class MatrixFreePoisson:
             E_soa = jax.jit(
                 lambda v, c: ELLSoA(v.T, c.T, self.op.shape)
             )(self.op.vals, self.op.cols)
-            S, bmg = _try_banded_upgrade(E_soa, boundary)
+            S, bmg = _try_banded_upgrade(E_soa, boundary, dim=self.dim)
             if S is not None:
                 self.op = S
                 self.system = DirichletSystem(S, boundary)
@@ -192,7 +192,7 @@ def _aux_apply(aux, r):
     return aux(r.astype(jnp.float32)).astype(r.dtype)
 
 
-def _try_banded_upgrade(E_soa, boundary, **mg_kw):
+def _try_banded_upgrade(E_soa, boundary, dim: int = 2, **mg_kw):
     """Structure auto-detection (preconditioner="auto"): when the assembled
     operator's offset histogram is band-concentrated (quasi-uniform /
     RCM-tight meshes — decided from the MATRIX alone by plan_split_width's
@@ -208,19 +208,36 @@ def _try_banded_upgrade(E_soa, boundary, **mg_kw):
     boundary columns (a Dirichlet-folded operator would zero the -A@g
     coupling term). Folding happens only inside the preconditioner build.
     """
-    from ..ops.dia_split import (
-        BandedMGPreconditioner,
-        build_banded_split,
-        plan_split_width,
-    )
+    if dim == 3:
+        from ..ops.dia_split3d import (
+            BandedMGPreconditioner3D as _BMG,
+            build_banded_split_3d,
+            plan_split_3d,
+        )
 
-    W, amax = plan_split_width(E_soa)
-    if W is None:
-        return None, None
+        W1, W2 = plan_split_3d(E_soa)
+        if W1 is None:
+            return None, None
+
+        def _split(E_):
+            return build_banded_split_3d(E_, W1, W2)
+    else:
+        from ..ops.dia_split import (
+            BandedMGPreconditioner as _BMG,
+            build_banded_split,
+            plan_split_width,
+        )
+
+        W, amax = plan_split_width(E_soa)
+        if W is None:
+            return None, None
+
+        def _split(E_):
+            return build_banded_split(E_, W, amax=amax)
 
     @jax.jit
     def split_fold(E_, b_):  # one program: split + rem count + f32 fold
-        S_, over_ = build_banded_split(E_, W, amax=amax)
+        S_, over_ = _split(E_)
         rem_nnz_ = jnp.sum(S_.rem.vals != 0.0).astype(jnp.int32)
         F32_ = S_.astype(jnp.float32).fold_dirichlet(b_)
         return S_, over_.astype(jnp.int32), rem_nnz_, F32_
@@ -230,7 +247,7 @@ def _try_banded_upgrade(E_soa, boundary, **mg_kw):
         return None, None
     if int(rem_nnz) == 0:
         S = S.drop_empty_remainder()
-    bmg = BandedMGPreconditioner.build(F32, **mg_kw)
+    bmg = _BMG.build(F32, **mg_kw)
     if bmg is None:
         return None, None
     return S, bmg
