@@ -136,7 +136,10 @@ def orchestrate(small):
         # degraded-bandwidth flag (the r02 failure mode)
         if err or res.get("degraded_worker"):
             out[f"{group}_attempt1"] = (err or "degraded_worker")[:300]
-            if (small or elapsed() < GATES[group] + 200) and (
+            # retry bound: a cap-kill with NOTHING measured usually means
+            # first-program compile roulette (observed 20+ min) — a retry
+            # faces the same odds with less budget, so only re-run early
+            if (small or elapsed() < min(GATES[group], 1500) + 200) and (
                     elapsed() < TOTAL_BUDGET_S - 120):
                 res2, err2 = _run_group(group, small)
                 better = (not err2 and err) or (
