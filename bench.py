@@ -73,10 +73,12 @@ T_START = time.time()
 # first-program compile roulette can eat ~10 min per group)
 GROUPS = ("structured", "gen10m", "general", "spacetime")
 # elapsed() gate before STARTING a group (full size; --small runs all)
-GATES = {"structured": 10**9, "gen10m": 1800, "general": 2400,
-         "spacetime": 2700}
-# wall cap per child process (cold first-exec roulette is 1..300 s/program)
-CAPS = {"structured": 1300, "general": 650, "spacetime": 900, "gen10m": 1400}
+GATES = {"structured": 10**9, "gen10m": 2000, "general": 2600,
+         "spacetime": 2900}
+# wall cap per child process (cold first-exec roulette is 1..300 s/program;
+# a WEDGED first request burns the whole cap — keep structured's tight so
+# one wedge cannot starve the later groups)
+CAPS = {"structured": 1000, "general": 650, "spacetime": 900, "gen10m": 1400}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500, "gen10m": 500}
 
 DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
