@@ -18,6 +18,8 @@ from ..fem.nonlinear import solve_semilinear
 from ..parallel.sharded import ShardedPoisson
 from ..pde import PDE
 from .space_time import (
+    ModeDiagPreconditioner,
+    ModeMGPreconditioner,
     SeparableOperator,
     SpaceTimeSmoothing,
     solve_space_time,
@@ -34,6 +36,8 @@ __all__ = [
     "MatrixFreeElliptic",
     "solve_semilinear",
     "SeparableOperator",
+    "ModeDiagPreconditioner",
+    "ModeMGPreconditioner",
     "solve_space_time",
     "solve_space_time_fdm",
     "SpaceTimeSmoothing",
