@@ -187,27 +187,46 @@ class ModeMGPreconditioner:
         treatment already folded (with_dirichlet_identity on S1)."""
         import scipy.linalg as sla
 
-        from ..ops.grid_mg import GridMG
+        from ..ops.grid_dia import GridDIAMatrix
+        from ..ops.grid_mg import GridMG, galerkin_coarsen
 
         if S0.offsets2d != S1.offsets2d:
             raise ValueError("S0/S1 must share offsets2d (pad zero layers)")
         lam, Z = sla.eigh(np.asarray(T1), np.asarray(T0))
-        mgA = GridMG.build(S1, coarse_n=coarse_n, omega=omega, nu=nu,
-                           coarse_iters=coarse_iters)
-        mgE = GridMG.build(S0, coarse_n=coarse_n, omega=omega, nu=nu,
-                           coarse_iters=coarse_iters)
         lamj = jnp.asarray(lam, dtype)
 
-        @jax.jit
-        def combine(As, Es, lamj):
-            return tuple(
-                A[None].astype(dtype)
-                + lamj[:, None, None, None] * E[None].astype(dtype)
-                for A, E in zip(As, Es)
+        # static level plan (GridMG.build's rule), then ONE jitted program
+        # for both Galerkin chains + the per-mode AXPY — separate programs
+        # each pay the remote-compile roulette on the TPU harness
+        shapes = [S1.shape2d[0]]
+        offsets = [S1.offsets2d]
+        while True:
+            nn = shapes[-1] - 1
+            if nn % 2 != 0 or nn // 2 < coarse_n:
+                break
+            shapes.append(nn // 2 + 1)
+            offsets.append(
+                tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
             )
 
-        datas = list(combine(tuple(mgA.datas), tuple(mgE.datas), lamj))
-        mg = GridMG(datas, mgA.offsets, mgA.shapes, omega, nu, coarse_iters)
+        @jax.jit
+        def chains_and_combine(dA, dE, lamj):
+            GA = GridDIAMatrix(dA, S1.offsets2d, S1.shape2d)
+            GE = GridDIAMatrix(dE, S0.offsets2d, S0.shape2d)
+            out = []
+            for _ in range(len(shapes)):
+                out.append(
+                    GA.data[None].astype(dtype)
+                    + lamj[:, None, None, None] * GE.data[None].astype(dtype)
+                )
+                if len(out) < len(shapes):
+                    GA = galerkin_coarsen(GA)
+                    GE = galerkin_coarsen(GE)
+            return tuple(out)
+
+        datas = list(chains_and_combine(S1.data, S0.data, lamj))
+        mg = GridMG(datas, tuple(offsets), tuple(shapes), omega, nu,
+                    coarse_iters)
         return cls(jnp.asarray(Z, dtype), mg)
 
     def __call__(self, r):
