@@ -226,7 +226,21 @@ def child_main(group, small, outpath):
     if group == "structured":
         sink.put(device=str(jax.devices()[0]))
     if jax.devices()[0].platform != "cpu":  # thresholds are TPU-calibrated
+        # wedge guard: a first remote request can HANG forever (observed:
+        # 20+ min, burning the whole group cap). Healthy probe first-exec
+        # latencies run 3-60 s; past 420 s assume a wedged connection and
+        # exit(3) so the parent retries on a fresh process ~10 min sooner.
+        import threading
+
+        def _wedged():
+            sink.put(**{group + "_probe_wedged": True})
+            os._exit(3)
+
+        guard = threading.Timer(420.0, _wedged)
+        guard.daemon = True
+        guard.start()
         gbps = _health_probe(sink, "" if group == "structured" else group + "_")
+        guard.cancel()
         if gbps < ABORT_GBPS:
             sys.exit(3)  # parent retries on a fresh worker connection
     fn = {
