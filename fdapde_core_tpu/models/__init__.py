@@ -28,12 +28,17 @@ from .space_time import (
 from .sharded_driver import solve_elliptic_sharded
 from .structured import StructuredPoisson
 from .regression import SmoothingRegression
-from .matfree import MatrixFreeElliptic, MatrixFreePoisson
+from .matfree import (
+    MatrixFreeElliptic,
+    MatrixFreeParabolic,
+    MatrixFreePoisson,
+)
 
 __all__ = [
     "PDE",
     "MatrixFreePoisson",
     "MatrixFreeElliptic",
+    "MatrixFreeParabolic",
     "solve_semilinear",
     "SeparableOperator",
     "ModeDiagPreconditioner",

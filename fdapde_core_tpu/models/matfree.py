@@ -36,7 +36,8 @@ from ..ops.matfree import (
     p1_local_stiffness_3d,
 )
 
-__all__ = ["MatrixFreePoisson", "MatrixFreeElliptic"]
+__all__ = ["MatrixFreePoisson", "MatrixFreeElliptic",
+           "MatrixFreeParabolic"]
 
 
 class MatrixFreePoisson:
@@ -566,3 +567,116 @@ def _general_solve_fn(rtol: float, maxiter: int, symmetric: bool):
         return x, info.iterations, rel
 
     return run
+
+
+class MatrixFreeParabolic:
+    """Implicit-Euler heat/diffusion stepping at device scale on the gather
+    pipeline: arbitrary 2D/3D simplicial topology, P1, LUMPED mass
+    (linear_algebra/lumping.h:30 semantics — the P1 row-sum lumped mass is
+    exactly the load vector of 1, sum_T |T|/(d+1) over incident cells).
+
+    Each step solves  (A + M_L/dt) u_next = M_L u/dt + f  with the SAME
+    structure-detected operator stack as MatrixFreePoisson: when the
+    offset histogram is band-concentrated the shifted operator rides the
+    banded DIA split (the diagonal shift only touches the center stencil
+    layer) with the zero-gather BandedMG preconditioner; otherwise
+    ELL + device aux-grid. Steps run as a HOST loop of chunked CG solves —
+    watchdog-bounded programs, per-step convergence observability, and
+    program caches shared across all steps (first step pays the compiles).
+
+    Reference anchor: fem_linear_parabolic_solver.h:37-72 (factorize once,
+    back-solve per step) — here the "factorization" is the preconditioner
+    build, equally amortized over the trajectory.
+    """
+
+    def __init__(self, nodes, cells, boundary, dt: float, kappa=None,
+                 **kw):
+        self.base = MatrixFreePoisson(nodes, cells, boundary, kappa=kappa,
+                                      **kw)
+        self.boundary = self.base.boundary
+        self.n_dofs = self.base.n_dofs
+        self.dt = float(dt)
+        C = cells.shape[0]
+
+        @jax.jit
+        def shifted(op, mdiag):
+            K_op = op.with_added_diagonal(mdiag / dt)
+            return K_op, K_op.diagonal().astype(jnp.float32)
+
+        self.mdiag = self.base.load_vector(
+            jnp.ones(C, self.base.nodes.dtype)
+        )  # lumped mass
+        self.op, diag32 = shifted(self.base.op, self.mdiag)
+        self.preconditioner = self.base.preconditioner
+        if self.preconditioner == "banded_mg":
+            from ..ops.dia_split import BandedMGPreconditioner
+            from ..ops.dia_split3d import BandedMGPreconditioner3D
+
+            F32 = jax.jit(
+                lambda S_, b_: S_.astype(jnp.float32).fold_dirichlet(b_)
+            )(self.op, self.boundary)
+            bmg_cls = (BandedMGPreconditioner if self.base.dim == 2
+                       else BandedMGPreconditioner3D)
+            self.aux = bmg_cls.build(F32)
+        else:
+            from ..ops.auxgrid import (
+                AuxGridPreconditioner,
+                AuxGridPreconditioner3D,
+            )
+
+            aux_cls = (AuxGridPreconditioner if self.base.dim == 2
+                       else AuxGridPreconditioner3D)
+            self.aux = aux_cls.build_device(
+                self.base.nodes, diag32, grid_n=kw.get("grid_n"),
+                bbox=kw.get("bbox"),
+            )
+
+    def load_vector(self, f_cells):
+        return self.base.load_vector(f_cells)
+
+    def step(self, u, f=None, g=None, rtol: float = 1e-9,
+             maxiter: int = 100, chunk: int | None = None, on_chunk=None):
+        """One implicit-Euler step. f: assembled load vector (n,) for the
+        NEXT instant (use load_vector) or None; g: Dirichlet data at the
+        next instant (default 0). Returns (u_next, iterations, true rel
+        residual)."""
+        if g is None:
+            g = jnp.zeros_like(u)
+        b = _parabolic_rhs(self.mdiag, jnp.asarray(self.dt), u, f)
+        if chunk is not None:
+            return _solve_chunked(self.op, self.boundary, self.aux, b, g,
+                                  True, rtol, maxiter, chunk, on_chunk)
+        run = _solve_fn(float(rtol), int(maxiter))
+        return run(self.op, self.boundary, self.aux, b, g)
+
+    def solve(self, u0, n_steps: int, f=None, g=None, rtol: float = 1e-9,
+              maxiter: int = 100, chunk: int | None = None,
+              keep_trajectory: bool = False, on_step=None):
+        """March n_steps from u0 (host loop; program caches shared across
+        steps). f/g: constant-in-time load vector / Dirichlet data (per-
+        step variation: drive `step` directly). Returns (u_final, info
+        dict with per-step iterations/rel lists [host floats]); with
+        keep_trajectory=True also stacks every step's solution (memory:
+        n_steps x n_dofs — device-scale callers should sample via
+        on_step instead)."""
+        u = jnp.asarray(u0)
+        iters, rels, traj = [], [], []
+        for k in range(n_steps):
+            u, it, rel = self.step(u, f=f, g=g, rtol=rtol, maxiter=maxiter,
+                                   chunk=chunk)
+            iters.append(int(it))
+            rels.append(float(rel))
+            if keep_trajectory:
+                traj.append(u)
+            if on_step is not None:
+                on_step(k, u, iters[-1], rels[-1])
+        info = {"iterations": iters, "rel_residuals": rels}
+        if keep_trajectory:
+            info["trajectory"] = jnp.stack(traj, axis=1)
+        return u, info
+
+
+@jax.jit
+def _parabolic_rhs(mdiag, dt, u, f):
+    b = mdiag * u / dt
+    return b if f is None else b + f

@@ -202,6 +202,17 @@ class BandedSplit:
             None if self.rem is None else self.rem.astype(dtype), self.n,
         )
 
+    def with_added_diagonal(self, d):
+        """A + diag(d) — the implicit-Euler shift (A + M_lumped/dt) stays a
+        BandedSplit: only the center layer changes."""
+        R, W = self.G.shape2d
+        k0 = self.G.offsets2d.index((0, 0))
+        dg = jnp.pad(jnp.asarray(d, self.G.data.dtype),
+                     (0, R * W - self.n)).reshape(R, W)
+        data = self.G.data.at[k0].add(dg)
+        return BandedSplit(GridDIAMatrix(data, self.G.offsets2d,
+                                         self.G.shape2d), self.rem, self.n)
+
     def fold_dirichlet(self, mask):
         """A' = F A F + (I - F) with F = diag(~mask): the stencil layers are
         masked via GridDIA.with_dirichlet_identity (tail rows beyond n stay

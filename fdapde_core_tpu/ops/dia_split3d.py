@@ -190,6 +190,16 @@ class BandedSplit3D:
             None if self.rem is None else self.rem.astype(dtype), self.n,
         )
 
+    def with_added_diagonal(self, d):
+        """A + diag(d) (implicit-Euler shift): center layer only."""
+        R, M, W1 = self.G.shape3d
+        k0 = self.G.offsets3d.index((0, 0, 0))
+        dg = jnp.pad(jnp.asarray(d, self.G.data.dtype),
+                     (0, R * M * W1 - self.n)).reshape(R, M, W1)
+        data = self.G.data.at[k0].add(dg)
+        return BandedSplit3D(GridDIA3D(data, self.G.offsets3d,
+                                       self.G.shape3d), self.rem, self.n)
+
     def fold_dirichlet(self, mask):
         R, M, W1 = self.G.shape3d
         free = jnp.pad((~mask).astype(self.G.data.dtype),

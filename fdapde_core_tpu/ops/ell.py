@@ -103,6 +103,17 @@ class ELLMatrix:
     def astype(self, dtype):
         return ELLMatrix(self.vals.astype(dtype), self.cols, self.shape)
 
+    def with_added_diagonal(self, d):
+        """A + diag(d) — the diagonal is always present in FEM sparsity, so
+        only existing (row == col) slots change (first match per row:
+        duplicates are merged by construction)."""
+        n = self.shape[0]
+        rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
+        isdiag = self.cols == rows
+        first = isdiag & (jnp.cumsum(isdiag, axis=1) == 1)
+        vals = self.vals + jnp.where(first, jnp.asarray(d)[:, None], 0.0)
+        return ELLMatrix(vals, self.cols, self.shape)
+
     @classmethod
     def from_local(cls, A_loc, dofs, adj, adj_mask, max_cols: int):
         """Assemble on device from element-local matrices + ELL adjacency.

@@ -346,6 +346,18 @@ class ELLSoA:
     def astype(self, dtype):
         return ELLSoA(self.vals.astype(dtype), self.cols, self.shape)
 
+    def with_added_diagonal(self, d):
+        """A + diag(d): only the first (row == col) slot per row changes
+        (padding also carries col = row but with val 0 AFTER real entries;
+        the conversion sorts real columns first, and the diagonal is
+        always structurally present in FEM operators)."""
+        n = self.shape[0]
+        rows = jnp.arange(n, dtype=self.cols.dtype)[None, :]
+        isdiag = self.cols == rows
+        first = isdiag & (jnp.cumsum(isdiag, axis=0) == 1)
+        vals = self.vals + jnp.where(first, jnp.asarray(d)[None, :], 0.0)
+        return ELLSoA(vals, self.cols, self.shape)
+
 
 # ---------------------------------------------------------------------------
 # P2 at device scale: universal coefficient tables

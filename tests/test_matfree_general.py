@@ -294,3 +294,47 @@ def test_auto_banded_upgrade_matches_auxgrid():
     x3, i3, r3 = m_auto.solve(jnp.zeros_like(b), g=g, rtol=1e-10,
                               maxiter=200)
     np.testing.assert_allclose(np.asarray(x3), np.asarray(g), atol=1e-9)
+
+
+def test_matrixfree_parabolic_matches_host_lumped():
+    """Device-scale implicit-Euler stepping (MatrixFreeParabolic, banded
+    auto path) reproduces the host solve_parabolic(lumped=True) trajectory
+    on the same mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.assembler import assemble_matrix
+    from fdapde_core_tpu.fem.solvers import solve_parabolic
+    from fdapde_core_tpu.fem.space import FEMSpace
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device
+    from fdapde_core_tpu.geometry.triangulation import Triangulation
+    from fdapde_core_tpu.models.matfree import MatrixFreeParabolic
+    from fdapde_core_tpu.pde.operators import laplacian, reaction
+
+    n = 12
+    nodes, cells, bnd = jax.jit(
+        lambda a: irregular_mesh_device(n, a, dtype=jnp.float64)
+    )(0.2)
+    dt = 0.01
+    mp = MatrixFreeParabolic(nodes, cells, bnd, dt)
+    assert mp.preconditioner == "banded_mg"
+    u0 = jnp.sin(np.pi * nodes[:, 0]) * jnp.sin(np.pi * nodes[:, 1])
+    u, info = mp.solve(u0, n_steps=4, rtol=1e-11, maxiter=200)
+    assert max(info["rel_residuals"]) < 1e-10
+
+    mesh = Triangulation(np.asarray(nodes), np.asarray(cells),
+                         np.asarray(bnd))
+    space = FEMSpace(mesh, 1)
+    A = assemble_matrix(space, -laplacian())
+    M = assemble_matrix(space, reaction(1.0))
+    times = np.arange(5) * dt
+    F = jnp.zeros((space.n_dofs, 5))
+    G = jnp.zeros((space.n_dofs, 5))
+    us = solve_parabolic(A, M, F, jnp.asarray(bnd), G, u0, times,
+                         rtol=1e-11, lumped=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(us[:, -1]),
+                               atol=1e-10)
+
+    # chunked stepping is identical
+    uc, infoc = mp.solve(u0, n_steps=4, rtol=1e-11, maxiter=200, chunk=5)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(uc))
