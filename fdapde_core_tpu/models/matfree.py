@@ -276,16 +276,27 @@ def _rel_fn():
 
 
 def _solve_chunked(op, bnd, aux, b, g, symmetric, rtol, maxiter, chunk,
-                   on_chunk):
+                   on_chunk, u0=None):
     from ..linear_algebra.solvers import bicgstab_chunked, cg_chunked
 
     b_mod, x0 = _prep_fn()(op, bnd, b, g)
+    if u0 is not None:  # warm start (time stepping): free dofs from u0
+        x0 = _warm_x0_fn()(bnd, g, u0)
     pre = jax.tree_util.Partial(_aux_apply, aux)
     solver = cg_chunked if symmetric else bicgstab_chunked
     x, info = solver(DirichletSystem(op, bnd), b_mod, M_inv=pre, x0=x0,
                      rtol=rtol, maxiter=maxiter, chunk=chunk,
                      on_chunk=on_chunk)
     return x, info.iterations, _rel_fn()(op, bnd, x, b_mod)
+
+
+@functools.lru_cache(maxsize=None)
+def _warm_x0_fn():
+    @jax.jit
+    def warm(bnd, g, u0):
+        return jnp.where(bnd, g, u0)
+
+    return warm
 
 
 @functools.lru_cache(maxsize=None)
@@ -645,9 +656,10 @@ class MatrixFreeParabolic:
         b = _parabolic_rhs(self.mdiag, jnp.asarray(self.dt), u, f)
         if chunk is not None:
             return _solve_chunked(self.op, self.boundary, self.aux, b, g,
-                                  True, rtol, maxiter, chunk, on_chunk)
-        run = _solve_fn(float(rtol), int(maxiter))
-        return run(self.op, self.boundary, self.aux, b, g)
+                                  True, rtol, maxiter, chunk, on_chunk,
+                                  u0=u)  # warm start from the last instant
+        run = _parabolic_step_fn(float(rtol), int(maxiter))
+        return run(self.op, self.boundary, self.aux, b, g, u)
 
     def solve(self, u0, n_steps: int, f=None, g=None, rtol: float = 1e-9,
               maxiter: int = 100, chunk: int | None = None,
@@ -680,3 +692,26 @@ class MatrixFreeParabolic:
 def _parabolic_rhs(mdiag, dt, u, f):
     b = mdiag * u / dt
     return b if f is None else b + f
+
+
+@functools.lru_cache(maxsize=None)
+def _parabolic_step_fn(rtol: float, maxiter: int):
+    """Like _solve_fn but warm-started from the previous instant (an
+    excellent initial guess for small dt)."""
+
+    @jax.jit
+    def run(op, bnd, aux, b, g, u_prev):
+        sys = DirichletSystem(op, bnd)
+
+        def pre(r):
+            return aux(r.astype(jnp.float32)).astype(r.dtype)
+
+        b_mod = sys.rhs(b, g)
+        x0 = jnp.where(bnd, g, u_prev)
+        x, info = cg(sys, b_mod, M_inv=pre, x0=x0, rtol=rtol,
+                     maxiter=maxiter)
+        res = b_mod - sys(x)
+        rel = jnp.sqrt(jnp.sum(res * res) / jnp.sum(b_mod * b_mod))
+        return x, info.iterations, rel
+
+    return run
