@@ -10,17 +10,41 @@ The hot paths of the framework (SURVEY.md §2.10 mapping):
 """
 
 from .closed_form import SYM_TO_FULL, p1_stiffness_2d_sym, pack_cell_axis
+from .dia_split import (
+    BandedMGPreconditioner,
+    BandedSplit,
+    build_banded_split,
+    plan_split_width,
+)
+from .dia_split3d import (
+    BandedMGPreconditioner3D,
+    BandedSplit3D,
+    build_banded_split_3d,
+    plan_split_3d,
+)
 from .ell import ELLMatrix, build_ell_adjacency, ell_spmv, local_matvec
 from .matfree import MatrixFreeLocal, p1_local_stiffness
+from .matfree_soa import ELLSoA, MatrixFreeSoA, ell_from_op_blocked
 
 __all__ = [
     "ELLMatrix",
+    "ELLSoA",
     "SYM_TO_FULL",
+    "BandedMGPreconditioner",
+    "BandedMGPreconditioner3D",
+    "BandedSplit",
+    "BandedSplit3D",
     "MatrixFreeLocal",
+    "MatrixFreeSoA",
+    "build_banded_split",
+    "build_banded_split_3d",
     "build_ell_adjacency",
+    "ell_from_op_blocked",
     "ell_spmv",
     "local_matvec",
     "p1_local_stiffness",
     "p1_stiffness_2d_sym",
     "pack_cell_axis",
+    "plan_split_3d",
+    "plan_split_width",
 ]
