@@ -1199,6 +1199,25 @@ def _general_gather_metrics(small, sink):
         sink.put(gen10m_dia_cg_iters_per_s=round(1.0 / t_dia_iter, 2),
                  gen10m_dia_gbps=round(dia_bytes / t_dia_iter / 1e9, 1))
 
+        # stage 5c: bf16-STORED banded layers, f32 vectors (the stencil
+        # apply casts layers up): at W=3201 the (L+1) data grids dominate
+        # the per-iteration bytes over the ~10 vector passes, so bf16
+        # storage removes ~40% of the streamed traffic. Operator rounding
+        # is ~4e-3 relative — a throughput / preconditioner-grade
+        # operator (pair with f64 refinement for converged solves), same
+        # rule as the structured bf16-stencil stage.
+        S16 = jax.jit(lambda S: S.astype(jnp.bfloat16))(S32)
+        inv_d32 = jax.jit(lambda S: 1.0 / S.diagonal())(S32)
+        run_dia16 = jax.jit(
+            lambda S, bb, idg: banded_cg(S, bb, ITERS, inv_diag=idg)[1])
+        float(run_dia16(S16, b32, inv_d32))  # warm
+        t0 = time.time()
+        float(run_dia16(S16, b32, inv_d32))
+        t16 = (time.time() - t0) / ITERS
+        dia16_bytes = (L + 1) * RW * 2 + 10 * n_dofs * 4
+        sink.put(gen10m_dia_bf16_cg_iters_per_s=round(1.0 / t16, 2),
+                 gen10m_dia_bf16_gbps=round(dia16_bytes / t16 / 1e9, 1))
+
     # stage 6: device-built aux-grid preconditioner (SoA (x, y) nodes)
     diag32 = jax.jit(
         lambda op, bnd: DirichletSystem(op, bnd).diagonal().astype(jnp.float32)

@@ -93,6 +93,32 @@ def test_fold_dirichlet_and_cg():
     assert float(jnp.max(jnp.abs(jnp.where(bnd, x, 0.0)))) == 0.0
 
 
+def test_bf16_storage_cg_tracks_f32():
+    """bf16-STORED banded layers with f32 vectors (bench gen10m stage 5c):
+    the stencil apply casts layers up, so the CG runs on the bf16-rounded
+    operator (~4e-3 relative) — iterates must track the f32 solve to that
+    order and boundary pinning must survive the cast."""
+    import jax
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem  # noqa: F401
+
+    E, bnd, n_dofs = _ell_operator(16)
+    W, amax = plan_split_width(E)
+    op, _ = build_banded_split(E, W, amax=amax)
+    F32 = jax.jit(lambda S, b_: S.astype(jnp.float32).fold_dirichlet(b_))(
+        op, bnd)
+    F16 = jax.jit(lambda S: S.astype(jnp.bfloat16))(F32)
+    inv_d32 = 1.0 / F32.diagonal()
+
+    b = (jnp.where(bnd, 0.0, 1.0) / (16.0 * 16.0)).astype(jnp.float32)
+    x32, _ = banded_cg(F32, b, 200, inv_diag=inv_d32)
+    x16, _ = banded_cg(F16, b, 200, inv_diag=inv_d32)
+    assert x16.dtype == jnp.float32  # vectors stay f32 under bf16 layers
+    rel = float(jnp.linalg.norm(x16 - x32) / jnp.linalg.norm(x32))
+    assert rel < 2e-2
+    assert float(jnp.max(jnp.abs(jnp.where(bnd, x16, 0.0)))) == 0.0
+
+
 def test_drop_empty_remainder_exact():
     """When the band captures every entry (rem_nnz == 0) the band-only
     operator is exact — no gathers paid to multiply zeros."""
