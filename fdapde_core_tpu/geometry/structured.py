@@ -19,6 +19,7 @@ __all__ = [
     "irregular_mesh_device",
     "irregular_mesh_device_soa",
     "cube_mesh_device",
+    "cube_mesh_device_soa",
 ]
 
 
@@ -253,3 +254,67 @@ def unit_cube_mesh(n: int) -> Triangulation:
         (nodes == 0.0) | (nodes == 1.0)
     ).any(axis=1)
     return Triangulation(nodes, cells, on_bnd)
+
+
+def cube_mesh_device_soa(n: int, amp=0.2, dtype=None):
+    """`cube_mesh_device` in SoA layout — the 3D device-SCALE form.
+
+    Returns (x, y, z, c0, c1, c2, c3, boundary): (N,) coordinate arrays
+    and (C,) corner-index arrays (C = 6 n^3). A stacked (C, 4) cell table
+    tile-pads its minor axis 32x in TPU HBM (at 12M tets that is a ~6 GB
+    index array; BENCH_NOTES.md layout rule) — the large axis must be
+    LAST/alone. Same mesh (identical hashes/topology/cell order) as
+    cube_mesh_device.
+    """
+    import itertools
+
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.asarray(1.0).dtype
+    m = n + 1
+    gi = jnp.arange(m, dtype=dtype)[:, None, None]
+    gj = jnp.arange(m, dtype=dtype)[None, :, None]
+    gk = jnp.arange(m, dtype=dtype)[None, None, :]
+    interior = (
+        (gi > 0) & (gi < n) & (gj > 0) & (gj < n) & (gk > 0) & (gk < n)
+    ).astype(dtype)
+
+    def frac(h):
+        return h - jnp.floor(h) - 0.5
+
+    hx = jnp.sin(gi * 12.9898 + gj * 78.2330 + gk * 37.7190) * 43758.5453
+    hy = jnp.sin(gi * 39.4250 + gj * 11.1350 + gk * 83.1550) * 27183.1415
+    hz = jnp.sin(gi * 21.9898 + gj * 57.2330 + gk * 13.3730) * 31415.9265
+    X = (gi + frac(hx) * amp * interior) / n
+    Y = (gj + frac(hy) * amp * interior) / n + 0.0 * X
+    Z = (gk + frac(hz) * amp * interior) / n + 0.0 * X
+    x, y, z = X.reshape(-1), Y.reshape(-1), Z.reshape(-1)
+    on_bnd = (
+        (x == 0.0) | (x == 1.0) | (y == 0.0) | (y == 1.0)
+        | (z == 0.0) | (z == 1.0)
+    )
+
+    ci = jnp.arange(n, dtype=jnp.int32)
+    base = (
+        ci[:, None, None] * (m * m) + ci[None, :, None] * m + ci[None, None, :]
+    ).reshape(-1)
+    step = (m * m, m, 1)
+
+    def parity(p):
+        return p in ((0, 1, 2), (1, 2, 0), (2, 0, 1))
+
+    slots = ([], [], [], [])  # per-corner lists over the 6 permutations
+    for perm in itertools.permutations(range(3)):
+        v0 = base
+        v1 = v0 + step[perm[0]]
+        v2 = v1 + step[perm[1]]
+        v3 = v2 + step[perm[2]]
+        tet = (v0, v1, v2, v3) if parity(perm) else (v0, v2, v1, v3)
+        for j in range(4):
+            slots[j].append(tet[j])
+    # cube-major interleave: cell index = cube * 6 + permutation
+    c0, c1, c2, c3 = (
+        jnp.stack(sj, axis=1).reshape(-1) for sj in slots
+    )
+    return x, y, z, c0, c1, c2, c3, on_bnd

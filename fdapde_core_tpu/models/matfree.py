@@ -30,11 +30,7 @@ import jax.numpy as jnp
 from ..fem.solvers import DirichletSystem
 from ..linear_algebra.solvers import cg
 from ..ops.auxgrid import AuxGridPreconditioner, AuxGridPreconditioner3D
-from ..ops.matfree import (
-    MatrixFreeLocal,
-    p1_local_stiffness,
-    p1_local_stiffness_3d,
-)
+from ..ops.matfree_soa import MatrixFreeSoA, MatrixFreeSoA3D
 
 __all__ = ["MatrixFreePoisson", "MatrixFreeElliptic",
            "MatrixFreeParabolic"]
@@ -55,8 +51,6 @@ class MatrixFreePoisson:
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
                  kappa=None, preconditioner: str = "auto"):
-        from ..ops.ell import ELLMatrix
-
         self.nodes = nodes
         self.cells = cells
         self.boundary = boundary
@@ -65,9 +59,6 @@ class MatrixFreePoisson:
         self.dim = nodes.shape[1]
         if self.dim not in (2, 3):
             raise ValueError(f"2D/3D only, got embedding dim {self.dim}")
-        stiffness = (
-            p1_local_stiffness if self.dim == 2 else p1_local_stiffness_3d
-        )
         if max_degree is None:
             max_degree = 8 if self.dim == 2 else 24
         if max_cols is None:
@@ -76,14 +67,22 @@ class MatrixFreePoisson:
         if bbox is None:
             bbox = ((0.0,) * self.dim, (1.0,) * self.dim)
 
-        # kappa enters as a TRACED argument (a closed-over array would be
-        # baked in as a compile-time constant, one compile per kappa)
+        # SoA pipeline throughout (ops/matfree_soa.py): the AoS forms
+        # ((C, d+1, d+1) local matrices, (C, d+1) dof tables) tile-pad
+        # 42-64x in TPU HBM and cannot reach device scale (BENCH_NOTES
+        # layout rule; the r02 full-size compile failure). kappa enters as
+        # a TRACED argument (a closed-over array would be baked in as a
+        # compile-time constant, one compile per kappa array).
+        soa_cls = MatrixFreeSoA if self.dim == 2 else MatrixFreeSoA3D
+
         @functools.partial(jax.jit, static_argnums=(3,))
         def build(nodes, cells, kappa, has_kappa):
-            A64 = stiffness(nodes, cells, kappa=kappa if has_kappa else None)
-            op, over = MatrixFreeLocal.build(A64, cells, self.n_dofs,
-                                             max_degree)
-            return op, over
+            coords = tuple(nodes[:, d] for d in range(self.dim))
+            corners = tuple(cells[:, j] for j in range(self.dim + 1))
+            return soa_cls.build(
+                *coords, *corners, self.n_dofs, max_degree,
+                kappa=kappa if has_kappa else None,
+            )
 
         kap = jnp.zeros((0,)) if kappa is None else kappa
         mf, over = build(nodes, cells, kap, kappa is not None)
@@ -96,11 +95,7 @@ class MatrixFreePoisson:
         self.adj, self.adj_mask = mf.adj, mf.adj_mask
         if format == "ell":
             # assembled row-ELL: ~1.6x fewer gathered elements per SpMV
-            E, overc = jax.jit(
-                lambda op: ELLMatrix.from_local(
-                    op.A_loc, op.dofs, op.adj, op.adj_mask, max_cols
-                )
-            )(mf)
+            E, overc = jax.jit(lambda op: op.to_ell(max_cols))(mf)
             if bool(overc):
                 raise ValueError(
                     f"a row exceeds {max_cols} distinct columns; "
@@ -114,12 +109,7 @@ class MatrixFreePoisson:
         self.system = DirichletSystem(self.op, boundary)
         self.preconditioner = "auxgrid"
         if preconditioner in ("auto", "banded_mg") and format == "ell":
-            from ..ops.matfree_soa import ELLSoA
-
-            E_soa = jax.jit(
-                lambda v, c: ELLSoA(v.T, c.T, self.op.shape)
-            )(self.op.vals, self.op.cols)
-            S, bmg = _try_banded_upgrade(E_soa, boundary, dim=self.dim)
+            S, bmg = _try_banded_upgrade(self.op, boundary, dim=self.dim)
             if S is not None:
                 self.op = S
                 self.system = DirichletSystem(S, boundary)
@@ -145,28 +135,13 @@ class MatrixFreePoisson:
     def load_vector(self, f_cells):
         """P1 load b_i = sum_T |T|/(d+1) * f(centroid_T) over incident cells
         (1-point centroid quadrature — same order as the P1 interpolation;
-        integrator.h:52-55 semantics). f_cells: (C,) forcing at centroids."""
-        p = self.nodes[self.cells]
-        if self.dim == 2:
-            e0, e1 = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]
-            meas = 0.5 * jnp.abs(e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0])
-        else:
-            b_, c_, d_ = (p[:, 1] - p[:, 0], p[:, 2] - p[:, 0],
-                          p[:, 3] - p[:, 0])
-            cxd = jnp.stack(
-                [
-                    c_[:, 1] * d_[:, 2] - c_[:, 2] * d_[:, 1],
-                    c_[:, 2] * d_[:, 0] - c_[:, 0] * d_[:, 2],
-                    c_[:, 0] * d_[:, 1] - c_[:, 1] * d_[:, 0],
-                ],
-                axis=1,
-            )
-            meas = jnp.abs((b_ * cxd).sum(axis=1)) / 6.0
-        floc = jnp.broadcast_to(
-            (meas * f_cells / (self.dim + 1.0))[:, None], self.cells.shape
-        ).reshape(-1)
-        gathered = floc[self.adj] * self.adj_mask.astype(floc.dtype)
-        return gathered.sum(axis=1)
+        integrator.h:52-55 semantics). f_cells: (C,) forcing at centroids.
+        One cached jitted program in SoA layouts (per-corner (C,) gathers,
+        slot-major combine over the shared (D, n) incidence table)."""
+        return _p1_load_fn(self.dim)(
+            self.nodes, self.cells, self.adj, self.adj_mask,
+            jnp.asarray(f_cells),
+        )
 
     def solve(self, b, g=None, rtol: float = 1e-9, maxiter: int = 100,
               chunk: int | None = None, on_chunk=None):
@@ -185,6 +160,29 @@ class MatrixFreePoisson:
                                   True, rtol, maxiter, chunk, on_chunk)
         run = _solve_fn(float(rtol), int(maxiter))
         return run(self.op, self.boundary, self.aux, b, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _p1_load_fn(dim: int):
+    @jax.jit
+    def run(nodes, cells, adj, adj_mask, f_cells):
+        co = [nodes[:, d] for d in range(dim)]
+        cr = [cells[:, j] for j in range(dim + 1)]
+        e = [[co[d][cr[j + 1]] - co[d][cr[0]] for d in range(dim)]
+             for j in range(dim)]
+        if dim == 2:
+            meas = 0.5 * jnp.abs(e[0][0] * e[1][1] - e[0][1] * e[1][0])
+        else:
+            cxd = (e[1][1] * e[2][2] - e[1][2] * e[2][1],
+                   e[1][2] * e[2][0] - e[1][0] * e[2][2],
+                   e[1][0] * e[2][1] - e[1][1] * e[2][0])
+            meas = jnp.abs(sum(e[0][d] * cxd[d] for d in range(3))) / 6.0
+        fa = meas * f_cells / (dim + 1.0)
+        floc = jnp.concatenate([fa] * (dim + 1))  # slot-major ((d+1)C,)
+        gathered = floc[adj] * adj_mask.astype(floc.dtype)
+        return gathered.sum(axis=0)
+
+    return run
 
 
 def _aux_apply(aux, r):
@@ -324,20 +322,24 @@ def _solve_fn(rtol: float, maxiter: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _load_vector_fn(order: int):
+def _load_vector_fn(order: int, dim: int = 2):
     @jax.jit
-    def run(x, y, dofs, adj, adj_mask, f_cells):
-        e0x = x[dofs[1]] - x[dofs[0]]
-        e0y = y[dofs[1]] - y[dofs[0]]
-        e1x = x[dofs[2]] - x[dofs[0]]
-        e1y = y[dofs[2]] - y[dofs[0]]
-        area = 0.5 * jnp.abs(e0x * e1y - e0y * e1x)
-        fa = area * f_cells
-        if order == 1:
-            floc = jnp.concatenate([fa / 3.0] * 3)
+    def run(coords, dofs, adj, adj_mask, f_cells):
+        e = [[coords[d][dofs[j + 1]] - coords[d][dofs[0]]
+              for d in range(dim)] for j in range(dim)]
+        if dim == 2:
+            meas = 0.5 * jnp.abs(e[0][0] * e[1][1] - e[0][1] * e[1][0])
         else:
+            cxd = (e[1][1] * e[2][2] - e[1][2] * e[2][1],
+                   e[1][2] * e[2][0] - e[1][0] * e[2][2],
+                   e[1][0] * e[2][1] - e[1][1] * e[2][0])
+            meas = jnp.abs(sum(e[0][d] * cxd[d] for d in range(3))) / 6.0
+        fa = meas * f_cells / (dim + 1.0)
+        if order == 1:
+            floc = jnp.concatenate([fa] * (dim + 1))
+        else:  # P2 2D: vertex basis integrates to zero, edge to |T|/3
             zero = jnp.zeros_like(fa)
-            floc = jnp.concatenate([zero, zero, zero] + [fa / 3.0] * 3)
+            floc = jnp.concatenate([zero, zero, zero] + [fa] * 3)
         gathered = floc[adj] * adj_mask.astype(floc.dtype)
         return gathered.sum(axis=0)
 
@@ -354,117 +356,141 @@ def _percell(value, C, dtype=jnp.float64):
     return v
 
 
-def _normalize_K(K, centroids, C):
-    """Diffusion spec -> (kxx, kxy, kyy) per-cell arrays or Nones.
+def _normalize_K(K, centroids, C, dim: int = 2):
+    """Diffusion spec -> upper-triangle per-cell arrays or Nones.
 
-    Accepts None (identity), scalar, (2, 2) tensor, (kxx, kxy, kyy) tuple
-    of scalars/(C,) arrays, per-cell (C,) scalar field, or a callable
+    2D: (kxx, kxy, kyy); 3D: (kxx, kxy, kxz, kyy, kyz, kzz). Accepts None
+    (identity), scalar, (d, d) tensor, the upper-triangle tuple of
+    scalars/(C,) arrays, per-cell (C,) scalar field, or a callable
     evaluated at cell centroids (midpoint coefficient sampling — cf. the
     reference's quadrature-point protocol, scalar_expressions.h:98-108).
     """
+    ntri = 3 if dim == 2 else 6
     if K is None:
-        return None, None, None
+        return (None,) * ntri
     if callable(K):
         K = K(centroids())
-    K_arr = jnp.asarray(K, jnp.float64)
-    if K_arr.ndim == 2 and K_arr.shape == (2, 2):
-        return (_percell(K_arr[0, 0], C), _percell(K_arr[0, 1], C),
-                _percell(K_arr[1, 1], C))
-    if isinstance(K, tuple) and len(K) == 3:
+    if isinstance(K, tuple) and len(K) == ntri:
         return tuple(_percell(v, C) for v in K)
-    return _percell(K_arr, C), None, None  # isotropic
+    K_arr = jnp.asarray(K, jnp.float64)
+    if K_arr.ndim == 2 and K_arr.shape == (dim, dim):
+        iu = [(i, j) for i in range(dim) for j in range(i, dim)]
+        return tuple(_percell(K_arr[i, j], C) for i, j in iu)
+    return (_percell(K_arr, C),) + (None,) * (ntri - 1)  # isotropic
 
 
-def _normalize_b(b, centroids, C):
+def _normalize_b(b, centroids, C, dim: int = 2):
     if b is None:
-        return None, None
+        return (None,) * dim
     if callable(b):
         b = b(centroids())
-    b_arr = jnp.asarray(b, jnp.float64)
-    if b_arr.ndim == 1 and b_arr.shape[0] == 2:
-        return _percell(b_arr[0], C), _percell(b_arr[1], C)
     if isinstance(b, tuple):
-        return _percell(b[0], C), _percell(b[1], C)
-    return _percell(b_arr[..., 0], C), _percell(b_arr[..., 1], C)
+        return tuple(_percell(v, C) for v in b)
+    b_arr = jnp.asarray(b, jnp.float64)
+    if b_arr.ndim == 1 and b_arr.shape[0] == dim:
+        return tuple(_percell(b_arr[d], C) for d in range(dim))
+    return tuple(_percell(b_arr[..., d], C) for d in range(dim))
 
 
 class MatrixFreeElliptic:
-    """General 2D elliptic operator at device scale on the gather pipeline:
+    """General elliptic operator at device scale on the gather pipeline:
 
         -div(K grad u) + b . grad u + c u = f,  u = g on the boundary
 
-    P1 (order=1, raw device arrays) or P2 (order=2 via `from_space`),
-    arbitrary triangulation, SoA layouts throughout (ops/matfree_soa.py).
-    Solver: aux-grid-preconditioned CG when symmetric (b None), BiCGStab
-    otherwise. Extends MatrixFreePoisson to the reference assembler's full
-    operator algebra (fem_assembler.h:63-118, operators/advection.h:33-56)
-    without leaving the device-scale path.
+    2D triangulations (P1 order=1 raw device arrays, P2 order=2 via
+    `from_space`) and 3D tetrahedralizations (P1), SoA layouts throughout
+    (ops/matfree_soa.py). Solver: aux-grid-preconditioned CG when
+    symmetric (b None), BiCGStab otherwise. Extends MatrixFreePoisson to
+    the reference assembler's full operator algebra (fem_assembler.h:
+    63-118, operators/advection.h:33-56) without leaving the device-scale
+    path.
 
-    K: None | scalar | (2,2) | (kxx,kxy,kyy) | (C,) | callable(centroids);
-    b: None | (2,) | (bx,by) | callable; c: None | scalar | (C,) | callable.
+    K: None | scalar | (d,d) | upper-triangle tuple ((kxx,kxy,kyy) in 2D,
+    (kxx,kxy,kxz,kyy,kyz,kzz) in 3D) | (C,) | callable(centroids);
+    b: None | (d,) | component tuple | callable;
+    c: None | scalar | (C,) | callable.
     """
 
     def __init__(self, nodes, cells, boundary, order: int = 1, K=None,
-                 b=None, c=None, max_degree: int = 8,
+                 b=None, c=None, max_degree: int | None = None,
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
                  preconditioner: str = "auto", _space=None):
-        from ..ops.matfree_soa import MatrixFreeP2SoA, MatrixFreeSoA
+        from ..ops.matfree_soa import MatrixFreeP2SoA
 
         if isinstance(nodes, tuple):
-            x, y = (jnp.asarray(v) for v in nodes)
+            coords = [jnp.asarray(v) for v in nodes]
         else:
             nodes = jnp.asarray(nodes)
-            x, y = nodes[:, 0], nodes[:, 1]
+            coords = [nodes[:, d] for d in range(nodes.shape[1])]
+        dim = len(coords)
+        if dim not in (2, 3):
+            raise ValueError(f"2D/3D only, got embedding dim {dim}")
+        if max_degree is None:
+            max_degree = 8 if dim == 2 else 24
         if _space is None:
             if order != 1:
                 raise ValueError(
                     "order=2 needs a dof table: use from_space(space, ...)"
                 )
-            dofs = jnp.asarray(cells).T.astype(jnp.int32)  # (3, C)
-            n_dofs = x.shape[0]
-            self.dof_x, self.dof_y = x, y
+            dofs = jnp.asarray(cells).T.astype(jnp.int32)  # (d+1, C)
+            n_dofs = coords[0].shape[0]
+            dof_coords = coords
         else:
+            if dim != 2:
+                raise ValueError("from_space (P2) is 2D-only for now")
             dofs = jnp.asarray(_space.dofs.T)
             n_dofs = _space.n_dofs
             dc = jnp.asarray(_space.dof_coords)
-            self.dof_x, self.dof_y = dc[:, 0], dc[:, 1]
+            dof_coords = [dc[:, 0], dc[:, 1]]
+        self.dof_x, self.dof_y = dof_coords[0], dof_coords[1]
+        if dim == 3:
+            self.dof_z = dof_coords[2]
         C = dofs.shape[1]
 
         # centroids are only materialized for CALLABLE coefficients — the
-        # scalar/tuple/per-cell forms skip six eager gathers over (C,)
+        # scalar/tuple/per-cell forms skip the eager gathers over (C,)
         # (each eager op is a remote round-trip on the TPU harness)
         _cent_cache = []
 
         def centroids():
             if not _cent_cache:
-                cx = (x[dofs[0]] + x[dofs[1]] + x[dofs[2]]) / 3.0
-                cy = (y[dofs[0]] + y[dofs[1]] + y[dofs[2]]) / 3.0
-                _cent_cache.append(jnp.stack([cx, cy], axis=1))
+                cs = [sum(co[dofs[j]] for j in range(dim + 1)) / (dim + 1.0)
+                      for co in coords]  # P2: rows 0..d are the vertices
+                _cent_cache.append(jnp.stack(cs, axis=1))
             return _cent_cache[0]
 
-        kxx, kxy, kyy = _normalize_K(K, centroids, C)
-        bx, by = _normalize_b(b, centroids, C)
+        ktri = _normalize_K(K, centroids, C, dim)
+        badv = _normalize_b(b, centroids, C, dim)
         react = _percell(c(centroids()) if callable(c) else c, C)
+        knames = (("kxx", "kxy", "kyy") if dim == 2
+                  else ("kxx", "kxy", "kxz", "kyy", "kyz", "kzz"))
+        bnames = ("bx", "by") if dim == 2 else ("bx", "by", "bz")
+        coef = dict(zip(knames, ktri))
+        coef.update(zip(bnames, badv))
+        coef["react"] = react
 
         self.order = order
+        self.dim = dim
         self.n_dofs = n_dofs
         self.boundary = jnp.asarray(boundary)
-        self.is_symmetric = bx is None and by is None
-        if order == 1:
+        self.is_symmetric = all(v is None for v in badv)
+        corners = tuple(dofs[j] for j in range(dim + 1))
+        if dim == 3:
             build = functools.partial(
-                MatrixFreeSoA.build_general, x, y, dofs[0], dofs[1],
-                dofs[2], n_dofs, max_degree,
+                MatrixFreeSoA3D.build_general, *coords, *corners, n_dofs,
+                max_degree,
+            )
+        elif order == 1:
+            build = functools.partial(
+                MatrixFreeSoA.build_general, *coords, *corners, n_dofs,
+                max_degree,
             )
         else:
             build = functools.partial(
-                MatrixFreeP2SoA.build, x, y, dofs, n_dofs, max_degree,
+                MatrixFreeP2SoA.build, *coords, dofs, n_dofs, max_degree,
             )
-        mf, over = jax.jit(
-            lambda kxx, kxy, kyy, bx, by, react: build(
-                kxx=kxx, kxy=kxy, kyy=kyy, bx=bx, by=by, react=react
-            )
-        )(kxx, kxy, kyy, bx, by, react)
+        mf, over = jax.jit(lambda cf: build(**cf))(coef)
         if bool(over):
             raise ValueError(
                 f"a dof exceeds max_degree={max_degree} cell incidences; "
@@ -472,12 +498,17 @@ class MatrixFreeElliptic:
             )
         self.adj, self.adj_mask = mf.adj, mf.adj_mask
         self.dofs = dofs
-        self._x, self._y = x, y
+        self._coords = coords
+        self._x, self._y = coords[0], coords[1]
         if format == "ell":
             if max_cols is None:
-                # P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg
-                max_cols = (max_degree + 1 if order == 1
-                            else 3 * max_degree + 1)
+                # 2D P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg;
+                # 3D P1: neighbors + self (15 = Freudenthal)
+                if dim == 3:
+                    max_cols = 15
+                else:
+                    max_cols = (max_degree + 1 if order == 1
+                                else 3 * max_degree + 1)
             E, overc = jax.jit(lambda op: op.to_ell(max_cols))(mf)
             if bool(overc):
                 raise ValueError(
@@ -492,7 +523,7 @@ class MatrixFreeElliptic:
         self.system = DirichletSystem(self.op, self.boundary)
         self.preconditioner = "auxgrid"
         if preconditioner in ("auto", "banded_mg") and format == "ell":
-            S, bmg = _try_banded_upgrade(self.op, self.boundary)
+            S, bmg = _try_banded_upgrade(self.op, self.boundary, dim=dim)
             if S is not None:
                 self.op = S
                 self.system = DirichletSystem(S, self.boundary)
@@ -509,10 +540,17 @@ class MatrixFreeElliptic:
                 .diagonal().astype(jnp.float32)
             )(self.op, self.boundary)
             if bbox is None:
-                bbox = ((0.0, 0.0), (1.0, 1.0))
-            self.aux = AuxGridPreconditioner.build_device(
-                (self.dof_x, self.dof_y), diag32, grid_n=grid_n, bbox=bbox
-            )
+                bbox = ((0.0,) * dim, (1.0,) * dim)
+            if dim == 2:
+                self.aux = AuxGridPreconditioner.build_device(
+                    (self.dof_x, self.dof_y), diag32, grid_n=grid_n,
+                    bbox=bbox,
+                )
+            else:
+                self.aux = AuxGridPreconditioner3D.build_device(
+                    jnp.stack(dof_coords, axis=1), diag32, grid_n=grid_n,
+                    bbox=bbox,
+                )
 
     @classmethod
     def from_space(cls, space, K=None, b=None, c=None, **kw):
@@ -533,8 +571,8 @@ class MatrixFreeElliptic:
         ones to |T|/3 — both served by the same adjacency combine.
         One cached jitted program (the eager form costs ~10 remote
         round-trips per call on the TPU harness)."""
-        return _load_vector_fn(self.order)(
-            self._x, self._y, self.dofs, self.adj, self.adj_mask,
+        return _load_vector_fn(self.order, self.dim)(
+            tuple(self._coords), self.dofs, self.adj, self.adj_mask,
             jnp.asarray(f_cells),
         )
 

@@ -24,7 +24,12 @@ from .dia_split3d import (
 )
 from .ell import ELLMatrix, build_ell_adjacency, ell_spmv, local_matvec
 from .matfree import MatrixFreeLocal, p1_local_stiffness
-from .matfree_soa import ELLSoA, MatrixFreeSoA, ell_from_op_blocked
+from .matfree_soa import (
+    ELLSoA,
+    MatrixFreeSoA,
+    MatrixFreeSoA3D,
+    ell_from_op_blocked,
+)
 
 __all__ = [
     "ELLMatrix",
@@ -36,6 +41,7 @@ __all__ = [
     "BandedSplit3D",
     "MatrixFreeLocal",
     "MatrixFreeSoA",
+    "MatrixFreeSoA3D",
     "build_banded_split",
     "build_banded_split_3d",
     "build_ell_adjacency",

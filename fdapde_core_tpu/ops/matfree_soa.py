@@ -21,8 +21,10 @@ import jax.numpy as jnp
 __all__ = [
     "p1_offdiag_soa",
     "p1_general_soa",
+    "p1_general_soa_3d",
     "build_adjacency_soa",
     "MatrixFreeSoA",
+    "MatrixFreeSoA3D",
     "MatrixFreeP2SoA",
     "ELLSoA",
     "ell_from_op_blocked",
@@ -692,3 +694,242 @@ def ell_from_op_blocked(op, max_cols: int, blocks: int = 8):
         int(n), tuple(vals_l), tuple(cols_l), tuple(over_l)
     )
     return ELLSoA(vals, cols, (n, n)), over
+
+
+# ---------------------------------------------------------------------------
+# 3D SoA: the tet general path in device-scale layouts
+# ---------------------------------------------------------------------------
+#
+# The AoS tet forms (ops/matfree.p1_local_stiffness_3d: (C, 4, 4) local
+# matrices, (C, 4) dof tables) hit the same HBM tiling wall as the 2D AoS
+# pipeline, only worse: a minor axis of 4 pads 8x128/4 = 64x, so a 12M-tet
+# local-stiffness array alone would claim ~50 GB. Everything below keeps
+# the cell axis LAST: per-corner (C,) gathers, six off-diagonal stencil
+# arrays (diagonals from the zero row sums of the diffusion part), the
+# shared (D, n) slot-major incidence table, assembled (K, n) ELL.
+
+
+def p1_general_soa_3d(x, y, z, c0, c1, c2, c3, kxx=None, kxy=None, kxz=None,
+                      kyy=None, kyz=None, kzz=None, bx=None, by=None,
+                      bz=None, react=None):
+    """Per-cell primitives of the general P1 tet advection-diffusion-
+    reaction local matrix, all SoA (cell axis last).
+
+    Weak form (reference sign conventions, operators/{diffusion,advection,
+    reaction}.h:32-56):
+
+        A_ij = vol * (g_i . K g_j) + (vol/4) * (b . g_j)
+             + c * vol/20 * (1 + delta_ij)
+
+    g_i = P1 barycentric gradients (constant per tet): with edge vectors
+    e_k = p_k - p_0 and det = e1 . (e2 x e3), the scaled gradients are
+    G1 = e2 x e3, G2 = e3 x e1, G3 = e1 x e2, G0 = -(G1 + G2 + G3), and
+    g_i = G_i / det (rows of the inverse Jacobian, simplex.h:184-195).
+    The reaction table is the exact tet mass integral
+    int_T l_i l_j = vol/20 (i != j), vol/10 (i = i).
+
+    Returns (sd, w, r): sd (6, C) diffusion off-diagonals in pair order
+    (01, 02, 03, 12, 13, 23); w (4, C) advection row-constant column
+    weights w_j = (vol/4)(b . g_j) or None; r (C,) reaction weight
+    c*vol/20 or None. Closed forms exact for per-cell-constant
+    coefficients (cf. integrator_tables.h 3D order-1 centroid rule).
+    """
+    x0, x1, x2, x3 = x[c0], x[c1], x[c2], x[c3]
+    y0, y1, y2, y3 = y[c0], y[c1], y[c2], y[c3]
+    z0, z1, z2, z3 = z[c0], z[c1], z[c2], z[c3]
+    e1 = (x1 - x0, y1 - y0, z1 - z0)
+    e2 = (x2 - x0, y2 - y0, z2 - z0)
+    e3 = (x3 - x0, y3 - y0, z3 - z0)
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    G1 = cross(e2, e3)
+    G2 = cross(e3, e1)
+    G3 = cross(e1, e2)
+    det = dot(e1, G1)  # 6 * signed volume
+    sgn = jnp.sign(det)
+    scale = sgn / (6.0 * det)  # vol / det^2
+
+    if kxx is None:
+        kxx = 1.0
+    if kyy is None:
+        kyy = kxx  # isotropic when only kxx given
+    if kzz is None:
+        kzz = kxx
+    if kxy is None:
+        kxy = 0.0
+    if kxz is None:
+        kxz = 0.0
+    if kyz is None:
+        kyz = 0.0
+
+    def KG(g):
+        return (kxx * g[0] + kxy * g[1] + kxz * g[2],
+                kxy * g[0] + kyy * g[1] + kyz * g[2],
+                kxz * g[0] + kyz * g[1] + kzz * g[2])
+
+    K1, K2, K3 = KG(G1), KG(G2), KG(G3)
+    K0 = tuple(-(a + b + c) for a, b, c in zip(K1, K2, K3))
+    G0 = tuple(-(a + b + c) for a, b, c in zip(G1, G2, G3))
+    sd = jnp.stack([
+        scale * dot(G0, K1), scale * dot(G0, K2), scale * dot(G0, K3),
+        scale * dot(G1, K2), scale * dot(G1, K3), scale * dot(G2, K3),
+    ])
+    del K0
+
+    w = None
+    if bx is not None or by is not None or bz is not None:
+        bx = 0.0 if bx is None else bx
+        by = 0.0 if by is None else by
+        bz = 0.0 if bz is None else bz
+        bvec = (bx, by, bz)
+        # (vol/4)(b . g_j) = sgn/24 * (b . G_j)
+        w = jnp.stack([(sgn / 24.0) * dot(bvec, G)
+                       for G in (G0, G1, G2, G3)])
+
+    r = None
+    if react is not None:
+        vol = sgn * det / 6.0
+        r = react * vol / 20.0
+    return sd, w, r
+
+
+# pair order of the six off-diagonals and the three incident pairs per row
+_TET_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFreeSoA3D:
+    """Matrix-free P1 tet operator in SoA layout (3D MatrixFreeSoA).
+
+    s: (6, C) off-diagonals in _TET_PAIRS order; c: (4, C) corner indices;
+    adj/adj_mask: (D, n) slot-major incidence table; w: (4, C) advection
+    column weights or None; r: (C,) reaction weight or None. Operator
+    protocol (@, diagonal, astype) compatible with
+    fem/solvers.DirichletSystem and ops/ell_from_op_blocked.
+    """
+
+    def __init__(self, s, c, adj, adj_mask, n_dofs: int, w=None, r=None):
+        self.s = s
+        self.c = c
+        self.adj = adj
+        self.adj_mask = adj_mask
+        self.n_dofs = n_dofs
+        self.w = w
+        self.r = r
+
+    def tree_flatten(self):
+        return (self.s, self.c, self.adj, self.adj_mask, self.w,
+                self.r), (self.n_dofs,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        s, c, adj, adj_mask, w, r = leaves
+        return cls(s, c, adj, adj_mask, *aux, w=w, r=r)
+
+    @classmethod
+    def build(cls, x, y, z, c0, c1, c2, c3, n_dofs: int, max_degree: int,
+              kappa=None):
+        sd, _, _ = p1_general_soa_3d(x, y, z, c0, c1, c2, c3, kxx=kappa)
+        c = jnp.stack([c0, c1, c2, c3])
+        flat = c.reshape(-1)  # slot-major: position = slot * C + cell
+        adj, mask, over = build_adjacency_soa(flat, n_dofs, max_degree)
+        return cls(sd, c, adj, mask, n_dofs), over
+
+    @classmethod
+    def build_general(cls, x, y, z, c0, c1, c2, c3, n_dofs: int,
+                      max_degree: int, kxx=None, kxy=None, kxz=None,
+                      kyy=None, kyz=None, kzz=None, bx=None, by=None,
+                      bz=None, react=None):
+        """General tet advection-diffusion-reaction operator
+        (fem_assembler.h:63-118 envelope in 3D at device scale);
+        non-symmetric when b is given — solve with bicgstab/gmres."""
+        sd, w, r = p1_general_soa_3d(x, y, z, c0, c1, c2, c3, kxx, kxy,
+                                     kxz, kyy, kyz, kzz, bx, by, bz, react)
+        c = jnp.stack([c0, c1, c2, c3])
+        flat = c.reshape(-1)
+        adj, mask, over = build_adjacency_soa(flat, n_dofs, max_degree)
+        return cls(sd, c, adj, mask, n_dofs, w=w, r=r), over
+
+    @property
+    def is_symmetric(self):
+        return self.w is None
+
+    @property
+    def shape(self):
+        return (self.n_dofs, self.n_dofs)
+
+    def _offdiag(self, i, j):
+        return self.s[_TET_PAIRS.index((min(i, j), max(i, j)))]
+
+    def _entries(self):
+        """The 16 local-matrix entry arrays, (4, 4) of (C,)."""
+        A = [[None] * 4 for _ in range(4)]
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    A[i][j] = self._offdiag(i, j)
+        for i in range(4):
+            A[i][i] = -sum(A[i][j] for j in range(4) if j != i)
+        if self.w is not None:
+            for i in range(4):
+                for j in range(4):
+                    A[i][j] = A[i][j] + self.w[j]
+        if self.r is not None:
+            for i in range(4):
+                for j in range(4):
+                    A[i][j] = A[i][j] + (2.0 if i == j else 1.0) * self.r
+        return A
+
+    def __matmul__(self, v):
+        xe = [v[self.c[j]] for j in range(4)]  # four (C,) gathers
+        ye = []
+        for i in range(4):
+            off = [self._offdiag(i, j) for j in range(4) if j != i]
+            xs = [xe[j] for j in range(4) if j != i]
+            acc = -(off[0] + off[1] + off[2]) * xe[i]
+            for sij, xj in zip(off, xs):
+                acc = acc + sij * xj
+            ye.append(acc)
+        if self.w is not None:  # row-constant: one shared dot per cell
+            adv = sum(self.w[j] * xe[j] for j in range(4))
+            ye = [yi + adv for yi in ye]
+        if self.r is not None:
+            sx = xe[0] + xe[1] + xe[2] + xe[3]
+            ye = [yi + self.r * (sx + xe[i]) for i, yi in enumerate(ye)]
+        flat = jnp.concatenate(ye)  # slot-major (4C,)
+        gat = flat[self.adj] * self.adj_mask.astype(flat.dtype)
+        return gat.sum(axis=0)
+
+    def diagonal(self):
+        d = []
+        for i in range(4):
+            off = [self._offdiag(i, j) for j in range(4) if j != i]
+            di = -(off[0] + off[1] + off[2])
+            if self.w is not None:
+                di = di + self.w[i]
+            if self.r is not None:
+                di = di + 2.0 * self.r
+            d.append(di)
+        dloc = jnp.concatenate(d)
+        gat = dloc[self.adj] * self.adj_mask.astype(dloc.dtype)
+        return gat.sum(axis=0)
+
+    def astype(self, dtype):
+        return MatrixFreeSoA3D(
+            self.s.astype(dtype), self.c, self.adj, self.adj_mask,
+            self.n_dofs,
+            w=None if self.w is None else self.w.astype(dtype),
+            r=None if self.r is None else self.r.astype(dtype),
+        )
+
+    def to_ell(self, max_cols: int):
+        """Assembled (K, n) row-ELL (sorted-merge; transients (4*D, n))."""
+        return _ell_from_entries(self._entries(), self.c, self.adj,
+                                 self.adj_mask, self.n_dofs, max_cols)

@@ -302,3 +302,96 @@ def test_auxgrid_build_device_matches_host():
     x, info = cg(msys, b, M_inv=pre, rtol=1e-10, maxiter=60)
     assert bool(info.converged)
     assert int(info.iterations) < 40
+
+
+@pytest.mark.slow
+def test_soa3d_matches_aos_and_dense():
+    """MatrixFreeSoA3D (device-scale tet layouts) is equivalent to the AoS
+    tet pipeline for pure diffusion, and its general advection-diffusion-
+    reaction operator matches a dense scatter of its own local entries
+    (closed forms exact for per-cell-constant coefficients)."""
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device
+    from fdapde_core_tpu.ops.ell import ELLMatrix
+    from fdapde_core_tpu.ops.matfree import p1_local_stiffness_3d
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA3D
+
+    n = 4
+    nodes, cells, bnd = jax.jit(lambda a: cube_mesh_device(n, a))(0.2)
+    nd = (n + 1) ** 3
+    x, y, z = nodes[:, 0], nodes[:, 1], nodes[:, 2]
+    c0, c1, c2, c3 = (cells[:, j] for j in range(4))
+
+    # pure diffusion: parity vs the AoS tet path (same closed form)
+    op, over = MatrixFreeSoA3D.build(x, y, z, c0, c1, c2, c3, nd, 24)
+    assert not bool(over)
+    A_loc = p1_local_stiffness_3d(nodes, cells)
+    aos, _ = MatrixFreeLocal.build(A_loc, cells, nd, 24)
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(nd))
+    np.testing.assert_allclose(np.asarray(op @ v), np.asarray(aos @ v),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.diagonal()),
+                               np.asarray(aos.diagonal()),
+                               rtol=0, atol=1e-12)
+    E, overc = op.to_ell(15)
+    assert not bool(overc)
+    E_aos, _ = ELLMatrix.from_local(aos.A_loc, aos.dofs, aos.adj,
+                                    aos.adj_mask, 15)
+    np.testing.assert_allclose(np.asarray(E @ v), np.asarray(E_aos @ v),
+                               rtol=0, atol=1e-12)
+
+    # general tensor-K + advection + reaction: dense scatter of _entries
+    C = cells.shape[0]
+    rngc = np.random.default_rng(8)
+    coef = {k: jnp.asarray(rngc.uniform(0.5, 1.5, C))
+            for k in ("kxx", "kyy", "kzz")}
+    coef.update({k: jnp.asarray(rngc.uniform(-0.2, 0.2, C))
+                 for k in ("kxy", "kxz", "kyz")})
+    gen, overg = MatrixFreeSoA3D.build_general(
+        x, y, z, c0, c1, c2, c3, nd, 24, bx=1.0, by=-0.5, bz=0.25,
+        react=0.7, **coef,
+    )
+    assert not bool(overg)
+    assert not gen.is_symmetric
+    A = np.zeros((nd, nd))
+    ent = gen._entries()
+    dofs_np = np.asarray(cells)
+    for i in range(4):
+        for j in range(4):
+            np.add.at(A, (dofs_np[:, i], dofs_np[:, j]),
+                      np.asarray(ent[i][j]))
+    np.testing.assert_allclose(np.asarray(gen @ v), A @ np.asarray(v),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gen.diagonal()), np.diag(A),
+                               rtol=0, atol=1e-11)
+    Eg, overge = gen.to_ell(15)
+    assert not bool(overge)
+    np.testing.assert_allclose(np.asarray(Eg @ v), A @ np.asarray(v),
+                               rtol=0, atol=1e-11)
+
+    # the general operator with b = 0, K = I, c = 0 reduces to diffusion
+    gen0, _ = MatrixFreeSoA3D.build_general(x, y, z, c0, c1, c2, c3, nd, 24)
+    np.testing.assert_allclose(np.asarray(gen0 @ v), np.asarray(op @ v),
+                               rtol=0, atol=1e-12)
+
+
+def test_cube_mesh_device_soa_matches_aos():
+    """The 3D SoA mesh generator reproduces cube_mesh_device exactly
+    (coordinates, cell order, boundary)."""
+    from fdapde_core_tpu.geometry.structured import (
+        cube_mesh_device,
+        cube_mesh_device_soa,
+    )
+
+    n = 5
+    nodes, cells, bnd = jax.jit(lambda a: cube_mesh_device(n, a))(0.2)
+    x, y, z, c0, c1, c2, c3, bnd2 = jax.jit(
+        lambda a: cube_mesh_device_soa(n, a)
+    )(0.2)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(nodes[:, 0]))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(nodes[:, 1]))
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(nodes[:, 2]))
+    for j, cj in enumerate((c0, c1, c2, c3)):
+        np.testing.assert_array_equal(np.asarray(cj),
+                                      np.asarray(cells[:, j]))
+    np.testing.assert_array_equal(np.asarray(bnd2), np.asarray(bnd))

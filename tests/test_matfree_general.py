@@ -338,3 +338,49 @@ def test_matrixfree_parabolic_matches_host_lumped():
     # chunked stepping is identical
     uc, infoc = mp.solve(u0, n_steps=4, rtol=1e-11, maxiter=200, chunk=5)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(uc))
+
+
+@pytest.mark.slow
+def test_matfree_elliptic_3d():
+    """3D general elliptic model on a jittered tet mesh: a linear
+    manufactured solution of the pure advection-diffusion operator is
+    reproduced exactly (P1 contains it and centroid sampling is exact for
+    constant coefficients); with reaction, solve vs a scipy reference."""
+    import jax
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device
+    from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+    n = 6
+    nodes, cells, bnd = jax.jit(
+        lambda a: cube_mesh_device(n, a, dtype=jnp.float64)
+    )(0.2)
+    model = MatrixFreeElliptic(
+        nodes, cells, bnd,
+        K=(1.3, 0.2, -0.1, 0.9, 0.15, 1.1), b=(0.8, -0.4, 0.3), c=0.5,
+        grid_n=n,
+    )
+    assert model.dim == 3 and not model.is_symmetric
+
+    # reference dense solve of the SAME operator (entries from the op)
+    nd = model.n_dofs
+    ent = model.system  # DirichletSystem
+    A = np.zeros((nd, nd))
+    eye = np.eye(nd)
+    for k0 in range(0, nd, 64):  # apply to basis blocks
+        blk = jnp.asarray(eye[:, k0:k0 + 64])
+        cols = np.stack([np.asarray(ent(blk[:, j]))
+                         for j in range(blk.shape[1])], axis=1)
+        A[:, k0:k0 + 64] = cols
+    rng = np.random.default_rng(5)
+    f = rng.standard_normal(cells.shape[0])
+    b_load = model.load_vector(jnp.asarray(f))
+    bnd_np = np.asarray(bnd)
+    b_mod = np.where(bnd_np, 0.0, np.asarray(b_load))
+    x_ref = spla.spsolve(sp.csr_matrix(A), b_mod)
+    x, it, rel = model.solve(b_load, rtol=1e-11, maxiter=400)
+    assert float(rel) < 1e-10
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
