@@ -71,15 +71,17 @@ T_START = time.time()
 # general path (the round-3 deliverable), then the rest — a driver-side
 # wall cap truncates the TAIL, never the story (r03 lesson: per-process
 # first-program compile roulette can eat ~10 min per group)
-GROUPS = ("structured", "gen10m", "general", "spacetime")
+GROUPS = ("structured", "gen10m", "general", "spacetime", "gen3d")
 # elapsed() gate before STARTING a group (full size; --small runs all)
 GATES = {"structured": 10**9, "gen10m": 2000, "general": 2600,
-         "spacetime": 2900}
+         "spacetime": 2900, "gen3d": 3100}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
-CAPS = {"structured": 1000, "general": 650, "spacetime": 900, "gen10m": 1400}
-CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500, "gen10m": 500}
+CAPS = {"structured": 1000, "general": 650, "spacetime": 900,
+        "gen10m": 1400, "gen3d": 500}
+CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
+              "gen10m": 500, "gen3d": 400}
 
 DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
 ABORT_GBPS = 120.0  # r02's sick worker ran ~9x slow (~70 GB/s class)
@@ -253,6 +255,7 @@ def child_main(group, small, outpath):
         "general": _general_path_metrics,
         "spacetime": _space_time_metrics,
         "gen10m": _general_gather_metrics,
+        "gen3d": _gen3d_metrics,
     }[group]
     fn(small, sink)
 
@@ -1356,6 +1359,155 @@ def _general_gather_metrics(small, sink):
                  gen1m_advdiff_true_rel_res=float(rel1))
 
     sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
+
+
+# --------------------------------------------------------------------------
+# group: gen3d (3D arbitrary-topology SoA path — 2D gen10m's tet analogue)
+# --------------------------------------------------------------------------
+
+
+def _gen3d_metrics(small, sink):
+    """3D general gather path: jittered Freudenthal tet mesh generated on
+    device in SoA layouts, MatrixFreeSoA3D local assembly + adjacency,
+    blocked ELL conversion, two-spacing banded DIA split (every flat
+    offset a*m^2 + b*m + c a static 3D stencil shift), and a converged
+    mixed-precision solve with the zero-gather BandedMGPreconditioner3D —
+    the Eigen-SparseLU any-mesh envelope (fem_linear_elliptic_solver.h:
+    38-47) in 3D at sizes Eigen cannot factorize."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device_soa
+    from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
+    from fdapde_core_tpu.ops.dia_split3d import (
+        BandedMGPreconditioner3D,
+        build_banded_split_3d,
+        plan_split_3d,
+    )
+    from fdapde_core_tpu.ops.matfree_soa import (
+        MatrixFreeSoA3D,
+        ell_from_op_blocked,
+    )
+
+    t_sec = time.time()
+    n = 16 if small else 96
+    m = n + 1
+    nd = m ** 3
+    C = 6 * n ** 3
+    ITERS = 10
+    CH = 5 if not small else 10
+    sink.put(gen3d_n_dofs=nd, gen3d_n_cells=C)
+
+    mesh_fn = jax.jit(
+        lambda a: cube_mesh_device_soa(n, a, dtype=jnp.float32))
+    parts = mesh_fn(jnp.float32(0.2))
+    float(parts[0][0])
+    t0 = time.time()
+    parts = mesh_fn(jnp.float32(0.2))
+    float(parts[0][0])
+    sink.put(gen3d_mesh_s=round(time.time() - t0, 3))
+    x, y, z, c0, c1, c2, c3, bnd = parts
+
+    build_fn = jax.jit(
+        lambda x, y, z, c0, c1, c2, c3: MatrixFreeSoA3D.build(
+            x, y, z, c0, c1, c2, c3, nd, 24))
+    op, over = build_fn(x, y, z, c0, c1, c2, c3)
+    float(op.s[0][0])
+    t0 = time.time()
+    op, over = build_fn(x, y, z, c0, c1, c2, c3)
+    float(op.s[0][0])
+    sink.put(gen3d_local_assembly_s=round(time.time() - t0, 3),
+             gen3d_adjacency_overflow=int(over))
+
+    t0 = time.time()
+    E64, overe = ell_from_op_blocked(op.astype(jnp.float64), 15,
+                                     blocks=2 if small else 6)
+    int(overe)
+    sink.put(gen3d_ell_convert_s=round(time.time() - t0, 3),
+             gen3d_ell_overflow=int(overe))
+    E32 = jax.jit(lambda E: E.astype(jnp.float32))(E64)
+
+    rhs32 = jax.jit(
+        lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / C)(bnd)
+    sys32 = DirichletSystem(E32, bnd)
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
+    t0 = time.time()
+    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
+    t_it = (time.time() - t0) / ITERS
+    sink.put(gen3d_ell_cg_iters_per_s=round(1.0 / t_it, 2),
+             gen3d_ell_gbps=round((15 * 12 + 40) * nd / t_it / 1e9, 1))
+
+    t0 = time.time()
+    W1, W2 = plan_split_3d(E32)
+    sink.put(gen3d_dia_plan_s=round(time.time() - t0, 3),
+             gen3d_W1=int(W1 or 0), gen3d_W2=int(W2 or 0))
+    if not W1:
+        sink.put(gen3d_section_s=round(time.time() - t_sec, 1))
+        return
+
+    @jax.jit
+    def to_split(E, bnd):
+        S, over = build_banded_split_3d(E, W1, W2)
+        F = S.fold_dirichlet(bnd)
+        return F, over.astype(jnp.int32), jnp.sum(F.rem.vals != 0.0)
+
+    S32, overs, remnnz = to_split(E32, bnd)
+    int(overs)
+    t0 = time.time()
+    S32, overs, remnnz = to_split(E32, bnd)
+    int(overs)
+    sink.put(gen3d_dia_split_s=round(time.time() - t0, 3),
+             gen3d_rem_overflow=int(overs), gen3d_rem_nnz=int(remnnz))
+    if int(remnnz) == 0:
+        S32 = S32.drop_empty_remainder()
+
+    sysd = DirichletSystem(S32, bnd)
+    cg_chunked(sysd, rhs32, rtol=0.0, maxiter=2 * ITERS, chunk=ITERS)
+    t0 = time.time()
+    cg_chunked(sysd, rhs32, rtol=0.0, maxiter=2 * ITERS, chunk=ITERS)
+    t_dit = (time.time() - t0) / (2 * ITERS)
+    L = S32.G.data.shape[0]
+    RW = 1
+    for d in S32.G.shape3d:
+        RW *= d
+    sink.put(gen3d_dia_cg_iters_per_s=round(1.0 / t_dit, 2),
+             gen3d_dia_gbps=round(((L + 1) * RW * 4 + 10 * nd * 4)
+                                  / t_dit / 1e9, 1))
+
+    S64, _, _ = jax.jit(to_split)(E64, bnd)
+    if int(remnnz) == 0:
+        S64 = S64.drop_empty_remainder()
+    t0 = time.time()
+    bmg = BandedMGPreconditioner3D.build(S32)
+    if bmg is None:
+        sink.put(gen3d_section_s=round(time.time() - t_sec, 1))
+        return
+    float(jax.jit(lambda d: d[0, 0, 0, 0])(bmg.mg.datas[-1]))
+    sink.put(gen3d_bmg_setup_s=round(time.time() - t0, 3),
+             gen3d_bmg_levels=bmg.mg.n_levels)
+
+    rhs64 = jax.jit(
+        lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float64) / C)(bnd)
+
+    def pre(r):
+        return bmg(r.astype(jnp.float32)).astype(r.dtype)
+
+    sys64 = DirichletSystem(S64, bnd)
+    rel_fn = jax.jit(
+        lambda S, xx, b: jnp.sqrt(
+            jnp.sum((b - S(xx)) ** 2) / jnp.sum(b * b)))
+    x64, info = cg_chunked(sys64, rhs64, M_inv=pre, rtol=1e-9,
+                           maxiter=100, chunk=2 * CH)
+    float(rel_fn(sys64, x64, rhs64))
+    t0 = time.time()
+    x64, info = cg_chunked(sys64, rhs64, M_inv=pre, rtol=1e-9,
+                           maxiter=100, chunk=2 * CH)
+    rel = float(rel_fn(sys64, x64, rhs64))
+    sink.put(gen3d_converged_solve_s=round(time.time() - t0, 3),
+             gen3d_converged_iters=int(info.iterations),
+             gen3d_converged_true_rel_res=rel,
+             gen3d_section_s=round(time.time() - t_sec, 1))
 
 
 # --------------------------------------------------------------------------
