@@ -79,7 +79,7 @@ GATES = {"structured": 10**9, "gen10m": 2000, "general": 2600,
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 1000, "general": 650, "spacetime": 900,
-        "gen10m": 1400, "gen3d": 500}
+        "gen10m": 1400, "gen3d": 700}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400}
 
