@@ -384,3 +384,26 @@ def test_matfree_elliptic_3d():
     x, it, rel = model.solve(b_load, rtol=1e-11, maxiter=400)
     assert float(rel) < 1e-10
     np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_matfree_parabolic_3d():
+    """Implicit-Euler stepping on a 3D tet mesh through the SoA base:
+    zero forcing with harmonic Dirichlet data relaxes to the harmonic
+    steady state (u = x + 2y - z is in P1, exact at convergence)."""
+    import jax
+
+    from fdapde_core_tpu.geometry.structured import cube_mesh_device
+    from fdapde_core_tpu.models.matfree import MatrixFreeParabolic
+
+    n = 6
+    nodes, cells, bnd = jax.jit(
+        lambda a: cube_mesh_device(n, a, dtype=jnp.float64)
+    )(0.2)
+    g = nodes[:, 0] + 2 * nodes[:, 1] - nodes[:, 2]
+    mp = MatrixFreeParabolic(nodes, cells, bnd, dt=0.5, grid_n=n)
+    u = jnp.where(bnd, g, 0.0)
+    u, info = mp.solve(u, 40, g=g, rtol=1e-11, maxiter=200)
+    assert max(info["rel_residuals"]) < 1e-10
+    err = float(jnp.max(jnp.abs(u - g)))
+    assert err < 5e-3  # 40 steps at dt=0.5: relaxed to the steady state
