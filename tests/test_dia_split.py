@@ -93,6 +93,7 @@ def test_fold_dirichlet_and_cg():
     assert float(jnp.max(jnp.abs(jnp.where(bnd, x, 0.0)))) == 0.0
 
 
+@pytest.mark.slow
 def test_bf16_storage_cg_tracks_f32():
     """bf16-STORED banded layers with f32 vectors (bench gen10m stage 5c):
     the stencil apply casts layers up, so the CG runs on the bf16-rounded
@@ -154,6 +155,7 @@ def test_drop_empty_remainder_exact():
     assert float(rn) < 1e-10
 
 
+@pytest.mark.slow
 def test_banded_mg_preconditioner_h_independent():
     """BandedMGPreconditioner: zero-gather V-cycle on the (R, W) banded
     grid — PCG converges in O(10) iterations independent of h, and beats
@@ -215,6 +217,7 @@ def test_plan_rejects_scattered_band():
     assert W is None and amax == 0
 
 
+@pytest.mark.slow
 def test_3d_banded_split_and_mg():
     """3D two-spacing split: plan finds (W1, W2) = (m, m^2) from the
     histogram alone, the split is exact, and the 3D banded-MG PCG beats

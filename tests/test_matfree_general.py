@@ -265,6 +265,7 @@ def test_model_chunked_solve_identical():
     assert float(jnp.max(jnp.abs(x2 - xc2))) == 0.0
 
 
+@pytest.mark.slow
 def test_auto_banded_upgrade_matches_auxgrid():
     """preconditioner='auto' detects the band-concentrated operator and
     swaps in the DIA-split + BandedMG pair; solutions match the aux-grid
@@ -296,6 +297,7 @@ def test_auto_banded_upgrade_matches_auxgrid():
     np.testing.assert_allclose(np.asarray(x3), np.asarray(g), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_matrixfree_parabolic_matches_host_lumped():
     """Device-scale implicit-Euler stepping (MatrixFreeParabolic, banded
     auto path) reproduces the host solve_parabolic(lumped=True) trajectory

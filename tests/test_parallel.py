@@ -466,6 +466,7 @@ def test_sharded_auxgrid_preconditioner_matches_and_accelerates():
     np.testing.assert_allclose(np.asarray(xa), np.asarray(x1), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_halo_ell_general_path_matches_single_chip():
     """Sharded GENERAL gather path (parallel/halo_ell.py): halo-exchange CG
     over an assembled ELLSoA matches the single-device DirichletSystem CG
@@ -507,6 +508,7 @@ def test_halo_ell_general_path_matches_single_chip():
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_banded_general_path():
     """The banded DIA-split of a GENERAL (arbitrary-topology) operator is a
     (R, W) grid stencil — so the row-sharded HaloGridDIASolver runs the

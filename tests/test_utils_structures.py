@@ -316,6 +316,7 @@ def test_space_time_fdm_mode_parallel():
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), rtol=0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_separable_operator_grid_stencil_and_mode_preconditioners():
     """SeparableOperator with GridDIAMatrix space factors matches the dense
     Kronecker sum; ModeDiag and ModeMG preconditioners are SPD-consistent
