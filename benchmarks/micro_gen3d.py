@@ -135,8 +135,6 @@ if W1:
     def pre(r):
         return bmg(r.astype(jnp.float32)).astype(r.dtype)
 
-    import jax.tree_util as jtu
-
     sys64 = DirichletSystem(S64, bnd)
     x64, info = cg_chunked(sys64, rhs64, M_inv=pre, rtol=1e-9,
                            maxiter=100, chunk=10)

@@ -370,7 +370,12 @@ def _normalize_K(K, centroids, C, dim: int = 2):
         return (None,) * ntri
     if callable(K):
         K = K(centroids())
-    if isinstance(K, tuple) and len(K) == ntri:
+    if isinstance(K, tuple):
+        if len(K) != ntri:
+            raise ValueError(
+                f"tuple K must be the {ntri} upper-triangle entries for "
+                f"dim={dim}, got {len(K)}"
+            )
         return tuple(_percell(v, C) for v in K)
     K_arr = jnp.asarray(K, jnp.float64)
     if K_arr.ndim == 2 and K_arr.shape == (dim, dim):
@@ -385,6 +390,11 @@ def _normalize_b(b, centroids, C, dim: int = 2):
     if callable(b):
         b = b(centroids())
     if isinstance(b, tuple):
+        if len(b) != dim:
+            raise ValueError(
+                f"tuple b must have {dim} components for dim={dim}, "
+                f"got {len(b)} (a short tuple would silently zero the rest)"
+            )
         return tuple(_percell(v, C) for v in b)
     b_arr = jnp.asarray(b, jnp.float64)
     if b_arr.ndim == 1 and b_arr.shape[0] == dim:
@@ -503,9 +513,13 @@ class MatrixFreeElliptic:
         if format == "ell":
             if max_cols is None:
                 # 2D P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg;
-                # 3D P1: neighbors + self (15 = Freudenthal)
+                # 3D P1: Euler bound on the vertex link — an interior
+                # vertex with F incident tets has 2 + F/2 distinct
+                # neighbors (V' - E' + F' = 2, 2E' = 3F'); +1 for self and
+                # +1 slack for boundary links (disk: one extra vertex).
+                # Freudenthal (max_degree=24) -> 16 (actual 15).
                 if dim == 3:
-                    max_cols = 15
+                    max_cols = max_degree // 2 + 4
                 else:
                     max_cols = (max_degree + 1 if order == 1
                                 else 3 * max_degree + 1)

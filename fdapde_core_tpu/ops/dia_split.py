@@ -326,7 +326,10 @@ def banded_cg(op: BandedSplit, b, n_iter: int, inv_diag=None):
     """Fixed-count Jacobi-CG on a Dirichlet-folded BandedSplit; the search
     direction lives in a zero-border (R+2H, W+2H) frame so the stencil part
     is pure static slices (grid_cg design), the remainder rides flat
-    gathers. Returns (x, |r|)."""
+    gathers. Returns (x, |r|, ok): ok=False flags a breakdown (pAp <= 0 or
+    rz <= 0 at some iteration — the guarded loop then freezes the iterate
+    instead of corrupting it, and this flag is how the caller learns the
+    returned x is stale; SURVEY §5.3 stall observability)."""
     R, W = op.G.shape2d
     n = op.n
     H = max(max(abs(a), abs(c)) for a, c in op.G.offsets2d)
@@ -346,9 +349,11 @@ def banded_cg(op: BandedSplit, b, n_iter: int, inv_diag=None):
         return jnp.pad(jnp.pad(v_flat, (0, tail)).reshape(R, W), H)
 
     def body(_, state):
-        x, r, p, p_pad, rz = state
+        x, r, p, p_pad, rz, ok = state
         Ap = apply_pad(p_pad, p)
         pAp = jnp.sum(p * Ap)
+        # a zero RHS (rz == 0 at entry) is convergence, not breakdown
+        ok = ok & ((pAp > 0) | (rz == 0))
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
@@ -356,9 +361,10 @@ def banded_cg(op: BandedSplit, b, n_iter: int, inv_diag=None):
         rz_new = jnp.sum(r * z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = z + beta * p
-        return (x, r, p, to_pad(p), rz_new)
+        return (x, r, p, to_pad(p), rz_new, ok)
 
     z0 = inv_diag * b
-    state = (jnp.zeros_like(b), b, z0, to_pad(z0), jnp.sum(b * z0))
-    x, r, *_ = jax.lax.fori_loop(0, n_iter, body, state)
-    return x, jnp.sqrt(jnp.sum(r * r))
+    state = (jnp.zeros_like(b), b, z0, to_pad(z0), jnp.sum(b * z0),
+             jnp.bool_(True))
+    x, r, _, _, _, ok = jax.lax.fori_loop(0, n_iter, body, state)
+    return x, jnp.sqrt(jnp.sum(r * r)), ok
