@@ -50,7 +50,8 @@ class MatrixFreePoisson:
     def __init__(self, nodes, cells, boundary, max_degree: int | None = None,
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
-                 kappa=None, preconditioner: str = "auto"):
+                 kappa=None, preconditioner: str = "auto",
+                 split_plan=None):
         self.nodes = nodes
         self.cells = cells
         self.boundary = boundary
@@ -62,8 +63,10 @@ class MatrixFreePoisson:
         if max_degree is None:
             max_degree = 8 if self.dim == 2 else 24
         if max_cols is None:
-            # distinct columns per row: neighbors + self (15 = Freudenthal)
-            max_cols = max_degree + 1 if self.dim == 2 else 15
+            # 2D: neighbors + self; 3D: Euler bound on the vertex link
+            # (2 + F/2 neighbors; Freudenthal max_degree=24 -> 16)
+            max_cols = (max_degree + 1 if self.dim == 2
+                        else max_degree // 2 + 4)
         if bbox is None:
             bbox = ((0.0,) * self.dim, (1.0,) * self.dim)
 
@@ -73,19 +76,27 @@ class MatrixFreePoisson:
         # layout rule; the r02 full-size compile failure). kappa enters as
         # a TRACED argument (a closed-over array would be baked in as a
         # compile-time constant, one compile per kappa array).
+        # format == "ell" fuses local assembly + adjacency + ELL
+        # conversion into ONE program (each separate program's first
+        # execution pays the remote-compile roulette, SURVEY §5.4).
         soa_cls = MatrixFreeSoA if self.dim == 2 else MatrixFreeSoA3D
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def build(nodes, cells, kappa, has_kappa):
+        @functools.partial(jax.jit, static_argnums=(3, 4))
+        def build(nodes, cells, kappa, has_kappa, want_ell):
             coords = tuple(nodes[:, d] for d in range(self.dim))
             corners = tuple(cells[:, j] for j in range(self.dim + 1))
-            return soa_cls.build(
+            mf, over = soa_cls.build(
                 *coords, *corners, self.n_dofs, max_degree,
                 kappa=kappa if has_kappa else None,
             )
+            if not want_ell:
+                return mf, over, None, None
+            E, overc = mf.to_ell(max_cols)
+            return mf, over, E, overc
 
         kap = jnp.zeros((0,)) if kappa is None else kappa
-        mf, over = build(nodes, cells, kap, kappa is not None)
+        mf, over, E, overc = build(nodes, cells, kap, kappa is not None,
+                                   format == "ell")
         if bool(over):
             raise ValueError(
                 f"a node exceeds max_degree={max_degree} cell incidences; "
@@ -95,7 +106,6 @@ class MatrixFreePoisson:
         self.adj, self.adj_mask = mf.adj, mf.adj_mask
         if format == "ell":
             # assembled row-ELL: ~1.6x fewer gathered elements per SpMV
-            E, overc = jax.jit(lambda op: op.to_ell(max_cols))(mf)
             if bool(overc):
                 raise ValueError(
                     f"a row exceeds {max_cols} distinct columns; "
@@ -109,7 +119,8 @@ class MatrixFreePoisson:
         self.system = DirichletSystem(self.op, boundary)
         self.preconditioner = "auxgrid"
         if preconditioner in ("auto", "banded_mg") and format == "ell":
-            S, bmg = _try_banded_upgrade(self.op, boundary, dim=self.dim)
+            S, bmg = _try_banded_upgrade(self.op, boundary, dim=self.dim,
+                                         split_plan=split_plan)
             if S is not None:
                 self.op = S
                 self.system = DirichletSystem(S, boundary)
@@ -191,7 +202,8 @@ def _aux_apply(aux, r):
     return aux(r.astype(jnp.float32)).astype(r.dtype)
 
 
-def _try_banded_upgrade(E_soa, boundary, dim: int = 2, **mg_kw):
+def _try_banded_upgrade(E_soa, boundary, dim: int = 2, split_plan=None,
+                        **mg_kw):
     """Structure auto-detection (preconditioner="auto"): when the assembled
     operator's offset histogram is band-concentrated (quasi-uniform /
     RCM-tight meshes — decided from the MATRIX alone by plan_split_width's
@@ -214,41 +226,71 @@ def _try_banded_upgrade(E_soa, boundary, dim: int = 2, **mg_kw):
             plan_split_3d,
         )
 
-        W1, W2 = plan_split_3d(E_soa)
+        if split_plan is None:
+            split_plan = plan_split_3d(E_soa)
+        W1, W2 = split_plan
         if W1 is None:
             return None, None
 
-        def _split(E_):
-            return build_banded_split_3d(E_, W1, W2)
-    else:
-        from ..ops.dia_split import (
-            BandedMGPreconditioner as _BMG,
-            build_banded_split,
-            plan_split_width,
-        )
+        @jax.jit
+        def split_fold(E_, b_):  # one program: split + rem count + fold
+            S_, over_ = build_banded_split_3d(E_, W1, W2)
+            rem_nnz_ = jnp.sum(S_.rem.vals != 0.0).astype(jnp.int32)
+            F32_ = S_.astype(jnp.float32).fold_dirichlet(b_)
+            return S_, over_.astype(jnp.int32), rem_nnz_, F32_
 
-        W, amax = plan_split_width(E_soa)
-        if W is None:
+        S, over, rem_nnz, F32 = split_fold(E_soa, boundary)
+        if bool(over):
             return None, None
+        if int(rem_nnz) == 0:
+            S = S.drop_empty_remainder()
+        bmg = _BMG.build(F32, **mg_kw)
+        if bmg is None:
+            return None, None
+        return S, bmg
 
-        def _split(E_):
-            return build_banded_split(E_, W, amax=amax)
+    from ..ops.dia_split import (
+        BandedMGPreconditioner as _BMG,
+        build_banded_split,
+        plan_split_width,
+    )
+
+    if split_plan is None:
+        split_plan = plan_split_width(E_soa)
+    W, amax = split_plan
+    if W is None:
+        return None, None
+
+    # the level plan is fully static given (W, amax): ONE fused program
+    # runs split + rem count + fold + the whole Galerkin coarsening chain
+    # (each extra program's first execution pays 1-300 s compile roulette;
+    # this fusion is most of the round-4 "cut general-path setup" item)
+    n = E_soa.shape[0]
+    R = -(-n // W)
+    offsets2d = tuple(
+        (a, b) for a in range(-amax, amax + 1) for b in range(-1, 2)
+    )
+    plan = _BMG.static_plan(offsets2d, (R, W), mg_kw.get("coarse_n", 32))
 
     @jax.jit
-    def split_fold(E_, b_):  # one program: split + rem count + f32 fold
-        S_, over_ = _split(E_)
+    def split_fold_coarsen(E_, b_):
+        S_, over_ = build_banded_split(E_, W, amax=amax)
         rem_nnz_ = jnp.sum(S_.rem.vals != 0.0).astype(jnp.int32)
         F32_ = S_.astype(jnp.float32).fold_dirichlet(b_)
-        return S_, over_.astype(jnp.int32), rem_nnz_, F32_
+        if plan is None:
+            return S_, over_.astype(jnp.int32), rem_nnz_, F32_, ()
+        levels = _BMG.coarsen_levels(F32_.G.data, (R, W), offsets2d, plan)
+        return S_, over_.astype(jnp.int32), rem_nnz_, F32_, levels
 
-    S, over, rem_nnz, F32 = split_fold(E_soa, boundary)
-    if bool(over):
+    S, over, rem_nnz, F32, levels = split_fold_coarsen(E_soa, boundary)
+    if bool(over) or plan is None:
         return None, None
     if int(rem_nnz) == 0:
         S = S.drop_empty_remainder()
-    bmg = _BMG.build(F32, **mg_kw)
-    if bmg is None:
-        return None, None
+    bmg = _BMG.from_levels(
+        levels, (R, W), n, plan,
+        **{k: v for k, v in mg_kw.items() if k != "coarse_n"},
+    )
     return S, bmg
 
 
@@ -425,7 +467,8 @@ class MatrixFreeElliptic:
                  b=None, c=None, max_degree: int | None = None,
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
-                 preconditioner: str = "auto", _space=None):
+                 preconditioner: str = "auto", _space=None,
+                 split_plan=None):
         from ..ops.matfree_soa import MatrixFreeP2SoA
 
         if isinstance(nodes, tuple):
@@ -500,7 +543,31 @@ class MatrixFreeElliptic:
             build = functools.partial(
                 MatrixFreeP2SoA.build, *coords, dofs, n_dofs, max_degree,
             )
-        mf, over = jax.jit(lambda cf: build(**cf))(coef)
+        if max_cols is None and format == "ell":
+            # 2D P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg;
+            # 3D P1: Euler bound on the vertex link — an interior
+            # vertex with F incident tets has 2 + F/2 distinct
+            # neighbors (V' - E' + F' = 2, 2E' = 3F'); +1 for self and
+            # +1 slack for boundary links (disk: one extra vertex).
+            # Freudenthal (max_degree=24) -> 16 (actual 15).
+            if dim == 3:
+                max_cols = max_degree // 2 + 4
+            else:
+                max_cols = (max_degree + 1 if order == 1
+                            else 3 * max_degree + 1)
+
+        # ONE fused program: local assembly + adjacency (+ ELL conversion
+        # when format == "ell") — separate programs each pay the 1-300 s
+        # remote-compile roulette (SURVEY §5.4; round-4 setup-cost item)
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def build_all(cf, want_ell):
+            mf_, over_ = build(**cf)
+            if not want_ell:
+                return mf_, over_, None, None
+            E_, overc_ = mf_.to_ell(max_cols)
+            return mf_, over_, E_, overc_
+
+        mf, over, E, overc = build_all(coef, format == "ell")
         if bool(over):
             raise ValueError(
                 f"a dof exceeds max_degree={max_degree} cell incidences; "
@@ -511,19 +578,6 @@ class MatrixFreeElliptic:
         self._coords = coords
         self._x, self._y = coords[0], coords[1]
         if format == "ell":
-            if max_cols is None:
-                # 2D P1: degree+1 cols; P2 vertex rows: 1 + deg + 2*deg;
-                # 3D P1: Euler bound on the vertex link — an interior
-                # vertex with F incident tets has 2 + F/2 distinct
-                # neighbors (V' - E' + F' = 2, 2E' = 3F'); +1 for self and
-                # +1 slack for boundary links (disk: one extra vertex).
-                # Freudenthal (max_degree=24) -> 16 (actual 15).
-                if dim == 3:
-                    max_cols = max_degree // 2 + 4
-                else:
-                    max_cols = (max_degree + 1 if order == 1
-                                else 3 * max_degree + 1)
-            E, overc = jax.jit(lambda op: op.to_ell(max_cols))(mf)
             if bool(overc):
                 raise ValueError(
                     f"a row exceeds {max_cols} distinct columns; "
@@ -537,7 +591,8 @@ class MatrixFreeElliptic:
         self.system = DirichletSystem(self.op, self.boundary)
         self.preconditioner = "auxgrid"
         if preconditioner in ("auto", "banded_mg") and format == "ell":
-            S, bmg = _try_banded_upgrade(self.op, self.boundary, dim=dim)
+            S, bmg = _try_banded_upgrade(self.op, self.boundary, dim=dim,
+                                         split_plan=split_plan)
             if S is not None:
                 self.op = S
                 self.system = DirichletSystem(S, self.boundary)

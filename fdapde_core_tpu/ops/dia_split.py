@@ -61,14 +61,34 @@ def _band_hist_jit(cols, vals, B):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _band_probe_jit(cols, vals, Bcap):
+    """Fused bandwidth + capped histogram: ONE device program (each
+    separate program's first execution pays the 1-300 s remote-compile
+    roulette on this harness — the old two-program plan path cost ~10 s
+    of the gen10m setup). Valid when the returned B <= Bcap; the caller
+    falls back to the exact two-program path otherwise."""
+    n = cols.shape[1]
+    rows = jnp.arange(n, dtype=cols.dtype)[None, :]
+    d = cols - rows
+    B = jnp.max(jnp.abs(d))
+    dreal = jnp.where(vals != 0.0, d, Bcap + 1 + Bcap)
+    hist = jnp.bincount(
+        jnp.clip(dreal + Bcap, 0, 2 * Bcap + 1).reshape(-1),
+        length=2 * Bcap + 2,
+    )
+    return B, hist
+
+
 def plan_split_width(E: ELLSoA, bmax: int = 1, min_frac: float = 0.02,
                      max_hist: int = 1 << 24, max_amax: int = 2,
-                     min_cover: float = 0.98):
+                     min_cover: float = 0.98, bcap: int = 8192):
     """Choose the reshape width W from the offset histogram (host fetch).
 
     Returns (W, amax) or (None, 0) when the matrix has no dominant band
-    (stay with plain ELL). The two host fetches are one scalar and one
-    (2B+1,) count vector — B is the matrix bandwidth, tiny after RCM.
+    (stay with plain ELL). ONE device program + host fetch in the common
+    B <= bcap case (a fused bandwidth+capped-histogram probe); wide bands
+    fall back to the exact two-program path.
 
     The plan is only accepted when the {a*W + b : |a| <= amax, |b| <= bmax}
     window COVERS >= min_cover of the real entries: a scattered RCM band
@@ -81,12 +101,14 @@ def plan_split_width(E: ELLSoA, bmax: int = 1, min_frac: float = 0.02,
     import numpy as np
 
     n = E.shape[0]
-    # two device programs total (jitted; eager per-op execution costs a
-    # remote round-trip each on the TPU harness)
-    B = int(_bandwidth_jit(E.cols))
+    Bd, hist_cap = _band_probe_jit(E.cols, E.vals, bcap)
+    B = int(Bd)
     if B <= bmax or 2 * B + 1 > max_hist:
         return None, 0
-    hist = np.array(_band_hist_jit(E.cols, E.vals, B))[: 2 * B + 1]
+    if B <= bcap:
+        hist = np.array(hist_cap)[bcap - B: bcap + B + 1]
+    else:
+        hist = np.array(_band_hist_jit(E.cols, E.vals, B))[: 2 * B + 1]
     total = hist.sum()
     center = hist[B]
     hist[B] = 0  # the main diagonal is always captured; never a W
@@ -259,25 +281,21 @@ class BandedMGPreconditioner:
     def tree_unflatten(cls, aux, leaves):
         return cls(leaves[0], *aux)
 
-    @classmethod
-    def build(cls, F: BandedSplit, dtype=jnp.float32, coarse_n: int = 32,
-              omega: float = 0.8, nu: int = 2, coarse_iters: int = 64):
-        """F: Dirichlet-folded BandedSplit (fold_dirichlet already applied).
-        The (R, W) grid is embedded into the next (m, m) with
-        (m - 1) % 8 == 0 (three guaranteed coarsenings), identity on the
-        padding. The hierarchy is built in one jitted program."""
-        from .grid_mg import GridMG, galerkin_coarsen
-
-        if any(abs(a) > 1 or abs(b) > 1 for a, b in F.G.offsets2d):
+    @staticmethod
+    def static_plan(offsets2d, shape2d, coarse_n: int = 32):
+        """Host-side level plan from STATIC split metadata: (m, shapes,
+        offsets) or None when the split is not 9-point. Splitting the plan
+        from the tracing lets callers fuse the coarsening chain into a
+        larger program (models/matfree._try_banded_upgrade runs split +
+        fold + chain as ONE program: every separate program's first
+        execution pays the remote-compile roulette)."""
+        if any(abs(a) > 1 or abs(b) > 1 for a, b in offsets2d):
             return None  # galerkin_coarsen needs a 9-point window
-        R, W = F.G.shape2d
+        R, W = shape2d
         m0 = max(R, W)
         m = m0 + ((-(m0 - 1)) % 8)
-        k0 = F.G.offsets2d.index((0, 0))
-
-        # static level plan (same rule as GridMG.build)
         shapes = [m]
-        offsets = [F.G.offsets2d]
+        offsets = [tuple(offsets2d)]
         while True:
             nn = shapes[-1] - 1
             if nn % 2 != 0 or nn // 2 < coarse_n:
@@ -286,30 +304,57 @@ class BandedMGPreconditioner:
             offsets.append(
                 tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
             )
+        return m, tuple(shapes), tuple(offsets)
 
-        # ONE program: embed + full Galerkin chain (each first execution
-        # of a separate program pays the remote-compile roulette)
-        @jax.jit
-        def embed_and_coarsen(data):
-            K = data.shape[0]
-            out = jnp.zeros((K, m, m), dtype)
-            out = out.at[:, :R, :W].set(data.astype(dtype))
-            ii = jnp.arange(m)
-            padmask = (ii[:, None] >= R) | (ii[None, :] >= W)
-            out = out.at[k0].set(jnp.where(padmask, 1.0, out[k0]))
-            from .grid_dia import GridDIAMatrix as _G
+    @staticmethod
+    def coarsen_levels(data, shape2d, offsets2d, plan, dtype=jnp.float32):
+        """TRACEABLE embed + full Galerkin chain (call under jit)."""
+        from .grid_dia import GridDIAMatrix as _G
+        from .grid_mg import galerkin_coarsen
 
-            levels = [out]
-            lvl = _G(out, F.G.offsets2d, (m, m))
-            for _ in range(len(shapes) - 1):
-                lvl = galerkin_coarsen(lvl)
-                levels.append(lvl.data)
-            return tuple(levels)
+        m, shapes, _ = plan
+        R, W = shape2d
+        k0 = tuple(offsets2d).index((0, 0))
+        K = data.shape[0]
+        out = jnp.zeros((K, m, m), dtype)
+        out = out.at[:, :R, :W].set(data.astype(dtype))
+        ii = jnp.arange(m)
+        padmask = (ii[:, None] >= R) | (ii[None, :] >= W)
+        out = out.at[k0].set(jnp.where(padmask, 1.0, out[k0]))
+        levels = [out]
+        lvl = _G(out, tuple(offsets2d), (m, m))
+        for _ in range(len(shapes) - 1):
+            lvl = galerkin_coarsen(lvl)
+            levels.append(lvl.data)
+        return tuple(levels)
 
-        datas = list(embed_and_coarsen(F.G.data))
-        mg = GridMG(datas, tuple(offsets), tuple(shapes), omega, nu,
-                    coarse_iters)
-        return cls(mg, (R, W), F.n, m)
+    @classmethod
+    def from_levels(cls, datas, shape2d, n, plan, omega: float = 0.8,
+                    nu: int = 2, coarse_iters: int = 64):
+        from .grid_mg import GridMG
+
+        m, shapes, offsets = plan
+        mg = GridMG(list(datas), offsets, shapes, omega, nu, coarse_iters)
+        return cls(mg, tuple(shape2d), n, m)
+
+    @classmethod
+    def build(cls, F: BandedSplit, dtype=jnp.float32, coarse_n: int = 32,
+              omega: float = 0.8, nu: int = 2, coarse_iters: int = 64):
+        """F: Dirichlet-folded BandedSplit (fold_dirichlet already applied).
+        The (R, W) grid is embedded into the next (m, m) with
+        (m - 1) % 8 == 0 (three guaranteed coarsenings), identity on the
+        padding. The hierarchy is built in one jitted program."""
+        plan = cls.static_plan(F.G.offsets2d, F.G.shape2d, coarse_n)
+        if plan is None:
+            return None
+
+        chain = jax.jit(functools.partial(
+            cls.coarsen_levels, shape2d=F.G.shape2d,
+            offsets2d=F.G.offsets2d, plan=plan, dtype=dtype,
+        ))
+        datas = list(chain(F.G.data))
+        return cls.from_levels(datas, F.G.shape2d, F.n, plan, omega, nu,
+                               coarse_iters)
 
     def __call__(self, r):
         R, W = self.shape2d

@@ -269,6 +269,38 @@ class MatrixFreeSoA:
                                  self.adj_mask, self.n_dofs, max_cols)
 
 
+def _compact_sorted(cols_all, vals_all, row_ids, n_sentinel: int,
+                    max_cols: int):
+    """Compact (M, B) column-duplicated candidates into (K, B) ELL rows.
+
+    SCATTER-FREE: a multi-operand `lax.sort` co-sorts (cols, vals) along
+    the candidate axis (a compare-exchange network — no argsort + gather,
+    which ran near-scalar and dominated the 10M-row conversion at ~64 s),
+    then K masked reductions over the size-M axis replace the old
+    segment_sum/segment_max scatters (the other near-scalar half).
+    Padding carries col = n_sentinel; empty slots fall back to
+    (col=row_ids, val=0). Returns (vals (K,B), cols (K,B), overflowed).
+    """
+    K = max_cols
+    cols_s, vals_s = jax.lax.sort(
+        (cols_all, vals_all), dimension=0, num_keys=1
+    )
+    first = jnp.concatenate(
+        [jnp.ones((1, cols_s.shape[1]), bool), cols_s[1:] != cols_s[:-1]],
+        axis=0,
+    )
+    real = cols_s < n_sentinel
+    uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
+    overflowed = jnp.any(real & (uidx >= K))
+    vals_rows, cols_rows = [], []
+    for k in range(K):
+        mk = real & (uidx == k)
+        vals_rows.append(jnp.sum(jnp.where(mk, vals_s, 0.0), axis=0))
+        ck = jnp.max(jnp.where(mk, cols_s, -1), axis=0)
+        cols_rows.append(jnp.where(ck < 0, row_ids, ck).astype(jnp.int32))
+    return jnp.stack(vals_rows), jnp.stack(cols_rows), overflowed
+
+
 def _ell_from_entries(A, dofs, adj, adj_mask, n_dofs: int, max_cols: int):
     """Assemble an ELLSoA from nb x nb local-entry arrays.
 
@@ -278,7 +310,6 @@ def _ell_from_entries(A, dofs, adj, adj_mask, n_dofs: int, max_cols: int):
     transients are (nb*D, n). Returns (ELLSoA, overflowed).
     """
     nb = len(A)
-    D = adj.shape[0]
     n = n_dofs
     C = dofs.shape[1]
     cell = adj % C  # (D, n)
@@ -294,26 +325,10 @@ def _ell_from_entries(A, dofs, adj, adj_mask, n_dofs: int, max_cols: int):
         )
     cols_all = jnp.concatenate(cols_b, axis=0)  # (nb*D, n)
     vals_all = jnp.concatenate(vals_b, axis=0)
-    order = jnp.argsort(cols_all, axis=0)
-    cols_s = jnp.take_along_axis(cols_all, order, axis=0)
-    vals_s = jnp.take_along_axis(vals_all, order, axis=0)
-    first = jnp.concatenate(
-        [jnp.ones((1, n), bool), cols_s[1:] != cols_s[:-1]], axis=0
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    vals, cols, overflowed = _compact_sorted(
+        cols_all, vals_all, col_ids, n, max_cols
     )
-    real = cols_s < n
-    uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
-    K = max_cols
-    overflowed = jnp.any(real & (uidx >= K))
-    slotk = jnp.where(real & (uidx < K), uidx, K)
-    col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
-    seg = (slotk * n + col_ids).reshape(-1)
-    vals = jax.ops.segment_sum(
-        vals_s.reshape(-1), seg, (K + 1) * n
-    ).reshape(K + 1, n)[:K]
-    cols = jax.ops.segment_max(
-        jnp.where(slotk < K, cols_s, -1).reshape(-1), seg, (K + 1) * n
-    ).reshape(K + 1, n)[:K]
-    cols = jnp.where(cols < 0, col_ids, cols).astype(jnp.int32)
     return ELLSoA(vals, cols, (n, n)), overflowed
 
 
@@ -620,26 +635,10 @@ def _ell_block_core(aflat, dofs, adj_pad, mask_pad, B, K, n_dofs, s0):
         )
     cols_all = jnp.concatenate(cols_b, axis=0)  # (nb*D, B)
     vals_all = jnp.concatenate(vals_b, axis=0)
-    order = jnp.argsort(cols_all, axis=0)
-    cols_s = jnp.take_along_axis(cols_all, order, axis=0)
-    vals_s = jnp.take_along_axis(vals_all, order, axis=0)
-    first = jnp.concatenate(
-        [jnp.ones((1, B), bool), cols_s[1:] != cols_s[:-1]], axis=0
+    col_global = s0 + jnp.arange(B, dtype=jnp.int32)
+    vals, cols, overflowed = _compact_sorted(
+        cols_all, vals_all, col_global, n, K
     )
-    real = cols_s < n
-    uidx = jnp.cumsum(first.astype(jnp.int32), axis=0) - 1
-    overflowed = jnp.any(real & (uidx >= K))
-    slotk = jnp.where(real & (uidx < K), uidx, K)
-    col_local = jnp.arange(B, dtype=jnp.int32)[None, :]
-    seg = (slotk * B + col_local).reshape(-1)
-    vals = jax.ops.segment_sum(
-        vals_s.reshape(-1), seg, (K + 1) * B
-    ).reshape(K + 1, B)[:K]
-    cols = jax.ops.segment_max(
-        jnp.where(slotk < K, cols_s, -1).reshape(-1), seg, (K + 1) * B
-    ).reshape(K + 1, B)[:K]
-    col_global = s0 + col_local
-    cols = jnp.where(cols < 0, col_global, cols).astype(jnp.int32)
     return vals, cols, overflowed
 
 

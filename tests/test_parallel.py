@@ -557,3 +557,77 @@ def test_sharded_banded_general_path():
     x1, r1, k1 = solver1.solve(b_pad, rtol=1e-11, maxiter=3000)
     assert int(k1) == int(k8)
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-12)
+
+
+def test_sharded_banded_mg_matches_single_chip():
+    """Round-4 item: the flagship BandedMGPreconditioner, sharded.
+
+    The general-path banded split solved over 1 and 8 devices must match
+    the single-chip BandedMG-CG solution, converge in a comparable
+    iteration count (<= 2x), and beat Jacobi-CG's count by far — the r03
+    sharded general path was Jacobi-only (correctness-only at scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.dia_split import (
+        BandedMGPreconditioner,
+        build_banded_split,
+        plan_split_width,
+    )
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+    from fdapde_core_tpu.parallel.banded import ShardedBandedMGSolver
+    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+
+    n = 48
+    nd = (n + 1) ** 2
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(n, 0.2,
+                                                     dtype=jnp.float64)
+    op, _ = MatrixFreeSoA.build(x, y, c0, c1, c2, nd, 8)
+    E, _ = jax.jit(lambda o: o.to_ell(9))(op)
+    W, amax = plan_split_width(E)
+    assert W is not None and amax == 1
+    S, over = build_banded_split(E, W, amax=amax)
+    assert not bool(over)
+    F = S.fold_dirichlet(bnd)
+    assert int(jnp.sum(F.rem.vals != 0.0)) == 0
+    F = F.drop_empty_remainder()
+
+    b = jnp.where(bnd, 0.0, 1.0) / (n * n)
+
+    # single-chip reference: BandedMG-preconditioned CG
+    bmg = BandedMGPreconditioner.build(F, dtype=jnp.float64, coarse_n=8)
+    x1, info1 = cg(F, b, M_inv=lambda r: bmg(r), rtol=1e-10, maxiter=60)
+    k1 = int(info1.iterations)
+    assert k1 <= 25
+    # Jacobi-CG control: the preconditioner must be doing real work
+    xj, infoj = cg(F, b, rtol=1e-10, maxiter=500)
+    assert int(infoj.iterations) > 3 * k1
+
+    for n_dev in (1, 8):
+        solver = ShardedBandedMGSolver(F, make_device_mesh(n_dev),
+                                       repl_rows=16, coarse_n=8)
+        xs, rel, k = solver.solve(b, rtol=1e-10, maxiter=60)
+        assert np.abs(np.asarray(xs) - np.asarray(x1)).max() < 1e-8, n_dev
+        assert int(k) <= 2 * k1, (int(k), k1, n_dev)
+
+
+def test_sharded_banded_mg_guards():
+    """Live-remainder and wide-window splits are routed away loudly."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from fdapde_core_tpu.ops.dia_split import BandedSplit
+    from fdapde_core_tpu.ops.grid_dia import GridDIAMatrix
+    from fdapde_core_tpu.ops.matfree_soa import ELLSoA
+    from fdapde_core_tpu.parallel.banded import ShardedBandedMGSolver
+    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+
+    n, W = 64, 8
+    offs = tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
+    data = jnp.zeros((9, 8, 8)).at[offs.index((0, 0))].set(1.0)
+    G = GridDIAMatrix(data, offs, (8, 8))
+    rem = ELLSoA(jnp.ones((1, n)), jnp.zeros((1, n), jnp.int32), (n, n))
+    with _pytest.raises(ValueError, match="remainder-free"):
+        ShardedBandedMGSolver(BandedSplit(G, rem, n), make_device_mesh(1))
