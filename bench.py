@@ -76,13 +76,13 @@ GROUPS = ("structured", "gen10m", "general", "gen3d", "spacetime")
 # Budgeted against the DRIVER's observed ~1800 s kill (r03 rc=124 at
 # ~1800 s while the old TOTAL_BUDGET_S=3600 paced for twice that): every
 # gate leaves the group enough room to finish inside TOTAL_BUDGET_S.
-GATES = {"structured": 10**9, "gen10m": 800, "general": 1180,
-         "gen3d": 1300, "spacetime": 1450}
+GATES = {"structured": 10**9, "gen10m": 700, "general": 1090,
+         "gen3d": 1290, "spacetime": 1430}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
-CAPS = {"structured": 480, "general": 300, "spacetime": 220,
-        "gen10m": 480, "gen3d": 330}
+CAPS = {"structured": 440, "general": 330, "spacetime": 200,
+        "gen10m": 560, "gen3d": 330}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400}
 
@@ -168,10 +168,16 @@ def orchestrate(small):
         # degraded-bandwidth flag (the r02 failure mode)
         if err or res.get("degraded_worker"):
             out[f"{group}_attempt1"] = (err or "degraded_worker")[:300]
-            # retry bound: a cap-kill with NOTHING measured usually means
-            # first-program compile roulette (observed 20+ min) — a retry
-            # faces the same odds with less budget, so only re-run early
-            if (small or elapsed() < GATES[group] + 120) and (
+            # retry policy (r04): a cap-kill that already produced
+            # SUBSTANTIAL metrics is a budget problem, not a sick worker —
+            # a retry would redo the same stages with less budget and
+            # starve the tail groups (the r04 rehearsal burned 480 s
+            # re-running gen10m to the same cap). Retry only on degraded
+            # workers or near-empty attempts, and only with budget left.
+            capkill = err is not None and "wall cap" in err
+            substantial = len(res) >= 8 and not res.get("degraded_worker")
+            if (not (capkill and substantial)) and (
+                    small or elapsed() < GATES[group] + 120) and (
                     elapsed() < TOTAL_BUDGET_S - 120):
                 res2, err2 = _run_group(group, small)
                 better = (not err2 and err) or (
@@ -1246,15 +1252,6 @@ def _general_gather_metrics(small, sink):
     sink.put(gen10m_ell_cg_iters_per_s=round(1.0 / t_iter, 2),
              gen10m_ell_gbps=round(ell_bytes / t_iter / 1e9, 1))
 
-    # stage 4s: SCATTERED-numbering control (round-4 item: the honest
-    # generality evidence). A block-local multiplicative scramble applied
-    # SYMMETRICALLY (rows and columns) spreads the offset histogram across
-    # the whole +-(B + 2S) band — the class plan_split_width rejects and
-    # an imported mesh lands in after RCM. Same operator spectrum (a
-    # permutation similarity), so CG iteration counts are comparable;
-    # only the gather locality changes.
-    _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small)
-
     # stage 5b: banded DIA + ELL-remainder split (ops/dia_split.py) — the
     # dominant offsets of the RCM-banded operator become STATIC 2D stencil
     # shifts at memory bandwidth; gathers only for the tiny remainder
@@ -1414,6 +1411,16 @@ def _general_gather_metrics(small, sink):
                      gen10m_advdiff_true_rel_res=rela)
             del op_adv, E_adv64, Sa64, sd, wadv, ra
 
+    # stage 6s: SCATTERED-numbering record (round-4 marquee). A
+    # block-local multiplicative scramble applied SYMMETRICALLY spreads
+    # the offset histogram across the whole +-(B + 2S) band — the class
+    # plan_split_width rejects and an imported mesh lands in after RCM.
+    # Permutation similarity: same spectrum, only gather locality
+    # changes. The lane-routed pallas kernel is the candidate record;
+    # the raw-ELL fallback rate equals gen10m_ell_cg_iters_per_s (the
+    # XLA gather is locality-insensitive — micro_scatter_spmv.py D == E).
+    _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small)
+
     # stage 7 (full only): PRODUCT-API general elliptic at 1M+ dofs —
     # the same operator family through models/matfree.MatrixFreeElliptic
     # (fused round-4 constructor: ONE assembly+adjacency+ELL program, ONE
@@ -1502,29 +1509,40 @@ def _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small):
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float32) / (n * n)
     )(bnd_s)
 
-    # control: raw ELL gather CG on the scattered numbering
-    sys_sc = DirichletSystem(E_sc, bnd_s)
-    cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
-    t0 = time.time()
-    cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
-    sink.put(gen10m_scat_ell_cg_iters_per_s=round(
-        ITERS_SC / (time.time() - t0), 2))
+    if small:  # full size: the scattered ELL rate == gen10m_ell_cg rate
+        # (XLA gathers are locality-insensitive; measured 1.24 vs 1.23)
+        sys_sc = DirichletSystem(E_sc, bnd_s)
+        cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
+        t0 = time.time()
+        cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
+        sink.put(gen10m_scat_ell_cg_iters_per_s=round(
+            ITERS_SC / (time.time() - t0), 2))
 
-    # windowed path: per-block windows bound every gather inside R + 2B
+    # lane-routed pallas path (ops/pallas_gather_spmv.py): two-stage
+    # lane-gather + transpose kernel, one-time scheduled routing tables.
+    # (The XLA windowed-gather alternative, ops/window_spmv.py, measured
+    # WORSE than the flat gather at this size — 0.8 vs 1.24 iters/s,
+    # r04 rehearsal + micro_scatter_spmv.py — and was retired from the
+    # official run; the operator + parity tests remain in the library.)
+    from fdapde_core_tpu.ops.pallas_gather_spmv import LaneRoutedELL
+
     t0 = time.time()
-    Wop = WindowedELL.from_ell(E_sc, block_rows=65536 if not small else 8192,
-                               bandwidth=Bsc)
+    lane = LaneRoutedELL.from_ell(E_sc, bandwidth=Bsc)
     perr = float(jax.jit(
         lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
-    )(Wop, E_sc, rhs_sc))
-    sink.put(gen10m_scat_window_setup_s=round(time.time() - t0, 2),
-             gen10m_scat_window_parity=perr)
+    )(lane, E_sc, rhs_sc))
+    sink.put(gen10m_scat_lane_setup_s=round(time.time() - t0, 2),
+             gen10m_scat_lane_p_max=lane.p_max,
+             gen10m_scat_lane_rem_frac=round(
+                 lane.n_remainder / (MAXC * n_dofs), 4),
+             gen10m_scat_lane_parity=perr)
 
-    sys_w = DirichletSystem(Wop, bnd_s)
-    cg_chunked(sys_w, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
+    sys_l = DirichletSystem(lane, bnd_s)
+    ITERS_LN = ITERS_SC if small else 40
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
     t0 = time.time()
-    cg_chunked(sys_w, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
-    t_it = (time.time() - t0) / ITERS_SC
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t_it = (time.time() - t0) / ITERS_LN
     sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
              gen10m_scat_gbps=round(
                  (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
