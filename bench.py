@@ -71,18 +71,22 @@ T_START = time.time()
 # general path, then the rest — a driver-side wall cap truncates the
 # TAIL, never the story (r03 lesson: per-process first-program compile
 # roulette can eat ~10 min per group)
-GROUPS = ("structured", "gen10m", "general", "gen3d", "spacetime")
+# order = priority: the r04 "Done" criterion names structured + gen10m +
+# gen3d + spacetime; `general` (whose r03 capture is already complete and
+# clean) is the sacrificial tail, with its round-4 P2 stage FIRST inside
+# the group so a cap kill still records it
+GROUPS = ("structured", "gen10m", "gen3d", "spacetime", "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
 # Budgeted against the DRIVER's observed ~1800 s kill (r03 rc=124 at
 # ~1800 s while the old TOTAL_BUDGET_S=3600 paced for twice that): every
 # gate leaves the group enough room to finish inside TOTAL_BUDGET_S.
-GATES = {"structured": 10**9, "gen10m": 700, "general": 1090,
-         "gen3d": 1290, "spacetime": 1430}
+GATES = {"structured": 10**9, "gen10m": 700, "gen3d": 1290,
+         "spacetime": 1380, "general": 1450}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
-CAPS = {"structured": 440, "general": 330, "spacetime": 200,
-        "gen10m": 560, "gen3d": 330}
+CAPS = {"structured": 420, "general": 330, "spacetime": 240,
+        "gen10m": 600, "gen3d": 330}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400}
 
@@ -669,6 +673,43 @@ def _general_path_metrics(small, sink):
     n = pts.shape[0]
     sink.put(gen_n_dofs=n, gen_n_cells=int(cells.shape[0]))
 
+    # P2 at device scale (round-4 item 9): order-2 space on the SAME
+    # genuine Delaunay topology -> ~2.1M dofs (nodes + edges). The P2 dof
+    # numbering (nodes first, then edges; lagrangian_basis.h:94-136
+    # parity order) has a SPREAD offset histogram — plan_split_width
+    # rejects it and the model stays on the gather + aux-grid path: this
+    # is the honest P2-at-scale story, wider band and all.
+    try:
+        from fdapde_core_tpu.fem.space import FEMSpace
+        from fdapde_core_tpu.geometry.triangulation import Triangulation
+        from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+        t0 = time.time()
+        bdry = np.zeros(n, bool)
+        bdry[~interior] = True
+        mesh2 = Triangulation(pts, cells, bdry)
+        space = FEMSpace(mesh2, order=2)
+        t_host = time.time() - t0
+        t0 = time.time()
+        model = MatrixFreeElliptic.from_space(
+            space, K=1.0, c=1.0, max_degree=16,
+        )
+        sink.put(gen_p2_n_dofs=int(model.n_dofs),
+                 gen_p2_host_s=round(t_host, 2),
+                 gen_p2_setup_s=round(time.time() - t0, 2),
+                 gen_p2_preconditioner=model.preconditioner)
+        fC = jnp.ones((int(cells.shape[0]),), jnp.float64)
+        b2 = model.load_vector(fC)
+        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
+        float(rel2)  # warm
+        t0 = time.time()
+        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
+        sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
+                 gen_p2_iters=int(it2),
+                 gen_p2_true_rel_res=float(rel2))
+    except Exception as e:  # the P2 tail must not void the group
+        sink.put(gen_p2_error=f"{type(e).__name__}: {e}"[:200])
+
     t0 = time.time()
     A = _host_p1_stiffness(pts, cells)
     on_bnd = ~interior
@@ -813,43 +854,6 @@ def _general_path_metrics(small, sink):
     sink.put(gen_aux_refined_solve_s=round(t_aux_refined, 3),
              gen_aux_refined_true_rel_res=arrel_v)
 
-    # P2 at device scale (round-4 item 9): order-2 space on the SAME
-    # genuine Delaunay topology -> ~2.1M dofs (nodes + edges). The P2 dof
-    # numbering (nodes first, then edges; lagrangian_basis.h:94-136
-    # parity order) has a SPREAD offset histogram — plan_split_width
-    # rejects it and the model stays on the gather + aux-grid path: this
-    # is the honest P2-at-scale story, wider band and all.
-    try:
-        del A32, A64, vals64, mg, aux
-        from fdapde_core_tpu.fem.space import FEMSpace
-        from fdapde_core_tpu.geometry.triangulation import Triangulation
-        from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
-
-        t0 = time.time()
-        bdry = np.zeros(n, bool)
-        bdry[~interior] = True
-        mesh2 = Triangulation(pts, cells, bdry)
-        space = FEMSpace(mesh2, order=2)
-        t_host = time.time() - t0
-        t0 = time.time()
-        model = MatrixFreeElliptic.from_space(
-            space, K=1.0, c=1.0, max_degree=16,
-        )
-        sink.put(gen_p2_n_dofs=int(model.n_dofs),
-                 gen_p2_host_s=round(t_host, 2),
-                 gen_p2_setup_s=round(time.time() - t0, 2),
-                 gen_p2_preconditioner=model.preconditioner)
-        fC = jnp.ones((int(cells.shape[0]),), jnp.float64)
-        b2 = model.load_vector(fC)
-        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
-        float(rel2)  # warm
-        t0 = time.time()
-        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
-        sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
-                 gen_p2_iters=int(it2),
-                 gen_p2_true_rel_res=float(rel2))
-    except Exception as e:  # the P2 tail must not void the group
-        sink.put(gen_p2_error=f"{type(e).__name__}: {e}"[:200])
     sink.put(gen_section_s=round(time.time() - t_sec, 1))
 
 
@@ -1440,6 +1444,7 @@ def _general_gather_metrics(small, sink):
         model = MatrixFreeElliptic(
             (x1, y1), cells1, bnd1,
             K=(1.3, 0.2, 0.9), b=(1.0, 0.5), c=0.3,
+            split_plan=(n1 + 1, 1),  # the lattice numbering's known plan
         )
         sink.put(gen1m_advdiff_setup_s=round(time.time() - t0, 2),
                  gen1m_n_dofs=int(model.n_dofs))

@@ -468,7 +468,7 @@ class MatrixFreeElliptic:
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
                  preconditioner: str = "auto", _space=None,
-                 split_plan=None):
+                 split_plan=None, gather_kernel: str = "xla"):
         from ..ops.matfree_soa import MatrixFreeP2SoA
 
         if isinstance(nodes, tuple):
@@ -603,7 +603,19 @@ class MatrixFreeElliptic:
                 "banded_mg requested but the operator has no concentrated "
                 "band (plan_split_width rejected it); use 'auto' or 'auxgrid'"
             )
-        if self.preconditioner == "auxgrid":
+        if (gather_kernel == "lane" and format == "ell"
+                and self.preconditioner == "auxgrid"):
+            # scattered-band numbering rejected by the split plan: swap
+            # the XLA gather SpMV (~0.13 G gathered elem/s, BENCH_NOTES
+            # round 4) for the lane-routed pallas kernel. Opt-in: the
+            # one-time routing-schedule build is a real setup cost, and
+            # f64 table values need an f32/bf16 cast for the TPU kernel.
+            from ..ops.pallas_gather_spmv import LaneRoutedELL
+
+            self.op = LaneRoutedELL.from_ell(self.op)
+            self.system = DirichletSystem(self.op, self.boundary)
+            self.preconditioner = "auxgrid+lane"
+        if self.preconditioner.startswith("auxgrid"):
             diag32 = jax.jit(
                 lambda op, bnd: DirichletSystem(op, bnd)
                 .diagonal().astype(jnp.float32)

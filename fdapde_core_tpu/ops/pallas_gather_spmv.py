@@ -113,40 +113,47 @@ def _sched_prep(cols, vals, n, K, P_MAX):
             valsf, colsf)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _sched_round(state, n, P_MAX, t):
-    """One placement round (bounded program — the executor watchdog kills
-    anything past ~60 s, so rounds run as separate host-driven calls).
-    Winner election via SCATTER-MAX claim tables + gather-back compare:
-    near-scalar but linear — an in-round 92M-element sort would cost
-    minutes on this gather/scatter-rate hardware."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _sched_rounds(state, n, P_MAX, ROUNDS):
+    """All placement rounds in ONE program (fori_loop over t). Winner
+    election per round via SCATTER-MAX claim tables + gather-back
+    compare: near-scalar but linear — an in-round 92M-element sort would
+    cost minutes at this hardware's gather/scatter rates. At 10.25M rows
+    a round costs ~3 s, so ROUNDS <= ~16 stays safely inside the ~60 s
+    executor watchdog while paying the compile roulette ONCE (the
+    host-driven per-round variant paid it per round: ~30 s x 12 on a bad
+    day, measured)."""
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
     G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
     NCELL = G * SP * 128 * 128
-
-    prop_sp = c * P_MAX + (rank + t * stride) % P_MAX
-    trying = live & ~placed
-    spx = jnp.where(placed, sp, prop_sp)
-    active = placed | trying
     tid = jnp.arange(live.shape[0], dtype=jnp.int32)
-    packed = jnp.where(placed, tid | (1 << 30), tid)  # placed always win
-
     key_base = (ii // TILE).astype(jnp.int64) * SP  # g * SP
-    cell_pos = (((key_base + spx) * 128 + a) * 128 + m)
-    cell_tab = (((key_base + spx) * 128 + a) * 128 + r2)
 
-    def winners(cell):
-        idx = jnp.where(active, cell, NCELL)
-        tab = jnp.full((NCELL + 1,), -1, jnp.int32).at[idx].max(
-            packed, mode="drop")
-        return tab[jnp.clip(cell, 0, NCELL - 1)] == packed
+    def one_round(t, st):
+        placed, sp = st
+        prop_sp = c * P_MAX + (rank + t * stride) % P_MAX
+        trying = live & ~placed
+        spx = jnp.where(placed, sp, prop_sp)
+        active = placed | trying
+        packed = jnp.where(placed, tid | (1 << 30), tid)  # placed win
 
-    ok = winners(cell_pos) & winners(cell_tab)
-    newly = trying & ok
-    sp = jnp.where(newly, prop_sp, sp)
-    placed = placed | newly
-    return placed, sp, jnp.sum(live & ~placed)
+        cell_pos = (((key_base + spx) * 128 + a) * 128 + m)
+        cell_tab = (((key_base + spx) * 128 + a) * 128 + r2)
+
+        def winners(cell):
+            idx = jnp.where(active, cell, NCELL)
+            tab = jnp.full((NCELL + 1,), -1, jnp.int32).at[idx].max(
+                packed, mode="drop")
+            return tab[jnp.clip(cell, 0, NCELL - 1)] == packed
+
+        ok = winners(cell_pos) & winners(cell_tab)
+        newly = trying & ok
+        sp = jnp.where(newly, prop_sp, sp)
+        return placed | newly, sp
+
+    placed, sp = jax.lax.fori_loop(0, ROUNDS, one_round, (placed, sp))
+    return placed, sp
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -198,10 +205,9 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
      colsf) = _sched_prep(E.cols, E.vals, n, K, p_max)
     if bool(over):
         return None, None, None, None, True, -1
-    for t in range(rounds):
-        placed, sp, left = _sched_round(
-            (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
-            n, p_max, jnp.int32(t))
+    placed, sp = _sched_rounds(
+        (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
+        n, p_max, rounds)
     L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
         (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, valsf,
          colsf), n, p_max)
@@ -219,6 +225,25 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
 # ---------------------------------------------------------------------------
 
 
+def _lane_gather(x, idx):
+    """out[i, j] = x[i, idx[i, j]] with INT32 indices — the exact
+    lax.gather form Mosaic lowers to tpu.dynamic_gather along lanes.
+    (jnp.take_along_axis promotes indices to int64 under x64, which the
+    TPU kernel lowering rejects.)"""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        x, idx[..., None].astype(jnp.int32), dnums, (1, 1),
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 def _spmv_kernel(xm1_ref, x0_ref, xp1_ref, l1_ref, l2_ref, v_ref, o_ref,
                  *, SP, P_MAX):
     chunks = (xm1_ref[0], x0_ref[0], xp1_ref[0])
@@ -228,12 +253,14 @@ def _spmv_kernel(xm1_ref, x0_ref, xp1_ref, l1_ref, l2_ref, v_ref, o_ref,
         for p in range(P_MAX):
             sp = c * P_MAX + p
             L1 = l1_ref[0, sp].astype(jnp.int32)
-            A = jnp.take_along_axis(Xc, L1, axis=1)  # A[r2, a]
+            A = _lane_gather(Xc, L1)  # A[r2, a]
             T = A.T  # T[a, r2]
-            L2 = l2_ref[0, sp].astype(jnp.int32)
-            valid = L2 >= 0
-            B2 = jnp.take_along_axis(T, jnp.where(valid, L2, 0), axis=1)
-            acc = acc + jnp.where(valid, v_ref[0, sp] * B2, 0.0)
+            # invalid positions carry L2 = -1 AND VALS = 0: clamping the
+            # index and multiplying suffices — no select needed (and
+            # jnp.where's dtype promotion recurses inside pallas traces)
+            L2 = jnp.maximum(l2_ref[0, sp].astype(jnp.int32), 0)
+            B2 = _lane_gather(T, L2)
+            acc = acc + v_ref[0, sp] * B2
     o_ref[0] = acc.T  # undo the interleaved (a, m) position map
 
 
@@ -254,14 +281,20 @@ def _spmv(x, L1, L2M, VALS, n, SP, P_MAX):
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 128, 128), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, 128, 128), lambda g: (g + 1, 0, 0)),
-            pl.BlockSpec((1, 128, 128), lambda g: (g + 2, 0, 0)),
-            pl.BlockSpec((1, SP, 128, 128), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((1, SP, 128, 128), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((1, SP, 128, 128), lambda g: (g, 0, 0, 0)),
+            # z = g*0: an i32 zero derived from the grid index — literal
+            # 0s trace as int64 under x64 and the server Mosaic rejects
+            # mixed (i32, i64, i64) index-map returns
+            pl.BlockSpec((1, 128, 128), lambda g: (g, g * 0, g * 0)),
+            pl.BlockSpec((1, 128, 128), lambda g: (g + 1, g * 0, g * 0)),
+            pl.BlockSpec((1, 128, 128), lambda g: (g + 2, g * 0, g * 0)),
+            pl.BlockSpec((1, SP, 128, 128),
+                         lambda g: (g, g * 0, g * 0, g * 0)),
+            pl.BlockSpec((1, SP, 128, 128),
+                         lambda g: (g, g * 0, g * 0, g * 0)),
+            pl.BlockSpec((1, SP, 128, 128),
+                         lambda g: (g, g * 0, g * 0, g * 0)),
         ],
-        out_specs=pl.BlockSpec((1, 128, 128), lambda g: (g, 0, 0)),
+        out_specs=pl.BlockSpec((1, 128, 128), lambda g: (g, g * 0, g * 0)),
         out_shape=jax.ShapeDtypeStruct((G, 128, 128), dtype),
         interpret=interpret,
     )(x2, x2, x2, L1, L2M, VALS)

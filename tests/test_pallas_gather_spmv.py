@@ -93,3 +93,28 @@ def test_lane_routed_bandwidth_guard():
     E = ELLSoA(jnp.asarray(vals), jnp.asarray(cols, jnp.int32), (n, n))
     with pytest.raises(ValueError, match="bandwidth"):
         LaneRoutedELL.from_ell(E, p_max=10, rounds=4)
+
+
+def test_model_gather_kernel_lane():
+    """Product-API opt-in: MatrixFreeElliptic(gather_kernel='lane') swaps
+    the XLA gather SpMV for the lane-routed kernel when the split plan
+    rejects the numbering; solutions match the default path."""
+    from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+    n_side = 48
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n_side, 0.2, dtype=jnp.float64)
+    cells = jnp.stack([c0, c1, c2], axis=1)
+    # force the gather path (skip the banded upgrade) to exercise lane
+    m_ref = MatrixFreeElliptic((x, y), cells, bnd, K=1.0, c=0.5,
+                               preconditioner="auxgrid")
+    m_lane = MatrixFreeElliptic((x, y), cells, bnd, K=1.0, c=0.5,
+                                preconditioner="auxgrid",
+                                gather_kernel="lane")
+    assert m_lane.preconditioner == "auxgrid+lane"
+    b = m_ref.load_vector(jnp.ones(2 * n_side * n_side, jnp.float64))
+    x1, i1, r1 = m_ref.solve(b, rtol=1e-10, maxiter=300)
+    x2, i2, r2 = m_lane.solve(b, rtol=1e-10, maxiter=300)
+    assert float(r1) < 1e-9 and float(r2) < 1e-9
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=1e-7, atol=1e-10)
