@@ -1255,6 +1255,7 @@ def _general_gather_metrics(small, sink):
     ell_bytes = (MAXC * 12 + 10 * 4) * n_dofs
     sink.put(gen10m_ell_cg_iters_per_s=round(1.0 / t_iter, 2),
              gen10m_ell_gbps=round(ell_bytes / t_iter / 1e9, 1))
+    del op64, sys_ell  # conversions done: free the matfree form (HBM)
 
     # stage 5b: banded DIA + ELL-remainder split (ops/dia_split.py) — the
     # dominant offsets of the RCM-banded operator become STATIC 2D stencil
@@ -1315,6 +1316,7 @@ def _general_gather_metrics(small, sink):
         dia16_bytes = (L + 1) * RW * 2 + 10 * n_dofs * 4
         sink.put(gen10m_dia_bf16_cg_iters_per_s=round(1.0 / t16, 2),
                  gen10m_dia_bf16_gbps=round(dia16_bytes / t16 / 1e9, 1))
+        del S16, inv_d32
 
     # stage 5 (converged): ZERO-GATHER preconditioning — GridMG directly
     # on the (R, W) banded grid (ops/dia_split.BandedMGPreconditioner):
@@ -1362,6 +1364,10 @@ def _general_gather_metrics(small, sink):
             sink.put(gen10m_bmg_converged_solve_s=round(time.time() - t0, 3),
                      gen10m_bmg_converged_iters=int(info_b.iterations),
                      gen10m_bmg_converged_true_rel_res=relb)
+            # free the Poisson f64 forms before the advdiff build: the
+            # probe run OOM'd here with E64 + S64 + the advdiff operator
+            # + conversion transients live together (16 GB HBM)
+            del S64, E64, xb, info_b
 
             # stage 6: NON-SYMMETRIC at flagship scale (round-4 item 5):
             # tensor-K advection-diffusion-reaction on the SAME mesh —
@@ -1413,7 +1419,8 @@ def _general_gather_metrics(small, sink):
             sink.put(gen10m_advdiff_solve_s=round(time.time() - t0, 3),
                      gen10m_advdiff_iters=int(info_a.iterations),
                      gen10m_advdiff_true_rel_res=rela)
-            del op_adv, E_adv64, Sa64, sd, wadv, ra
+            del (op_adv, E_adv64, Sa64, sd, wadv, ra, x, y, c, S32, bmg,
+                 pre_bmg)
 
     # stage 6s: SCATTERED-numbering record (round-4 marquee). A
     # block-local multiplicative scramble applied SYMMETRICALLY spreads
@@ -1423,14 +1430,18 @@ def _general_gather_metrics(small, sink):
     # changes. The lane-routed pallas kernel is the candidate record;
     # the raw-ELL fallback rate equals gen10m_ell_cg_iters_per_s (the
     # XLA gather is locality-insensitive — micro_scatter_spmv.py D == E).
-    _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small)
+    # E32 rides in a box so the stage can FREE it after permuting (the
+    # scheduler's claim tables + routing tables need the HBM headroom).
+    box = [E32]
+    del E32
+    _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small)
 
     # stage 7 (full only): PRODUCT-API general elliptic at 1M+ dofs —
     # the same operator family through models/matfree.MatrixFreeElliptic
     # (fused round-4 constructor: ONE assembly+adjacency+ELL program, ONE
     # plan probe, ONE split+fold+coarsen program — SURVEY §5.4 setup cut).
     if not small:
-        del E32, E64, sys_ell, op64, adj, mask8
+        del adj, mask8
         from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
 
         n1 = 1024  # 1.05M dofs, 2.1M cells
@@ -1462,8 +1473,8 @@ def _general_gather_metrics(small, sink):
     sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
 
 
-def _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small):
-    """Scattered-numbering control operator + WindowedELL rate.
+def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
+    """Scattered-numbering control operator + lane-routed kernel rate.
 
     p(i) = blk*S + (g * (i mod S) mod S) — a symmetric permutation
     similarity with block-local multiplicative scrambling: the offset
@@ -1486,6 +1497,7 @@ def _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small):
     ITERS_SC = 40 if small else 8
 
     nfull = (n_dofs // S) * S  # identity on the trailing partial block
+    E32 = box.pop()  # sole owner: freed right after the permute
 
     @jax.jit
     def permute(E32, bnd):
@@ -1506,6 +1518,7 @@ def _scattered_control(sink, E32, bnd, n, n_dofs, MAXC, CH, small):
 
     vals_s, cols_s, bnd_s, bwd = permute(E32, bnd)
     Bsc = int(bwd)
+    del E32  # last reference: frees ~740 MB before the scheduler runs
     E_sc = ELLSoA(vals_s, cols_s, (n_dofs, n_dofs))
     Wp, _amax = plan_split_width(E_sc, bcap=16384)
     sink.put(gen10m_scat_plan_W=int(Wp or 0), gen10m_scat_bandwidth=Bsc)

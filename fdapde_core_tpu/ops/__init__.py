@@ -30,6 +30,8 @@ from .matfree_soa import (
     MatrixFreeSoA3D,
     ell_from_op_blocked,
 )
+from .pallas_gather_spmv import LaneRoutedELL
+from .window_spmv import WindowedELL
 
 __all__ = [
     "ELLMatrix",
@@ -39,6 +41,8 @@ __all__ = [
     "BandedMGPreconditioner3D",
     "BandedSplit",
     "BandedSplit3D",
+    "LaneRoutedELL",
+    "WindowedELL",
     "MatrixFreeLocal",
     "MatrixFreeSoA",
     "MatrixFreeSoA3D",
