@@ -60,17 +60,6 @@ C_CHUNKS = 3  # window = [g-1, g, g+1] tiles; requires bandwidth <= TILE
 # ---------------------------------------------------------------------------
 
 
-def _rank_within_sorted(key):
-    """rank[t] = position of t among equal keys (key ascending sort)."""
-    order = jnp.argsort(key)
-    skey = key[order]
-    first = jnp.searchsorted(skey, skey, side="left")
-    rank_sorted = jnp.arange(key.shape[0], dtype=jnp.int32) - first
-    rank = jnp.zeros_like(rank_sorted).at[order].set(
-        rank_sorted.astype(jnp.int32))
-    return rank
-
-
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _sched_prep(cols, vals, n, K, P_MAX):
     """Task geometry + initial state (one program)."""
@@ -99,14 +88,26 @@ def _sched_prep(cols, vals, n, K, P_MAX):
     r2 = ((wc // 128) % 128).astype(jnp.int32)
     c2 = (wc % 128).astype(jnp.int32)
 
-    # rank among the row's same-chunk tasks -> initial pass proposal
-    # (group key = (row, chunk); equal keys get ranks 0..group_size-1)
-    rank = _rank_within_sorted(
-        jnp.where(live, ii.astype(jnp.int64) * C_CHUNKS + c, jnp.int64(-1))
-    )
-    # per-task stride decorrelates colliding pairs across rounds (a
-    # uniform +t shift would keep rank collisions colliding forever)
-    stride = 1 + (ii * 7919 + kk * 104729) % (P_MAX - 1)
+    # rank among the row's same-chunk tasks -> initial pass proposal.
+    # Computed slot-against-slot (K^2/2 masked compares over (n,)):
+    # a 92M-element argsort here costs ~20 s on this hardware.
+    c2d = c.reshape(K, n)
+    live2d = live.reshape(K, n)
+    rank2d = jnp.zeros((K, n), jnp.int32)
+    for k in range(1, K):
+        acc = jnp.zeros((n,), jnp.int32)
+        for kp in range(k):
+            acc = acc + ((c2d[kp] == c2d[k]) & live2d[kp]).astype(
+                jnp.int32)
+        rank2d = rank2d.at[k].set(acc)
+    rank = rank2d.reshape(-1)
+    # stride is UNIFORM within each (row, chunk) group: distinct ranks
+    # then stay distinct mod P_MAX in every round, so two tasks of the
+    # same row can never propose the same sub-pass — (sp, a, m) position
+    # uniqueness holds BY CONSTRUCTION and the rounds need only the
+    # stage-1 (sp, a, r2) claim check. (A per-task stride would need a
+    # second 2.7 GB claim table per round at 10M rows.)
+    stride = 1 + (ii * 7919 + c * 104729) % (P_MAX - 1)
     placed = jnp.zeros_like(live)
     sp = jnp.zeros_like(c)
     return (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, overflow,
@@ -116,43 +117,64 @@ def _sched_prep(cols, vals, n, K, P_MAX):
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _sched_rounds(state, n, P_MAX, ROUNDS):
     """All placement rounds in ONE program (fori_loop over t). Winner
-    election per round via SCATTER-MAX claim tables + gather-back
-    compare: near-scalar but linear — an in-round 92M-element sort would
-    cost minutes at this hardware's gather/scatter rates. At 10.25M rows
-    a round costs ~3 s, so ROUNDS <= ~16 stays safely inside the ~60 s
-    executor watchdog while paying the compile roulette ONCE (the
-    host-driven per-round variant paid it per round: ~30 s x 12 on a bad
-    day, measured)."""
+    election per round via ONE scatter-max claim table + gather-back
+    compare — near-scalar but linear (an in-round 92M-element sort would
+    cost minutes at this hardware's gather/scatter rates, and the first
+    chip run proved per-round host-driven programs pay the compile
+    roulette 12x). Two watchdog-driven economies (a 12-round program
+    must stay well under the ~60 s executor kill):
+
+    - (sp, a, m) position uniqueness is FREE (see _sched_prep's stride
+      comment) — only the stage-1 (sp, a, r2) cell needs claiming;
+    - the claim table is allocated ONCE and never cleared: values carry
+      a (t+1) round prefix in the high bits, so the current round's
+      candidates always beat stale entries under max."""
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
     G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
     NCELL = G * SP * 128 * 128
-    tid = jnp.arange(live.shape[0], dtype=jnp.int32)
+    tid = jnp.arange(live.shape[0], dtype=jnp.int64)
     key_base = (ii // TILE).astype(jnp.int64) * SP  # g * SP
+    tbits = max(live.shape[0] - 1, 1).bit_length()  # tid bits
+
+    tab0 = jnp.full((NCELL + 1,), jnp.int64(-1))
+    # per-(row, chunk) CLAIMED-SLOT bitmask: within a round, distinct
+    # ranks + a group-uniform stride keep same-group proposals distinct,
+    # but ACROSS rounds a late winner can cycle onto a slot a sibling
+    # claimed earlier — each winner pins its p bit, and proposals onto
+    # pinned bits are filtered before the cell claim (each (group, p)
+    # bit is set at most once: same-round siblings never collide and
+    # filtered tasks never re-propose it, so .add is an exact OR)
+    gkey = ii * C_CHUNKS + c
+    NGRP = n * C_CHUNKS
+    slot0 = jnp.zeros((NGRP + 1,), jnp.int32)
 
     def one_round(t, st):
-        placed, sp = st
-        prop_sp = c * P_MAX + (rank + t * stride) % P_MAX
-        trying = live & ~placed
+        placed, sp, tab, slots = st
+        p_prop = (rank + t * stride) % P_MAX
+        prop_sp = c * P_MAX + p_prop
+        free_slot = (slots[gkey] >> p_prop) & 1 == 0
+        trying = live & ~placed & free_slot
         spx = jnp.where(placed, sp, prop_sp)
         active = placed | trying
-        packed = jnp.where(placed, tid | (1 << 30), tid)  # placed win
+        # (t+1) << (tbits+1) | placed << tbits | tid: current round beats
+        # stale rounds; placed tasks beat new proposals; tid tiebreaks
+        packed = (
+            (t.astype(jnp.int64) + 1) << (tbits + 1)
+        ) | (placed.astype(jnp.int64) << tbits) | tid
 
-        cell_pos = (((key_base + spx) * 128 + a) * 128 + m)
-        cell_tab = (((key_base + spx) * 128 + a) * 128 + r2)
-
-        def winners(cell):
-            idx = jnp.where(active, cell, NCELL)
-            tab = jnp.full((NCELL + 1,), -1, jnp.int32).at[idx].max(
-                packed, mode="drop")
-            return tab[jnp.clip(cell, 0, NCELL - 1)] == packed
-
-        ok = winners(cell_pos) & winners(cell_tab)
+        cell = (((key_base + spx) * 128 + a) * 128 + r2)
+        idx = jnp.where(active, cell, NCELL)
+        tab = tab.at[idx].max(packed, mode="drop")
+        ok = tab[jnp.clip(cell, 0, NCELL - 1)] == packed
         newly = trying & ok
         sp = jnp.where(newly, prop_sp, sp)
-        return placed | newly, sp
+        slots = slots.at[jnp.where(newly, gkey, NGRP)].add(
+            jnp.int32(1) << p_prop, mode="drop")
+        return placed | newly, sp, tab, slots
 
-    placed, sp = jax.lax.fori_loop(0, ROUNDS, one_round, (placed, sp))
+    placed, sp, _, _ = jax.lax.fori_loop(0, ROUNDS, one_round,
+                                         (placed, sp, tab0, slot0))
     return placed, sp
 
 
@@ -183,17 +205,24 @@ def _sched_tables(state, n, P_MAX):
         jnp.where(routed, idx_pos, NCELL)
     ].set(valsf, mode="drop")[:-1]
 
-    # remainder: unrouted live tasks sorted to the FRONT (the host picks
-    # a static compact length from n_rem; a full-width per-slot fallback
-    # would pay K*n near-scalar gathers per SpMV — the cost this kernel
-    # exists to avoid)
+    # remainder: unrouted live tasks compacted to the FRONT via a cumsum
+    # position scatter (an argsort over 92M tasks costs ~20 s here); the
+    # host picks a static compact length from n_rem — a full-width
+    # per-slot fallback would pay K*n near-scalar gathers per SpMV, the
+    # cost this kernel exists to avoid
     rem = live & ~placed
     NT = live.shape[0]
-    order = jnp.argsort(jnp.where(rem, jnp.arange(NT), NT))
+    pos = jnp.cumsum(rem.astype(jnp.int32)) - 1
+    idx_c = jnp.where(rem, pos, NT)
+    rii = jnp.zeros((NT + 1,), ii.dtype).at[idx_c].set(
+        ii, mode="drop")[:-1]
+    rcols = jnp.zeros((NT + 1,), colsf.dtype).at[idx_c].set(
+        colsf, mode="drop")[:-1]
+    rvals = jnp.zeros((NT + 1,), valsf.dtype).at[idx_c].set(
+        valsf, mode="drop")[:-1]
     n_rem = jnp.sum(rem)
     return (L1.reshape(G, SP, 128, 128), L2M.reshape(G, SP, 128, 128),
-            VALS.reshape(G, SP, 128, 128),
-            ii[order], colsf[order], valsf[order], n_rem)
+            VALS.reshape(G, SP, 128, 128), rii, rcols, rvals, n_rem)
 
 
 def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
@@ -347,6 +376,11 @@ class LaneRoutedELL:
             K = E.vals.shape[0]
             contention = K * TILE / (TILE + 2 * min(bandwidth, TILE))
             p_max = max(K + 1, int(contention * 2) + 2)
+        if p_max > 31:
+            raise ValueError(
+                f"p_max={p_max} exceeds the int32 slot-bitmask width "
+                "(rows with > 30 entries: stay on the plain ELL path)"
+            )
         L1, L2M, VALS, rem, over, n_rem = schedule_lane_routed(
             E, p_max, rounds)
         if bool(over):
