@@ -114,43 +114,38 @@ def _sched_prep(cols, vals, n, K, P_MAX):
             valsf, colsf)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _sched_rounds(state, n, P_MAX, ROUNDS):
-    """All placement rounds in ONE program (fori_loop over t). Winner
+@functools.partial(jax.jit, static_argnums=(3, 4, 5),
+                   donate_argnums=(1, 2))
+def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
+    """R_PER placement rounds per bounded program execution (a 12-round
+    program ran past the ~60 s executor watchdog at 10.25M rows and took
+    the worker down; ONE compile, ceil(ROUNDS/R_PER) executions). Winner
     election per round via ONE scatter-max claim table + gather-back
     compare — near-scalar but linear (an in-round 92M-element sort would
-    cost minutes at this hardware's gather/scatter rates, and the first
-    chip run proved per-round host-driven programs pay the compile
-    roulette 12x). Two watchdog-driven economies (a 12-round program
-    must stay well under the ~60 s executor kill):
+    cost minutes at this hardware's gather/scatter rates, and per-round
+    host-driven programs paid the compile roulette 12x, measured).
 
-    - (sp, a, m) position uniqueness is FREE (see _sched_prep's stride
-      comment) — only the stage-1 (sp, a, r2) cell needs claiming;
-    - the claim table is allocated ONCE and never cleared: values carry
-      a (t+1) round prefix in the high bits, so the current round's
-      candidates always beat stale entries under max."""
+    - (sp, a, m) position uniqueness: within a round it is structural
+      (per-group uniform strides, distinct ranks); ACROSS rounds each
+      winner pins its slot bit in the per-(row, chunk) bitmask `slots`
+      and proposals onto pinned bits are filtered out (each (group, p)
+      bit is set at most once, so .add is an exact OR);
+    - the claim table `tab` is allocated once and never cleared: values
+      carry a (t+1) round prefix in the high bits, so the current
+      round's candidates always beat stale entries under max; tab and
+      slots are DONATED across chunk calls (no 2.7 GB copies)."""
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
-    G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
-    NCELL = G * SP * 128 * 128
+    NCELL = tab.shape[0] - 1
+    NGRP = slots.shape[0] - 1
     tid = jnp.arange(live.shape[0], dtype=jnp.int64)
     key_base = (ii // TILE).astype(jnp.int64) * SP  # g * SP
     tbits = max(live.shape[0] - 1, 1).bit_length()  # tid bits
-
-    tab0 = jnp.full((NCELL + 1,), jnp.int64(-1))
-    # per-(row, chunk) CLAIMED-SLOT bitmask: within a round, distinct
-    # ranks + a group-uniform stride keep same-group proposals distinct,
-    # but ACROSS rounds a late winner can cycle onto a slot a sibling
-    # claimed earlier — each winner pins its p bit, and proposals onto
-    # pinned bits are filtered before the cell claim (each (group, p)
-    # bit is set at most once: same-round siblings never collide and
-    # filtered tasks never re-propose it, so .add is an exact OR)
     gkey = ii * C_CHUNKS + c
-    NGRP = n * C_CHUNKS
-    slot0 = jnp.zeros((NGRP + 1,), jnp.int32)
 
-    def one_round(t, st):
+    def one_round(k, st):
         placed, sp, tab, slots = st
+        t = t0 + k
         p_prop = (rank + t * stride) % P_MAX
         prop_sp = c * P_MAX + p_prop
         free_slot = (slots[gkey] >> p_prop) & 1 == 0
@@ -173,9 +168,17 @@ def _sched_rounds(state, n, P_MAX, ROUNDS):
             jnp.int32(1) << p_prop, mode="drop")
         return placed | newly, sp, tab, slots
 
-    placed, sp, _, _ = jax.lax.fori_loop(0, ROUNDS, one_round,
-                                         (placed, sp, tab0, slot0))
-    return placed, sp
+    placed, sp, tab, slots = jax.lax.fori_loop(
+        0, R_PER, one_round, (placed, sp, tab, slots))
+    return placed, sp, tab, slots
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _sched_alloc(v, ncell, ngrp):
+    """Claim-table allocation (v traced: a nullary jit would constant-
+    fold 2.7 GB of -1s into a program literal on this harness)."""
+    return (jnp.full((ncell + 1,), v, jnp.int64),
+            jnp.zeros((ngrp + 1,), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -234,9 +237,16 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
      colsf) = _sched_prep(E.cols, E.vals, n, K, p_max)
     if bool(over):
         return None, None, None, None, True, -1
-    placed, sp = _sched_rounds(
-        (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
-        n, p_max, rounds)
+    G = -(-n // TILE)
+    ncell = G * C_CHUNKS * p_max * 128 * 128
+    tab, slots = _sched_alloc(jnp.int64(-1), ncell, n * C_CHUNKS)
+    R_PER = 4
+    for t0 in range(0, rounds, R_PER):
+        placed, sp, tab, slots = _sched_rounds_chunk(
+            (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
+            tab, slots, n, p_max, min(R_PER, rounds - t0),
+            jnp.int32(t0))
+    del tab, slots
     L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
         (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, valsf,
          colsf), n, p_max)
