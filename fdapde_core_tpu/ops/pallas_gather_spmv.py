@@ -158,7 +158,8 @@ def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
             (t.astype(jnp.int64) + 1) << (tbits + 1)
         ) | (placed.astype(jnp.int64) << tbits) | tid
 
-        cell = (((key_base + spx) * 128 + a) * 128 + r2)
+        # cell ids fit int32 (NCELL < 2^31 at any supported size)
+        cell = (((key_base + spx) * 128 + a) * 128 + r2).astype(jnp.int32)
         idx = jnp.where(active, cell, NCELL)
         tab = tab.at[idx].max(packed, mode="drop")
         ok = tab[jnp.clip(cell, 0, NCELL - 1)] == packed
@@ -183,9 +184,10 @@ def _sched_alloc(v, ncell, ngrp):
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _sched_tables(state, n, P_MAX):
-    """Final table scatters + remainder compaction order (one program)."""
-    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, valsf,
-     colsf) = state
+    """Final table scatters + remainder compaction order (one program).
+    Cell indices are int32 and the input tuple carries only what the
+    scatters read — the int64 variant OOM'd 16 GB HBM at 10.25M rows."""
+    (ii, a, m, r2, c2, live, placed, sp, valsf, colsf) = state
     dtype_vals = valsf.dtype
     G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
@@ -195,12 +197,12 @@ def _sched_tables(state, n, P_MAX):
 
     # L1 is indexed [r2, a] (stage-1 reads A[r2, a] = Xc[r2, L1[r2, a]]);
     # unrouted writes go to a trap cell past the end; c2/r2 fit int8
-    idx_tab = ((key_base + sp) * 128 + r2) * 128 + a
+    idx_tab = (((key_base + sp) * 128 + r2) * 128 + a).astype(jnp.int32)
     L1 = jnp.full((NCELL + 1,), 0, jnp.int8).at[
         jnp.where(routed, idx_tab, NCELL)
     ].set(c2.astype(jnp.int8), mode="drop")[:-1]
 
-    idx_pos = ((key_base + sp) * 128 + a) * 128 + m
+    idx_pos = (((key_base + sp) * 128 + a) * 128 + m).astype(jnp.int32)
     L2M = jnp.full((NCELL + 1,), -1, jnp.int8).at[
         jnp.where(routed, idx_pos, NCELL)
     ].set(r2.astype(jnp.int8), mode="drop")[:-1]
@@ -246,10 +248,9 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
             (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
             tab, slots, n, p_max, min(R_PER, rounds - t0),
             jnp.int32(t0))
-    del tab, slots
+    del tab, slots, c, rank, stride
     L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
-        (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, valsf,
-         colsf), n, p_max)
+        (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max)
     nr = int(n_rem)
     L = max(128, 1 << (nr - 1).bit_length()) if nr else 128
     rem = jax.jit(
