@@ -72,23 +72,26 @@ T_START = time.time()
 # TAIL, never the story (r03 lesson: per-process first-program compile
 # roulette can eat ~10 min per group)
 # order = priority: the r04 "Done" criterion names structured + gen10m +
-# gen3d + spacetime; `general` (whose r03 capture is already complete and
-# clean) is the sacrificial tail, with its round-4 P2 stage FIRST inside
-# the group so a cap kill still records it
-GROUPS = ("structured", "gen10m", "gen3d", "spacetime", "general")
+# gen3d + spacetime + the scattered record; `genscat` (the lane-routed
+# kernel stage) runs as its OWN group so a gen10m cap kill cannot take
+# it down; `general` (whose r03 capture is already complete and clean)
+# is the sacrificial tail, with its round-4 P2 stage FIRST inside the
+# group so a cap kill still records it
+GROUPS = ("structured", "gen10m", "gen3d", "genscat", "spacetime",
+          "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
 # Budgeted against the DRIVER's observed ~1800 s kill (r03 rc=124 at
 # ~1800 s while the old TOTAL_BUDGET_S=3600 paced for twice that): every
 # gate leaves the group enough room to finish inside TOTAL_BUDGET_S.
-GATES = {"structured": 10**9, "gen10m": 700, "gen3d": 1290,
-         "spacetime": 1380, "general": 1450}
+GATES = {"structured": 10**9, "gen10m": 700, "gen3d": 1160,
+         "genscat": 1290, "spacetime": 1450, "general": 1500}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 330, "spacetime": 240,
-        "gen10m": 600, "gen3d": 330}
+        "gen10m": 550, "gen3d": 330, "genscat": 330}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
-              "gen10m": 500, "gen3d": 400}
+              "gen10m": 500, "gen3d": 400, "genscat": 400}
 
 DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
 ABORT_GBPS = 120.0  # r02's sick worker ran ~9x slow (~70 GB/s class)
@@ -146,6 +149,8 @@ HEADLINE_KEYS = (
     "unstr_converged_solve_s", "unstr_converged_true_rel_res",
     "gen10m_n_dofs", "gen10m_ell_convert_s", "gen10m_ell_cg_iters_per_s",
     "gen10m_dia_cg_iters_per_s", "gen10m_scat_cg_iters_per_s",
+    "gen10m_scat_ell_cg_iters_per_s", "gen10m_scat_lane_setup_s",
+    "gen10m_scat_lane_parity", "gen10m_scat_bandwidth",
     "gen10m_bmg_converged_solve_s", "gen10m_bmg_converged_iters",
     "gen10m_bmg_converged_true_rel_res",
     "gen10m_advdiff_solve_s", "gen10m_advdiff_iters",
@@ -310,6 +315,7 @@ def child_main(group, small, outpath):
         "spacetime": _space_time_metrics,
         "gen10m": _general_gather_metrics,
         "gen3d": _gen3d_metrics,
+        "genscat": _genscat_metrics,
     }[group]
     fn(small, sink)
 
@@ -1422,20 +1428,6 @@ def _general_gather_metrics(small, sink):
             del (op_adv, E_adv64, Sa64, sd, wadv, ra, x, y, c, S32, bmg,
                  pre_bmg)
 
-    # stage 6s: SCATTERED-numbering record (round-4 marquee). A
-    # block-local multiplicative scramble applied SYMMETRICALLY spreads
-    # the offset histogram across the whole +-(B + 2S) band — the class
-    # plan_split_width rejects and an imported mesh lands in after RCM.
-    # Permutation similarity: same spectrum, only gather locality
-    # changes. The lane-routed pallas kernel is the candidate record;
-    # the raw-ELL fallback rate equals gen10m_ell_cg_iters_per_s (the
-    # XLA gather is locality-insensitive — micro_scatter_spmv.py D == E).
-    # E32 rides in a box so the stage can FREE it after permuting (the
-    # scheduler's claim tables + routing tables need the HBM headroom).
-    box = [E32]
-    del E32
-    _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small)
-
     # stage 7 (full only): PRODUCT-API general elliptic at 1M+ dofs —
     # the same operator family through models/matfree.MatrixFreeElliptic
     # (fused round-4 constructor: ONE assembly+adjacency+ELL program, ONE
@@ -1471,6 +1463,67 @@ def _general_gather_metrics(small, sink):
                  gen1m_advdiff_true_rel_res=float(rel1))
 
     sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
+
+
+def _genscat_metrics(small, sink):
+    """SCATTERED-numbering record (the round-4 marquee kernel), as its
+    OWN group: rebuilds the f32 operator (mesh + local assembly +
+    adjacency + blocked ELL — bounded programs) and runs the scattered
+    control so a gen10m wall-cap kill cannot take this stage with it.
+    A block-local multiplicative scramble applied SYMMETRICALLY spreads
+    the offset histogram across the whole +-(B + 2S) band — the class
+    plan_split_width rejects and an imported mesh lands in after RCM.
+    Permutation similarity: same spectrum, only gather locality changes.
+    The raw-ELL fallback rate equals gen10m_ell_cg_iters_per_s (XLA
+    gathers are locality-insensitive — micro_scatter_spmv.py D == E)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.ops.matfree_soa import (
+        MatrixFreeSoA,
+        build_adjacency_soa,
+        ell_from_op_blocked,
+        p1_offdiag_soa,
+    )
+
+    t_sec = time.time()
+    n = 256 if small else 3200
+    n_dofs = (n + 1) ** 2
+    MAXC = 9
+    CH = 4
+    sink.put(genscat_n_dofs=n_dofs)
+
+    @jax.jit
+    def build(amp):
+        x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+            n, amp, dtype=jnp.float64)
+        s01, s02, s12 = p1_offdiag_soa(x, y, c0, c1, c2)
+        s = jnp.stack([s01, s02, s12]).astype(jnp.float32)
+        c = jnp.stack([c0, c1, c2])
+        adj, mask, over = build_adjacency_soa(
+            c.reshape(-1), n_dofs, 8)
+        return s, c, adj, mask, bnd, over.astype(jnp.int32)
+
+    s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
+    int(over)
+    t0 = time.time()
+    s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
+    int(over)
+    sink.put(genscat_build_s=round(time.time() - t0, 3))
+
+    op32 = MatrixFreeSoA(s, c, adj, mask8, n_dofs)
+    t0 = time.time()
+    E32, overe = ell_from_op_blocked(op32, MAXC, blocks=8 if not small
+                                     else 2)
+    int(overe)
+    sink.put(genscat_ell_convert_s=round(time.time() - t0, 3))
+    del op32, s, c, adj, mask8
+
+    box = [E32]
+    del E32
+    _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small)
+    sink.put(genscat_section_s=round(time.time() - t_sec, 1))
 
 
 def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):

@@ -140,7 +140,6 @@ def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
     NGRP = slots.shape[0] - 1
     tid = jnp.arange(live.shape[0], dtype=jnp.int64)
     key_base = (ii // TILE).astype(jnp.int64) * SP  # g * SP
-    tbits = max(live.shape[0] - 1, 1).bit_length()  # tid bits
     gkey = ii * C_CHUNKS + c
 
     def one_round(k, st):
@@ -152,11 +151,14 @@ def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
         trying = live & ~placed & free_slot
         spx = jnp.where(placed, sp, prop_sp)
         active = placed | trying
-        # (t+1) << (tbits+1) | placed << tbits | tid: current round beats
-        # stale rounds; placed tasks beat new proposals; tid tiebreaks
+        # placed << 62 | (t+1) << 28 | tid (tid width FIXED at 27 bits so
+        # values compare consistently across full-size and compacted
+        # phases): placed claims dominate every later round; within a
+        # round the (t+1) prefix beats stale entries; tid tiebreaks
         packed = (
-            (t.astype(jnp.int64) + 1) << (tbits + 1)
-        ) | (placed.astype(jnp.int64) << tbits) | tid
+            (placed.astype(jnp.int64) << 62)
+            | ((t.astype(jnp.int64) + 1) << 28) | tid
+        )
 
         # cell ids fit int32 (NCELL < 2^31 at any supported size)
         cell = (((key_base + spx) * 128 + a) * 128 + r2).astype(jnp.int32)
@@ -180,6 +182,67 @@ def _sched_alloc(v, ncell, ngrp):
     fold 2.7 GB of -1s into a program literal on this harness)."""
     return (jnp.full((ncell + 1,), v, jnp.int64),
             jnp.zeros((ngrp + 1,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+def _reassert_claims(tab, state, placed, sp, P_MAX):
+    """Pin every placed task's cell with a dominant placed-bit value.
+
+    A task that wins in the LAST round of a program never re-asserts its
+    claim (re-assertion happens via participation in subsequent rounds),
+    and the compacted phase-2 arrays exclude placed tasks entirely — a
+    later round's (t+1)-prefixed candidate would override the stale
+    trying-value and steal the cell. One scatter-max fixes the invariant
+    for every placed task at once."""
+    (ii, a, m, c, r2, c2, rank, stride, live) = state
+    SP = C_CHUNKS * P_MAX
+    NCELL = tab.shape[0] - 1
+    tid = jnp.arange(live.shape[0], dtype=jnp.int64)
+    key_base = (ii // TILE).astype(jnp.int64) * SP
+    cell = (((key_base + sp) * 128 + a) * 128 + r2).astype(jnp.int32)
+    idx = jnp.where(placed & live, cell, NCELL)
+    packed = (jnp.int64(1) << 62) | tid
+    return tab.at[idx].max(packed, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _compact_unplaced(state, L):
+    """Gather the unplaced-task subset into padded length-L arrays.
+
+    A round's scatter/gather cost is proportional to the ACTIVE task
+    count, and ~90% of tasks place within the first two full-size rounds
+    (measured) while a full-size round costs ~17 s at 10.25M rows — the
+    remaining rounds run on this compacted subset instead. Returns the
+    compacted 11-tuple + the back-scatter indices (tid of each compacted
+    task; padding entries carry live=False and back index NT)."""
+    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
+    NT = live.shape[0]
+    remt = live & ~placed
+    pos = jnp.cumsum(remt.astype(jnp.int32)) - 1
+    idx = jnp.where(remt & (pos < L), pos, L)
+
+    def put(arr, fill):
+        return jnp.full((L + 1,), fill, arr.dtype).at[idx].set(
+            arr, mode="drop")[:-1]
+
+    back = put(jnp.arange(NT, dtype=jnp.int32), NT)
+    lv = put(remt, False)
+    stc = (put(ii, 0), put(a, 0), put(m, 0), put(c, 0), put(r2, 0),
+           put(c2, 0), put(rank, 0), put(stride, 1), lv,
+           jnp.zeros((L,), bool), put(sp, 0))
+    n_over = jnp.sum(remt) - jnp.sum(lv)  # tasks beyond L (stay rem)
+    return stc, back, n_over
+
+
+@jax.jit
+def _merge_back(placed, sp, placed_c, sp_c, back):
+    """Scatter the compacted subset's placements into the full arrays
+    (non-placed entries target index NT -> dropped out-of-bounds)."""
+    NT = placed.shape[0]
+    idx = jnp.where(placed_c, back, NT)
+    placed = placed.at[idx].set(True, mode="drop")
+    sp = sp.at[idx].set(sp_c, mode="drop")
+    return placed, sp
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -242,12 +305,31 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
     G = -(-n // TILE)
     ncell = G * C_CHUNKS * p_max * 128 * 128
     tab, slots = _sched_alloc(jnp.int64(-1), ncell, n * C_CHUNKS)
-    R_PER = 4
-    for t0 in range(0, rounds, R_PER):
-        placed, sp, tab, slots = _sched_rounds_chunk(
-            (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
-            tab, slots, n, p_max, min(R_PER, rounds - t0),
-            jnp.int32(t0))
+    # phase 1: TWO full-size rounds (~17 s/round at 10.25M rows — the
+    # watchdog allows at most 2-3 per program), placing ~90% of tasks
+    FULL_ROUNDS = min(2, rounds)
+    placed, sp, tab, slots = _sched_rounds_chunk(
+        (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
+        tab, slots, n, p_max, FULL_ROUNDS, jnp.int32(0))
+    if rounds > FULL_ROUNDS:
+        # phase 2: remaining rounds on the COMPACTED unplaced subset
+        # (round cost is proportional to the active task count); placed
+        # tasks first pin their cells with dominant values — they no
+        # longer participate to defend them
+        tab = _reassert_claims(
+            tab, (ii, a, m, c, r2, c2, rank, stride, live), placed, sp,
+            p_max)
+        n_left = int(jnp.sum(live & ~placed))
+        L = max(1 << 14, 1 << max(n_left - 1, 1).bit_length())
+        state_c, back, n_over = _compact_unplaced(
+            (ii, a, m, c, r2, c2, rank, stride, live, placed, sp), L)
+        placed_c, sp_c = state_c[9], state_c[10]
+        R2 = 4  # bounded even if the compacted subset stays large
+        for t0 in range(FULL_ROUNDS, rounds, R2):
+            placed_c, sp_c, tab, slots = _sched_rounds_chunk(
+                state_c[:9] + (placed_c, sp_c), tab, slots, n, p_max,
+                min(R2, rounds - t0), jnp.int32(t0))
+        placed, sp = _merge_back(placed, sp, placed_c, sp_c, back)
     del tab, slots, c, rank, stride
     L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
         (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max)
