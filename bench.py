@@ -88,7 +88,7 @@ GATES = {"structured": 10**9, "gen10m": 700, "gen3d": 1160,
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
-CAPS = {"structured": 420, "general": 330, "spacetime": 240,
+CAPS = {"structured": 470, "general": 330, "spacetime": 240,
         "gen10m": 550, "gen3d": 330, "genscat": 330}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 400}
@@ -116,11 +116,12 @@ def _run_group(group, small):
         os.remove(path)
     except OSError:
         pass
-    cmd = [sys.executable, "-u", __file__, "--group", group, "--out", path]
-    if small:
-        cmd.append("--small")
     cap = (CAPS_SMALL if small else CAPS)[group]
     cap = min(cap, max(120, TOTAL_BUDGET_S - elapsed()))
+    cmd = [sys.executable, "-u", __file__, "--group", group, "--out", path,
+           "--budget", str(max(60, cap - 20))]
+    if small:
+        cmd.append("--small")
     try:
         p = subprocess.run(cmd, capture_output=True, text=True, timeout=cap)
         rc = p.returncode
@@ -173,6 +174,11 @@ def orchestrate(small):
             out[f"{group}_skipped_s"] = round(elapsed(), 1)
             continue
         res, err = _run_group(group, small)
+        if err and "rc=4" in err and len(res) >= 5:
+            # cooperative budget stop with partial results: not an error,
+            # no retry — the child flushed its sink and exited cleanly
+            out[f"{group}_budget_stopped"] = True
+            err = None
         # one retry on a fresh worker connection: crash, wall cap, or
         # degraded-bandwidth flag (the r02 failure mode)
         if err or res.get("degraded_worker"):
@@ -223,13 +229,24 @@ def orchestrate(small):
 # --------------------------------------------------------------------------
 
 
+class BudgetUp(Exception):
+    """Raised by Sink.put when the child's wall budget is spent: the
+    child exits CLEANLY at a stage boundary (rc=4, connection idle)
+    instead of being SIGKILLed mid-request by the parent's cap — a
+    mid-request kill can leave the remote worker wedged for the next
+    child (measured: the r04 rehearsal's structured cap-kill was
+    followed by two 420 s probe wedges that burned the gen10m cap)."""
+
+
 class Sink(dict):
     """Metrics dict persisted to the out-file after every stage, so a
     mid-group worker crash still surfaces everything measured so far."""
 
-    def __init__(self, path):
+    def __init__(self, path, budget=None):
         super().__init__()
         self.path = path
+        self.budget = budget
+        self.t0 = time.time()
 
     def put(self, **kw):
         self.update(kw)
@@ -238,6 +255,8 @@ class Sink(dict):
             with open(tmp, "w") as f:
                 json.dump(dict(self), f)
             os.replace(tmp, self.path)
+        if self.budget and time.time() - self.t0 > self.budget:
+            raise BudgetUp()
 
 
 def _health_probe(sink, prefix):
@@ -281,28 +300,29 @@ def _health_probe(sink, prefix):
     return gbps
 
 
-def child_main(group, small, outpath):
+def child_main(group, small, outpath, budget=None):
     # env must be set before jax import (the axon sitecustomize pins the
     # platform; FDAPDE_TPU_X64 is read at package import)
     os.environ["FDAPDE_TPU_X64"] = "0" if group == "structured" else "1"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fdapde_jax_cache")
     import jax
 
-    sink = Sink(outpath)
+    sink = Sink(outpath, budget=budget)
     if group == "structured":
         sink.put(device=str(jax.devices()[0]))
     if jax.devices()[0].platform != "cpu":  # thresholds are TPU-calibrated
         # wedge guard: a first remote request can HANG forever (observed:
         # 20+ min, burning the whole group cap). Healthy probe first-exec
-        # latencies run 3-60 s; past 420 s assume a wedged connection and
-        # exit(3) so the parent retries on a fresh process ~10 min sooner.
+        # latencies run 3-60 s (rarely ~440 s); past 300 s assume a wedge
+        # and exit(3) — a false positive just re-rolls the roulette on a
+        # fresh process, which beats waiting out a real wedge.
         import threading
 
         def _wedged():
             sink.put(**{group + "_probe_wedged": True})
             os._exit(3)
 
-        guard = threading.Timer(420.0, _wedged)
+        guard = threading.Timer(300.0, _wedged)
         guard.daemon = True
         guard.start()
         gbps = _health_probe(sink, "" if group == "structured" else group + "_")
@@ -317,7 +337,12 @@ def child_main(group, small, outpath):
         "gen3d": _gen3d_metrics,
         "genscat": _genscat_metrics,
     }[group]
-    fn(small, sink)
+    try:
+        fn(small, sink)
+    except BudgetUp:
+        sink.put(**{group + "_budget_stop_s": round(time.time() - sink.t0,
+                                                    1)})
+        sys.exit(4)  # clean partial: connection idle, sink flushed
 
 
 # --------------------------------------------------------------------------
@@ -1780,7 +1805,9 @@ def main():
     if "--group" in argv:
         group = argv[argv.index("--group") + 1]
         out = argv[argv.index("--out") + 1] if "--out" in argv else None
-        child_main(group, small, out)
+        budget = (float(argv[argv.index("--budget") + 1])
+                  if "--budget" in argv else None)
+        child_main(group, small, out, budget)
     else:
         orchestrate(small)
 
