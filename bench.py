@@ -77,14 +77,14 @@ T_START = time.time()
 # it down; `general` (whose r03 capture is already complete and clean)
 # is the sacrificial tail, with its round-4 P2 stage FIRST inside the
 # group so a cap kill still records it
-GROUPS = ("structured", "gen10m", "gen3d", "genscat", "spacetime",
+GROUPS = ("structured", "gen10m", "genscat", "gen3d", "spacetime",
           "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
 # Budgeted against the DRIVER's observed ~1800 s kill (r03 rc=124 at
 # ~1800 s while the old TOTAL_BUDGET_S=3600 paced for twice that): every
 # gate leaves the group enough room to finish inside TOTAL_BUDGET_S.
-GATES = {"structured": 10**9, "gen10m": 700, "gen3d": 1160,
-         "genscat": 1290, "spacetime": 1450, "general": 1500}
+GATES = {"structured": 10**9, "gen10m": 700, "genscat": 1160,
+         "gen3d": 1360, "spacetime": 1500, "general": 1560}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
@@ -106,7 +106,7 @@ def elapsed():
 # --------------------------------------------------------------------------
 
 
-TOTAL_BUDGET_S = 1620  # hard bound on orchestrator wall time: the DRIVER
+TOTAL_BUDGET_S = 1680  # hard bound on orchestrator wall time: the DRIVER
 # kills the bench process at ~1800 s (measured r03); pace well inside it
 
 
