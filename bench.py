@@ -119,7 +119,7 @@ def _run_group(group, small):
     cap = (CAPS_SMALL if small else CAPS)[group]
     cap = min(cap, max(120, TOTAL_BUDGET_S - elapsed()))
     cmd = [sys.executable, "-u", __file__, "--group", group, "--out", path,
-           "--budget", str(max(60, cap - 20))]
+           "--budget", str(max(60, cap - 60))]
     if small:
         cmd.append("--small")
     try:
