@@ -89,7 +89,7 @@ GATES = {"structured": 10**9, "gen10m": 700, "genscat": 1160,
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 470, "general": 330, "spacetime": 240,
-        "gen10m": 550, "gen3d": 330, "genscat": 330}
+        "gen10m": 520, "gen3d": 330, "genscat": 390}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 400}
 

@@ -110,8 +110,12 @@ def _sched_prep(cols, vals, n, K, P_MAX):
     stride = 1 + (ii * 7919 + c * 104729) % (P_MAX - 1)
     placed = jnp.zeros_like(live)
     sp = jnp.zeros_like(c)
+    G = -(-n // TILE)
+    ncell = G * C_CHUNKS * P_MAX * 128 * 128
+    tab = jnp.full((ncell + 1,), jnp.int64(-1))
+    slots = jnp.zeros((n * C_CHUNKS + 1,), jnp.int32)
     return (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, overflow,
-            valsf, colsf)
+            valsf, colsf, tab, slots)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5),
@@ -174,14 +178,6 @@ def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
     placed, sp, tab, slots = jax.lax.fori_loop(
         0, R_PER, one_round, (placed, sp, tab, slots))
     return placed, sp, tab, slots
-
-
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _sched_alloc(v, ncell, ngrp):
-    """Claim-table allocation (v traced: a nullary jit would constant-
-    fold 2.7 GB of -1s into a program literal on this harness)."""
-    return (jnp.full((ncell + 1,), v, jnp.int64),
-            jnp.zeros((ngrp + 1,), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
@@ -299,12 +295,9 @@ def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
     the remainder is compacted to a COO triple of host-chosen length."""
     K, n = E.vals.shape
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, over, valsf,
-     colsf) = _sched_prep(E.cols, E.vals, n, K, p_max)
+     colsf, tab, slots) = _sched_prep(E.cols, E.vals, n, K, p_max)
     if bool(over):
         return None, None, None, None, True, -1
-    G = -(-n // TILE)
-    ncell = G * C_CHUNKS * p_max * 128 * 128
-    tab, slots = _sched_alloc(jnp.int64(-1), ncell, n * C_CHUNKS)
     # phase 1: TWO full-size rounds (~17 s/round at 10.25M rows — the
     # watchdog allows at most 2-3 per program), placing ~90% of tasks
     FULL_ROUNDS = min(2, rounds)
