@@ -340,6 +340,7 @@ def child_main(group, small, outpath, budget=None):
     try:
         fn(small, sink)
     except BudgetUp:
+        sink.budget = None  # the handler's own flush must not re-raise
         sink.put(**{group + "_budget_stop_s": round(time.time() - sink.t0,
                                                     1)})
         sys.exit(4)  # clean partial: connection idle, sink flushed
