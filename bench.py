@@ -1625,15 +1625,14 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
 
     t0 = time.time()
     lane = LaneRoutedELL.from_ell(E_sc, bandwidth=Bsc)
-    perr = float(jax.jit(
-        lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
-    )(lane, E_sc, rhs_sc))
     sink.put(gen10m_scat_lane_setup_s=round(time.time() - t0, 2),
              gen10m_scat_lane_p_max=lane.p_max,
              gen10m_scat_lane_rem_frac=round(
-                 lane.n_remainder / (MAXC * n_dofs), 4),
-             gen10m_scat_lane_parity=perr)
+                 lane.n_remainder / (MAXC * n_dofs), 4))
 
+    # the RATE is the record — measure it before the parity program (a
+    # budget stop between them must not eat the headline; parity is also
+    # pinned by the test suite and the solo-probe captures)
     sys_l = DirichletSystem(lane, bnd_s)
     ITERS_LN = ITERS_SC if small else 40
     cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
@@ -1643,6 +1642,11 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
     sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
              gen10m_scat_gbps=round(
                  (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
+
+    perr = float(jax.jit(
+        lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
+    )(lane, E_sc, rhs_sc))
+    sink.put(gen10m_scat_lane_parity=perr)
 
 
 # --------------------------------------------------------------------------
