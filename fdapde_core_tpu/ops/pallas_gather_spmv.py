@@ -58,16 +58,109 @@ C_CHUNKS = 3  # window = [g-1, g, g+1] tiles; requires bandwidth <= TILE
 # ---------------------------------------------------------------------------
 # scheduler (device, one-time per operator)
 # ---------------------------------------------------------------------------
+#
+# The build runs as FOUR bounded device programs (the round-4 build ran
+# ~10 — on this harness EVERY program's first execution pays a 1-300 s
+# remote-compile/queue roulette, which dominated the 176 s r04 setup):
+#   phase 1: task prep + R1 full-size rounds + claim reassert + count
+#   phase 2: compact unplaced subset + rounds + merge back + count
+#            (called twice: the subset shrinks ~10x per call)
+#   phase 3: final table scatters + remainder compaction + count
+#   phase 4: remainder slice to a host-chosen static length
+#
+# Claim values are INT32 (the int64 scatter-max was the round-cost
+# dominator at ~17 s/full-size round): within a round, two contenders on
+# the same claim cell (g, sp, a, r2) always differ in their sublane
+# position m — same (g, a, m) identifies the dof row, and same-row tasks
+# in the same chunk carry distinct ranks, hence distinct sub-pass
+# proposals when P_MAX > K (enforced) — so `placed<<13 | (t+1)<<7 | m`
+# (14 bits) is unique among a cell's same-round contenders, dominates
+# stale rounds via the (t+1) prefix, and placed claims dominate
+# everything via bit 13. No task-id tiebreak, no int64 anywhere (the
+# scheduler now runs identically with jax x64 disabled).
+
+_MAX_ROUNDS = 62  # (t+1) must fit 6 bits in the int32 claim packing
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _sched_prep(cols, vals, n, K, P_MAX):
-    """Task geometry + initial state (one program)."""
+def _pack_claim(placed, t, m):
+    return ((placed.astype(jnp.int32) << 13)
+            | ((t + jnp.int32(1)) << 7) | m)
+
+
+def _rounds_body(state9, placed, sp, tab, slots, P_MAX, R_PER, t0):
+    """R_PER placement rounds (traced helper — callers fuse it into one
+    bounded program; a 12-round full-size program ran past the ~60 s
+    executor watchdog at 10.25M rows and took the worker down).
+
+    Winner election per round: ONE int32 scatter-max claim table +
+    gather-back compare — near-scalar but linear (an in-round 92M-element
+    sort would cost minutes at this hardware's gather/scatter rates).
+
+    - (sp, a, m) position uniqueness: within a round it is structural
+      (per-group uniform strides, distinct ranks); ACROSS rounds each
+      winner pins its slot bit in the per-(row, chunk) bitmask `slots`
+      and proposals onto pinned bits are filtered out (each (group, p)
+      bit is set at most once, so .add is an exact OR);
+    - the claim table `tab` is allocated once and never cleared: values
+      carry a (t+1) round prefix, so the current round's candidates
+      always beat stale entries under max."""
+    (ii, a, m, c, r2, rank, stride, live, gkey) = state9
+    SP = C_CHUNKS * P_MAX
+    NCELL = tab.shape[0] - 1
+    NGRP = slots.shape[0] - 1
+    key_base = (ii // TILE) * SP  # g * SP
+
+    def one_round(k, st):
+        placed, sp, tab, slots = st
+        t = t0 + k
+        p_prop = (rank + t * stride) % P_MAX
+        prop_sp = c * P_MAX + p_prop
+        free_slot = (slots[gkey] >> p_prop) & 1 == 0
+        trying = live & ~placed & free_slot
+        spx = jnp.where(placed, sp, prop_sp)
+        active = placed | trying
+        packed = _pack_claim(placed, t, m)
+
+        # cell ids fit int32 (NCELL < 2^31 at any supported size)
+        cell = ((key_base + spx) * 128 + a) * 128 + r2
+        idx = jnp.where(active, cell, NCELL)
+        tab = tab.at[idx].max(packed, mode="drop")
+        ok = tab[jnp.clip(cell, 0, NCELL - 1)] == packed
+        newly = trying & ok
+        sp = jnp.where(newly, prop_sp, sp)
+        slots = slots.at[jnp.where(newly, gkey, NGRP)].add(
+            jnp.int32(1) << p_prop, mode="drop")
+        return placed | newly, sp, tab, slots
+
+    return jax.lax.fori_loop(0, R_PER, one_round,
+                             (placed, sp, tab, slots))
+
+
+def _reassert_claims(tab, ii, a, m, r2, live, placed, sp, P_MAX):
+    """Pin every placed task's cell with a dominant placed-bit value.
+
+    A task that wins in the LAST round of a program never re-asserts its
+    claim (re-assertion happens via participation in subsequent rounds),
+    and the compacted phase-2 arrays exclude placed tasks entirely — a
+    later round's (t+1)-prefixed candidate would override the stale
+    trying-value and steal the cell. One scatter-max fixes the invariant
+    for every placed task at once."""
+    SP = C_CHUNKS * P_MAX
+    NCELL = tab.shape[0] - 1
+    key_base = (ii // TILE) * SP
+    cell = ((key_base + sp) * 128 + a) * 128 + r2
+    idx = jnp.where(placed & live, cell, NCELL)
+    return tab.at[idx].max((jnp.int32(1) << 13) | m, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sched_phase1(cols, vals, n, K, P_MAX, R1):
+    """Task geometry + R1 full-size rounds + reassert + unplaced count,
+    fused into ONE bounded program (~25-30 s at 10.25M rows)."""
     i = jnp.arange(n, dtype=jnp.int32)
     colsf = cols.reshape(-1)  # (K*n,) slot-major
     valsf = vals.reshape(-1)
     ii = jnp.tile(i, (K,))
-    kk = jnp.repeat(jnp.arange(K, dtype=jnp.int32), n)
     live = valsf != 0.0  # ELL padding: val 0 (col = row) — never routed
 
     g = ii // TILE
@@ -106,112 +199,38 @@ def _sched_prep(cols, vals, n, K, P_MAX):
     # same row can never propose the same sub-pass — (sp, a, m) position
     # uniqueness holds BY CONSTRUCTION and the rounds need only the
     # stage-1 (sp, a, r2) claim check. (A per-task stride would need a
-    # second 2.7 GB claim table per round at 10M rows.)
+    # second full-size claim table per round at 10M rows.)
     stride = 1 + (ii * 7919 + c * 104729) % (P_MAX - 1)
     placed = jnp.zeros_like(live)
     sp = jnp.zeros_like(c)
     G = -(-n // TILE)
     ncell = G * C_CHUNKS * P_MAX * 128 * 128
-    tab = jnp.full((ncell + 1,), jnp.int64(-1))
+    tab = jnp.full((ncell + 1,), jnp.int32(-1))
     slots = jnp.zeros((n * C_CHUNKS + 1,), jnp.int32)
-    return (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, overflow,
-            valsf, colsf, tab, slots)
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5),
-                   donate_argnums=(1, 2))
-def _sched_rounds_chunk(state, tab, slots, n, P_MAX, R_PER, t0):
-    """R_PER placement rounds per bounded program execution (a 12-round
-    program ran past the ~60 s executor watchdog at 10.25M rows and took
-    the worker down; ONE compile, ceil(ROUNDS/R_PER) executions). Winner
-    election per round via ONE scatter-max claim table + gather-back
-    compare — near-scalar but linear (an in-round 92M-element sort would
-    cost minutes at this hardware's gather/scatter rates, and per-round
-    host-driven programs paid the compile roulette 12x, measured).
-
-    - (sp, a, m) position uniqueness: within a round it is structural
-      (per-group uniform strides, distinct ranks); ACROSS rounds each
-      winner pins its slot bit in the per-(row, chunk) bitmask `slots`
-      and proposals onto pinned bits are filtered out (each (group, p)
-      bit is set at most once, so .add is an exact OR);
-    - the claim table `tab` is allocated once and never cleared: values
-      carry a (t+1) round prefix in the high bits, so the current
-      round's candidates always beat stale entries under max; tab and
-      slots are DONATED across chunk calls (no 2.7 GB copies)."""
-    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
-    SP = C_CHUNKS * P_MAX
-    NCELL = tab.shape[0] - 1
-    NGRP = slots.shape[0] - 1
-    tid = jnp.arange(live.shape[0], dtype=jnp.int64)
-    key_base = (ii // TILE).astype(jnp.int64) * SP  # g * SP
     gkey = ii * C_CHUNKS + c
 
-    def one_round(k, st):
-        placed, sp, tab, slots = st
-        t = t0 + k
-        p_prop = (rank + t * stride) % P_MAX
-        prop_sp = c * P_MAX + p_prop
-        free_slot = (slots[gkey] >> p_prop) & 1 == 0
-        trying = live & ~placed & free_slot
-        spx = jnp.where(placed, sp, prop_sp)
-        active = placed | trying
-        # placed << 62 | (t+1) << 28 | tid (tid width FIXED at 27 bits so
-        # values compare consistently across full-size and compacted
-        # phases): placed claims dominate every later round; within a
-        # round the (t+1) prefix beats stale entries; tid tiebreaks
-        packed = (
-            (placed.astype(jnp.int64) << 62)
-            | ((t.astype(jnp.int64) + 1) << 28) | tid
-        )
-
-        # cell ids fit int32 (NCELL < 2^31 at any supported size)
-        cell = (((key_base + spx) * 128 + a) * 128 + r2).astype(jnp.int32)
-        idx = jnp.where(active, cell, NCELL)
-        tab = tab.at[idx].max(packed, mode="drop")
-        ok = tab[jnp.clip(cell, 0, NCELL - 1)] == packed
-        newly = trying & ok
-        sp = jnp.where(newly, prop_sp, sp)
-        slots = slots.at[jnp.where(newly, gkey, NGRP)].add(
-            jnp.int32(1) << p_prop, mode="drop")
-        return placed | newly, sp, tab, slots
-
-    placed, sp, tab, slots = jax.lax.fori_loop(
-        0, R_PER, one_round, (placed, sp, tab, slots))
-    return placed, sp, tab, slots
+    # round 0 starts at t=1, not t=0: t=0 proposes the bare rank for
+    # every group (zero per-group offset), which correlates collisions;
+    # t>=1 offsets each (row, chunk) group by its own stride (measured
+    # round-1 placement lever).
+    placed, sp, tab, slots = _rounds_body(
+        (ii, a, m, c, r2, rank, stride, live, gkey), placed, sp, tab,
+        slots, P_MAX, R1, jnp.int32(1))
+    tab = _reassert_claims(tab, ii, a, m, r2, live, placed, sp, P_MAX)
+    n_left = jnp.sum(live & ~placed)
+    return (ii, a, m, c, r2, c2, rank, stride, live, placed, sp,
+            overflow, valsf, colsf, tab, slots, n_left)
 
 
-@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
-def _reassert_claims(tab, state, placed, sp, P_MAX):
-    """Pin every placed task's cell with a dominant placed-bit value.
-
-    A task that wins in the LAST round of a program never re-asserts its
-    claim (re-assertion happens via participation in subsequent rounds),
-    and the compacted phase-2 arrays exclude placed tasks entirely — a
-    later round's (t+1)-prefixed candidate would override the stale
-    trying-value and steal the cell. One scatter-max fixes the invariant
-    for every placed task at once."""
-    (ii, a, m, c, r2, c2, rank, stride, live) = state
-    SP = C_CHUNKS * P_MAX
-    NCELL = tab.shape[0] - 1
-    tid = jnp.arange(live.shape[0], dtype=jnp.int64)
-    key_base = (ii // TILE).astype(jnp.int64) * SP
-    cell = (((key_base + sp) * 128 + a) * 128 + r2).astype(jnp.int32)
-    idx = jnp.where(placed & live, cell, NCELL)
-    packed = (jnp.int64(1) << 62) | tid
-    return tab.at[idx].max(packed, mode="drop")
-
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def _compact_unplaced(state, L):
-    """Gather the unplaced-task subset into padded length-L arrays.
-
-    A round's scatter/gather cost is proportional to the ACTIVE task
-    count, and ~90% of tasks place within the first two full-size rounds
-    (measured) while a full-size round costs ~17 s at 10.25M rows — the
-    remaining rounds run on this compacted subset instead. Returns the
-    compacted 11-tuple + the back-scatter indices (tid of each compacted
-    task; padding entries carry live=False and back index NT)."""
-    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 7),
+                   donate_argnums=(1, 2))
+def _sched_phase2(state11, tab, slots, n, P_MAX, R_PER, t0, L):
+    """Compact the unplaced subset to length L, run R_PER rounds on it,
+    merge placements back, reassert, count — ONE program. A round's
+    scatter/gather cost is proportional to the subset size (~10% after
+    phase 1, measured), so these rounds are ~10x cheaper than phase 1's.
+    tab/slots are DONATED across phases (no full-size copies)."""
+    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state11
     NT = live.shape[0]
     remt = live & ~placed
     pos = jnp.cumsum(remt.astype(jnp.int32)) - 1
@@ -222,46 +241,47 @@ def _compact_unplaced(state, L):
             arr, mode="drop")[:-1]
 
     back = put(jnp.arange(NT, dtype=jnp.int32), NT)
-    lv = put(remt, False)
-    stc = (put(ii, 0), put(a, 0), put(m, 0), put(c, 0), put(r2, 0),
-           put(c2, 0), put(rank, 0), put(stride, 1), lv,
-           jnp.zeros((L,), bool), put(sp, 0))
-    n_over = jnp.sum(remt) - jnp.sum(lv)  # tasks beyond L (stay rem)
-    return stc, back, n_over
-
-
-@jax.jit
-def _merge_back(placed, sp, placed_c, sp_c, back):
-    """Scatter the compacted subset's placements into the full arrays
-    (non-placed entries target index NT -> dropped out-of-bounds)."""
-    NT = placed.shape[0]
-    idx = jnp.where(placed_c, back, NT)
-    placed = placed.at[idx].set(True, mode="drop")
-    sp = sp.at[idx].set(sp_c, mode="drop")
-    return placed, sp
+    iic, ac, mc, cc, r2c = put(ii, 0), put(a, 0), put(m, 0), put(c, 0), \
+        put(r2, 0)
+    rankc, stridec, livec = put(rank, 0), put(stride, 1), put(remt, False)
+    gkeyc = iic * C_CHUNKS + cc
+    placed_c = jnp.zeros((L,), bool)
+    sp_c = jnp.zeros((L,), jnp.int32)
+    placed_c, sp_c, tab, slots = _rounds_body(
+        (iic, ac, mc, cc, r2c, rankc, stridec, livec, gkeyc), placed_c,
+        sp_c, tab, slots, P_MAX, R_PER, t0)
+    # merge the subset's placements into the full arrays (non-placed
+    # entries target index NT -> dropped out-of-bounds)
+    midx = jnp.where(placed_c, back, NT)
+    placed = placed.at[midx].set(True, mode="drop")
+    sp = sp.at[midx].set(sp_c, mode="drop")
+    tab = _reassert_claims(tab, iic, ac, mc, r2c, livec, placed_c, sp_c,
+                           P_MAX)
+    n_left = jnp.sum(live & ~placed)
+    return placed, sp, tab, slots, n_left
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _sched_tables(state, n, P_MAX):
     """Final table scatters + remainder compaction order (one program).
     Cell indices are int32 and the input tuple carries only what the
-    scatters read — the int64 variant OOM'd 16 GB HBM at 10.25M rows."""
+    scatters read — an int64 variant OOM'd 16 GB HBM at 10.25M rows."""
     (ii, a, m, r2, c2, live, placed, sp, valsf, colsf) = state
     dtype_vals = valsf.dtype
     G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
     NCELL = G * SP * 128 * 128
     routed = placed & live
-    key_base = (ii // TILE).astype(jnp.int64) * SP
+    key_base = (ii // TILE) * SP
 
     # L1 is indexed [r2, a] (stage-1 reads A[r2, a] = Xc[r2, L1[r2, a]]);
     # unrouted writes go to a trap cell past the end; c2/r2 fit int8
-    idx_tab = (((key_base + sp) * 128 + r2) * 128 + a).astype(jnp.int32)
+    idx_tab = ((key_base + sp) * 128 + r2) * 128 + a
     L1 = jnp.full((NCELL + 1,), 0, jnp.int8).at[
         jnp.where(routed, idx_tab, NCELL)
     ].set(c2.astype(jnp.int8), mode="drop")[:-1]
 
-    idx_pos = (((key_base + sp) * 128 + a) * 128 + m).astype(jnp.int32)
+    idx_pos = ((key_base + sp) * 128 + a) * 128 + m
     L2M = jnp.full((NCELL + 1,), -1, jnp.int8).at[
         jnp.where(routed, idx_pos, NCELL)
     ].set(r2.astype(jnp.int8), mode="drop")[:-1]
@@ -289,48 +309,57 @@ def _sched_tables(state, n, P_MAX):
             VALS.reshape(G, SP, 128, 128), rii, rcols, rvals, n_rem)
 
 
-def schedule_lane_routed(E: ELLSoA, p_max: int = 6, rounds: int = 8):
-    """Build LaneRoutedELL tables from an assembled ELLSoA. Bounded
-    device programs (prep + one per round + tables) + two host fetches;
-    the remainder is compacted to a COO triple of host-chosen length."""
+def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16):
+    """Build LaneRoutedELL tables from an assembled ELLSoA: four bounded
+    device programs + three tiny host fetches; the remainder is
+    compacted to a COO triple of host-chosen static length.
+
+    p_max MUST exceed the ELL width K: sub-pass proposals of a (row,
+    chunk) group are its ranks (0..K-1 at most) shifted by a uniform
+    per-group stride mod p_max — distinct mod p_max only when p_max > K.
+    A smaller p_max silently double-books (sp, a, m) output positions
+    (two winners add into one accumulator cell: corrupt SpMV)."""
     K, n = E.vals.shape
+    if p_max <= K:
+        raise ValueError(
+            f"p_max={p_max} must exceed the ELL width K={K}: per-(row, "
+            "chunk) sub-pass proposals are only distinct mod p_max when "
+            "p_max > K (smaller values corrupt the routing tables)"
+        )
+    rounds = min(rounds, _MAX_ROUNDS)
+    R1 = min(2, rounds)  # full-size rounds (~8-17 s each at 10.25M rows;
+    # the ~60 s executor watchdog allows 2-3 per program)
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, over, valsf,
-     colsf, tab, slots) = _sched_prep(E.cols, E.vals, n, K, p_max)
+     colsf, tab, slots, n_left) = _sched_phase1(
+        E.cols, E.vals, n, K, p_max, R1)
     if bool(over):
         return None, None, None, None, True, -1
-    # phase 1: TWO full-size rounds (~17 s/round at 10.25M rows — the
-    # watchdog allows at most 2-3 per program), placing ~90% of tasks
-    FULL_ROUNDS = min(2, rounds)
-    placed, sp, tab, slots = _sched_rounds_chunk(
-        (ii, a, m, c, r2, c2, rank, stride, live, placed, sp),
-        tab, slots, n, p_max, FULL_ROUNDS, jnp.int32(0))
-    if rounds > FULL_ROUNDS:
-        # phase 2: remaining rounds on the COMPACTED unplaced subset
-        # (round cost is proportional to the active task count); placed
-        # tasks first pin their cells with dominant values — they no
-        # longer participate to defend them
-        tab = _reassert_claims(
-            tab, (ii, a, m, c, r2, c2, rank, stride, live), placed, sp,
-            p_max)
-        n_left = int(jnp.sum(live & ~placed))
-        L = max(1 << 14, 1 << max(n_left - 1, 1).bit_length())
-        state_c, back, n_over = _compact_unplaced(
-            (ii, a, m, c, r2, c2, rank, stride, live, placed, sp), L)
-        placed_c, sp_c = state_c[9], state_c[10]
-        R2 = 4  # bounded even if the compacted subset stays large
-        for t0 in range(FULL_ROUNDS, rounds, R2):
-            placed_c, sp_c, tab, slots = _sched_rounds_chunk(
-                state_c[:9] + (placed_c, sp_c), tab, slots, n, p_max,
-                min(R2, rounds - t0), jnp.int32(t0))
-        placed, sp = _merge_back(placed, sp, placed_c, sp_c, back)
+    NT = K * n
+    state11 = (ii, a, m, c, r2, c2, rank, stride, live, placed, sp)
+    t0 = R1 + 1  # phase-1 rounds ran t = 1..R1
+    done = rounds - R1
+    while done > 0 and int(n_left) > 0:
+        # subset rounds: ~10x cheaper per call as the subset shrinks;
+        # normally TWO phase-2 programs (4 rounds, then the whole tail
+        # once the subset is small enough for one bounded program)
+        L = min(max(1 << 14, 1 << max(int(n_left) - 1, 1).bit_length()),
+                NT)
+        R_PER = done if (done <= 4 or L <= NT // 8) else 4
+        placed, sp, tab, slots, n_left = _sched_phase2(
+            state11, tab, slots, n, p_max, R_PER, jnp.int32(t0), L)
+        state11 = state11[:9] + (placed, sp)
+        t0 += R_PER
+        done -= R_PER
     del tab, slots, c, rank, stride
     L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
         (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max)
     nr = int(n_rem)
     L = max(128, 1 << (nr - 1).bit_length()) if nr else 128
+    L = min(L, NT)  # > NT/2 unrouted: rii[:L] cannot exceed the backing
     rem = jax.jit(
         lambda a_, b_, c_: (a_[:L], b_[:L],
-                            jnp.where(jnp.arange(L) < nr, c_[:L], 0.0)),
+                            jnp.where(jnp.arange(L) < min(nr, L),
+                                      c_[:L], 0.0)),
     )(rii, rcols, rvals)
     return L1, L2M, VALS, rem, False, nr
 
@@ -362,7 +391,7 @@ def _lane_gather(x, idx):
 def _spmv_kernel(xm1_ref, x0_ref, xp1_ref, l1_ref, l2_ref, v_ref, o_ref,
                  *, SP, P_MAX):
     chunks = (xm1_ref[0], x0_ref[0], xp1_ref[0])
-    acc = jnp.zeros((128, 128), v_ref.dtype)
+    acc = jnp.zeros((128, 128), o_ref.dtype)
     for c in range(C_CHUNKS):
         Xc = chunks[c]
         for p in range(P_MAX):
@@ -375,7 +404,10 @@ def _spmv_kernel(xm1_ref, x0_ref, xp1_ref, l1_ref, l2_ref, v_ref, o_ref,
             # jnp.where's dtype promotion recurses inside pallas traces)
             L2 = jnp.maximum(l2_ref[0, sp].astype(jnp.int32), 0)
             B2 = _lane_gather(T, L2)
-            acc = acc + v_ref[0, sp] * B2
+            # bf16-stored values upcast per pass: accumulation and the x
+            # tiles stay f32 (bf16 storage halves the dominant HBM
+            # stream — the tables — without bf16 accumulation error)
+            acc = acc + v_ref[0, sp].astype(acc.dtype) * B2
     o_ref[0] = acc.T  # undo the interleaved (a, m) position map
 
 
@@ -386,6 +418,8 @@ def _spmv(x, L1, L2M, VALS, n, SP, P_MAX):
 
     G = L1.shape[0]
     dtype = VALS.dtype
+    if dtype == jnp.bfloat16:
+        dtype = jnp.float32  # accumulator / x-tile / output dtype
     # padded x tiles: x2[t] = x[(t-1)*TILE : t*TILE]
     x2 = jnp.pad(x.astype(dtype), (TILE, (G + 1) * TILE - n)).reshape(
         G + 2, 128, 128)
@@ -445,9 +479,13 @@ class LaneRoutedELL:
 
     @classmethod
     def from_ell(cls, E: ELLSoA, p_max: int | None = None,
-                 rounds: int = 12, bandwidth: int | None = None):
+                 rounds: int = 16, bandwidth: int | None = None):
         """One-time schedule build (device). Raises on bandwidth > TILE
-        or remainder overflow (> 4 unrouted entries in some row).
+        after RCM (the static 3-tile window cannot reach wider columns)
+        and on p_max outside (K, 31]. Tasks the scheduler cannot route
+        within `rounds` rounds do NOT raise: they fall to a compact COO
+        remainder served by the (slow) XLA gather path inside
+        `__matmul__` — `n_remainder` reports how many.
 
         Capacity model (interleaved position map): tile row a draws its
         128 tasks from rows spread across the supertile, so their K*128
@@ -461,7 +499,7 @@ class LaneRoutedELL:
                 bandwidth = int(window_bandwidth(E.cols))
             K = E.vals.shape[0]
             contention = K * TILE / (TILE + 2 * min(bandwidth, TILE))
-            p_max = max(K + 1, int(contention * 2) + 2)
+            p_max = min(31, max(K + 1, int(contention * 2) + 2))
         if p_max > 31:
             raise ValueError(
                 f"p_max={p_max} exceeds the int32 slot-bitmask width "

@@ -9,6 +9,8 @@ mode; the scheduler is backend-independent jitted code.
 Reference envelope anchor: fem_linear_elliptic_solver.h:38-47 (SparseLU
 accepts any assembled topology at uniform cost)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,3 +120,82 @@ def test_model_gather_kernel_lane():
     assert float(r1) < 1e-9 and float(r2) < 1e-9
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
                                rtol=1e-7, atol=1e-10)
+
+
+def test_from_ell_rejects_p_max_leq_K():
+    """Position uniqueness needs p_max > K (per-(row, chunk) ranks stay
+    distinct mod p_max): smaller values silently double-booked output
+    cells in round 4 — now a hard error."""
+    E, bnd, nd = _scrambled_fem_ell(n_side=32, S=128, G=29)
+    K = E.vals.shape[0]
+    with pytest.raises(ValueError, match="p_max"):
+        LaneRoutedELL.from_ell(E, p_max=K, rounds=4)
+    with pytest.raises(ValueError, match="p_max"):
+        LaneRoutedELL.from_ell(E, p_max=K - 3, rounds=4)
+
+
+def test_lane_routed_bf16_storage():
+    """bf16-stored tables: f32 accumulation, values rounded to bf16 —
+    SpMV agrees with an explicitly bf16-rounded reference operator."""
+    E, bnd, nd = _scrambled_fem_ell(n_side=64, S=256, G=89)
+    op = LaneRoutedELL.from_ell(E, p_max=12, rounds=12)
+    opb = op.astype(jnp.bfloat16)
+    E_b = ELLSoA(E.vals.astype(jnp.bfloat16).astype(jnp.float32),
+                 E.cols, E.shape)
+    v = jnp.asarray(
+        np.random.default_rng(3).standard_normal(nd), jnp.float32)
+    ref = np.asarray(E_b @ v)
+    got = np.asarray(opb @ v)
+    assert got.dtype == np.float32
+    assert np.abs(got - ref).max() <= 2e-2 * np.abs(ref).max()
+
+
+def test_scheduler_runs_without_x64(tmp_path):
+    """The int32 claim-table scheduler must produce correct tables with
+    jax x64 DISABLED (the round-4 int64 packing silently overflowed
+    int32 there)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "lane_nox64.py"
+    script.write_text(
+        """
+import numpy as np
+import os
+
+import jax
+import jax.numpy as jnp
+assert not jax.config.x64_enabled
+from fdapde_core_tpu.ops.matfree_soa import ELLSoA
+from fdapde_core_tpu.ops.pallas_gather_spmv import LaneRoutedELL
+
+rng = np.random.default_rng(0)
+n = 4096
+K = 5
+i = np.arange(n)
+cols = np.stack([np.clip(i + d, 0, n - 1) for d in (-700, -3, 0, 5, 900)])
+vals = rng.standard_normal((K, n)).astype(np.float32)
+vals[cols == i[None, :]] = 4.0  # diagonal-ish, keep padding convention
+E = ELLSoA(jnp.asarray(vals), jnp.asarray(cols, jnp.int32), (n, n))
+op = LaneRoutedELL.from_ell(E, p_max=7, rounds=10)
+v = jnp.asarray(rng.standard_normal(n), jnp.float32)
+err = float(jnp.max(jnp.abs((op @ v) - (E @ v))))
+ref = float(jnp.max(jnp.abs(E @ v)))
+assert err <= 1e-4 * ref, (err, ref)
+print("OK", err)
+"""
+    )
+    env = dict(os.environ)
+    env.update({
+        "FDAPDE_TPU_X64": "0",
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_ENABLE_X64": "0",
+        "PYTHONPATH": "/root/repo",
+    })
+    out = subprocess.run(
+        [sys.executable, str(script)], env=env, capture_output=True,
+        text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
