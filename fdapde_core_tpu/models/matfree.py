@@ -608,12 +608,18 @@ class MatrixFreeElliptic:
             # scattered-band numbering rejected by the split plan: swap
             # the XLA gather SpMV (~0.13 G gathered elem/s, BENCH_NOTES
             # round 4) for the lane-routed pallas kernel. Opt-in: the
-            # one-time routing-schedule build is a real setup cost, and
-            # f64 table values need an f32/bf16 cast for the TPU kernel.
+            # one-time routing-schedule build is a real setup cost.
+            # The lane tables are stored in f32 (the TPU Mosaic lowering
+            # rejects f64 kernels); the full-precision ELL is KEPT as
+            # `op_ref` and `solve` runs mixed-precision refinement: f32
+            # lane CG inner solves, true residuals through op_ref.
             from ..ops.pallas_gather_spmv import LaneRoutedELL
 
-            self.op = LaneRoutedELL.from_ell(self.op)
-            self.system = DirichletSystem(self.op, self.boundary)
+            self.op_ref = self.op
+            lane_src = (self.op.astype(jnp.float32)
+                        if self.op.vals.dtype == jnp.float64 else self.op)
+            self.op = LaneRoutedELL.from_ell(lane_src)
+            self.system = DirichletSystem(self.op_ref, self.boundary)
             self.preconditioner = "auxgrid+lane"
         if self.preconditioner.startswith("auxgrid"):
             diag32 = jax.jit(
@@ -666,6 +672,10 @@ class MatrixFreeElliptic:
         executors / stall observability) — see MatrixFreePoisson.solve."""
         if g is None:
             g = jnp.zeros_like(b)
+        if self.preconditioner == "auxgrid+lane":
+            return _lane_refined_solve(
+                self.op_ref, self.op, self.boundary, self.aux, b, g,
+                rtol, maxiter, chunk or 50, on_chunk)
         if chunk is not None:
             return _solve_chunked(self.op, self.boundary, self.aux, b, g,
                                   self.is_symmetric, rtol, maxiter, chunk,
@@ -673,6 +683,61 @@ class MatrixFreeElliptic:
         run = _general_solve_fn(float(rtol), int(maxiter),
                                 self.is_symmetric)
         return run(self.op, self.boundary, self.aux, b, g)
+
+
+def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
+                        chunk, on_chunk=None, inner_rtol=1e-6,
+                        max_outer=8):
+    """Converged solve through the lane-routed kernel: mixed-precision
+    iterative refinement. Inner CG runs on the f32 lane SpMV (the fast
+    path — the TPU Mosaic lowering rejects f64 kernels) with the f32
+    aux-grid V-cycle preconditioner; outer residuals go through the
+    full-precision reference ELL (`op_ref`, XLA gather path — slow per
+    application but only ~one per outer round). This is the scattered-
+    topology replacement for Eigen SparseLU's converge-on-any-mesh
+    envelope (fem_linear_elliptic_solver.h:38-47).
+
+    Returns (x, total_inner_iterations, true relative residual).
+    """
+    from ..linear_algebra.solvers import cg_chunked
+
+    sys_ref = DirichletSystem(op_ref, bnd)
+    lane_sys = DirichletSystem(lane, bnd)
+
+    @jax.jit
+    def prep(op_ref, bnd, b, g):
+        sysr = DirichletSystem(op_ref, bnd)
+        b_mod = sysr.rhs(b, g)
+        x0 = jnp.where(bnd, g, 0.0)
+        r = b_mod - sysr(x0)
+        bn = jnp.sqrt(jnp.sum(b_mod * b_mod))
+        return b_mod, x0, r, bn, jnp.sqrt(jnp.sum(r * r))
+
+    @jax.jit
+    def update(op_ref, bnd, x, dx, b_mod):
+        sysr = DirichletSystem(op_ref, bnd)
+        x = x + dx.astype(x.dtype)
+        r = b_mod - sysr(x)
+        return x, r, jnp.sqrt(jnp.sum(r * r))
+
+    def pre(z):
+        return aux(z.astype(jnp.float32)).astype(z.dtype)
+
+    b_mod, x, r, bn, rn = prep(op_ref, bnd, b, g)
+    bnf = max(float(bn), 1e-300)
+    rel = float(rn) / bnf
+    total_it = 0
+    for _ in range(max_outer):
+        if rel <= rtol or total_it >= maxiter:
+            break
+        dx, info = cg_chunked(
+            lane_sys, r.astype(jnp.float32), M_inv=pre, rtol=inner_rtol,
+            maxiter=min(maxiter - total_it, 100), chunk=chunk,
+            on_chunk=on_chunk)
+        total_it += int(info.iterations)
+        x, r, rn = update(op_ref, bnd, x, dx, b_mod)
+        rel = float(rn) / bnf
+    return x, total_it, rel
 
 
 @functools.lru_cache(maxsize=None)

@@ -199,3 +199,23 @@ print("OK", err)
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_model_lane_tables_are_f32_with_f64_input():
+    """ADVICE r4: f64 lane tables fail the TPU server-side compile; the
+    model must cast tables to f32, keep the f64 ELL for refinement, and
+    still converge to f64-class true residuals."""
+    from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+    n_side = 32
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n_side, 0.2, dtype=jnp.float64)
+    cells = jnp.stack([c0, c1, c2], axis=1)
+    m = MatrixFreeElliptic((x, y), cells, bnd, K=1.0, c=0.5,
+                           preconditioner="auxgrid", gather_kernel="lane")
+    assert m.op.VALS.dtype == jnp.float32
+    assert m.op_ref.vals.dtype == jnp.float64
+    b = m.load_vector(jnp.ones(2 * n_side * n_side, jnp.float64))
+    xs, it, rel = m.solve(b, rtol=1e-11, maxiter=400, chunk=25)
+    assert rel < 1e-11, rel  # beyond f32: proves refinement is real
+    assert xs.dtype == jnp.float64
