@@ -19,6 +19,7 @@ SpMV costs one `psum` over ICI. Owned-dof partitioning with halo
 
 from .halo import HaloDIAParabolic, HaloDIASolver
 from .halo_ell import HaloELLSolver
+from .halo_lane import HaloLaneSolver
 from .halo_grid import HaloGridDIASolver
 from .partition import morton_order, partition_elements
 from .sharded import ShardedPoisson, make_device_mesh
@@ -33,5 +34,6 @@ __all__ = [
     "HaloDIASolver",
     "HaloDIAParabolic",
     "HaloELLSolver",
+    "HaloLaneSolver",
     "HaloGridDIASolver",
 ]

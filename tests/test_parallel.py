@@ -631,3 +631,78 @@ def test_sharded_banded_mg_guards():
     rem = ELLSoA(jnp.ones((1, n)), jnp.zeros((1, n), jnp.int32), (n, n))
     with _pytest.raises(ValueError, match="remainder-free"):
         ShardedBandedMGSolver(BandedSplit(G, rem, n), make_device_mesh(1))
+
+
+def test_halo_lane_scattered_path_matches_single_chip():
+    """Sharded SCATTERED path (parallel/halo_lane.py): per-shard
+    lane-routed SpMV + halo CG matches the single-device DirichletSystem
+    CG on a block-scrambled (split-plan-rejecting) numbering, 1-vs-8
+    agree, and the distributed aux-grid preconditioner keeps the
+    iteration count within 2x of the single-chip aux-PCG count."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+    from fdapde_core_tpu.ops.matfree_soa import ELLSoA, MatrixFreeSoA
+    from fdapde_core_tpu.parallel.halo_lane import HaloLaneSolver
+    from fdapde_core_tpu.parallel.sharded import make_device_mesh
+
+    n = 40
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(n, 0.2,
+                                                      dtype=jnp.float64)
+    n_dofs = (n + 1) ** 2
+    soa, over = MatrixFreeSoA.build(x, y, c0, c1, c2, n_dofs, 8)
+    assert not bool(over)
+    E0, overc = soa.to_ell(9)
+    assert not bool(overc)
+
+    # block-local multiplicative scramble (the bench genscat permutation):
+    # a symmetric permutation similarity the split plan rejects
+    S, G = 64, 19
+    GI = pow(G, -1, S)
+    nfull = (n_dofs // S) * S
+    i = jnp.arange(n_dofs, dtype=jnp.int32)
+    pm = jnp.where(i < nfull, (i // S) * S + (G * (i % S)) % S, i)
+    pinv = jnp.where(i < nfull, (i // S) * S + (GI * (i % S)) % S, i)
+    E = ELLSoA(E0.vals[:, pinv], pm[E0.cols[:, pinv]], (n_dofs, n_dofs))
+    bnd_s = bnd[pinv]
+    xs, ys = x[pinv], y[pinv]
+
+    free = ~bnd_s
+    b = jnp.where(bnd_s, 0.0, 1.0) / (n * n)
+    sys_ = DirichletSystem(E, bnd_s)
+    x_ref, info = cg(sys_, b, rtol=1e-11, maxiter=4000)
+    assert bool(info.converged)
+
+    s8 = HaloLaneSolver(E, make_device_mesh(8), rounds=12)
+    # the scramble must be lane-served: only a small COO remainder
+    total = int((np.asarray(E.vals) != 0).sum())
+    assert s8.n_remainder < 0.1 * total
+    x8, r8, k8 = s8.solve(b, free.astype(jnp.float64), rtol=1e-11,
+                          maxiter=4000)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x_ref),
+                               atol=1e-8)
+
+    s1 = HaloLaneSolver(E, make_device_mesh(1), rounds=12)
+    x1, r1, k1 = s1.solve(b, free.astype(jnp.float64), rtol=1e-11,
+                          maxiter=4000)
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), atol=1e-10)
+
+    # distributed aux-grid preconditioner: h-independent class counts
+    diag = jax.jit(lambda s, m: DirichletSystem(s, m).diagonal())(E, bnd_s)
+    aux = AuxGridPreconditioner.build(
+        np.stack([np.asarray(xs), np.asarray(ys)], axis=1),
+        np.asarray(diag), grid_n=16, dtype=jnp.float64)
+    xa, ra, ka = HaloLaneSolver(E, make_device_mesh(8), aux=aux,
+                                rounds=12).solve(
+        b, free.astype(jnp.float64), rtol=1e-10, maxiter=500)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(x_ref),
+                               atol=1e-7)
+    # single-chip aux-PCG baseline
+    _, info_a = cg(sys_, b, M_inv=aux, rtol=1e-10, maxiter=500)
+    assert int(ka) <= 2 * int(info_a.iterations) + 2, (
+        int(ka), int(info_a.iterations))
+    assert int(ka) < int(k8), "aux preconditioner did not help"
