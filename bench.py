@@ -77,21 +77,27 @@ T_START = time.time()
 # it down; `general` (whose r03 capture is already complete and clean)
 # is the sacrificial tail, with its round-4 P2 stage FIRST inside the
 # group so a cap kill still records it
-GROUPS = ("structured", "gen10m", "genscat", "gen3d", "spacetime",
-          "general")
+GROUPS = ("structured", "gen10m", "genscat", "genp2", "gendel",
+          "gen3d", "spacetime", "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
-# Budgeted against the DRIVER's observed ~1800 s kill (r03 rc=124 at
-# ~1800 s while the old TOTAL_BUDGET_S=3600 paced for twice that): every
-# gate leaves the group enough room to finish inside TOTAL_BUDGET_S.
-GATES = {"structured": 10**9, "gen10m": 700, "genscat": 1160,
-         "gen3d": 1360, "spacetime": 1500, "general": 1560}
+# Budgeted against the DRIVER's observed ~1800 s kill: every gate leaves
+# the group enough room to finish inside TOTAL_BUDGET_S. Round-5 order:
+# every never-captured stage (scat converged, P2, Delaunay-at-scale,
+# full-size 3D) sits in a group whose gate guarantees a start; the
+# sacrificial tail (spacetime, general) holds only stages with official
+# r03/r04 captures.
+GATES = {"structured": 10**9, "gen10m": 640, "genscat": 1040,
+         "genp2": 1250, "gendel": 1440, "gen3d": 1520,
+         "spacetime": 1570, "general": 1610}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
-CAPS = {"structured": 470, "general": 330, "spacetime": 240,
-        "gen10m": 520, "gen3d": 330, "genscat": 390}
+CAPS = {"structured": 420, "general": 200, "spacetime": 140,
+        "gen10m": 470, "gen3d": 240, "genscat": 330, "genp2": 220,
+        "gendel": 300}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
-              "gen10m": 500, "gen3d": 400, "genscat": 400}
+              "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
+              "gendel": 400}
 
 DEGRADED_GBPS = 250.0  # healthy fused-elementwise floor is ~630 GB/s
 ABORT_GBPS = 120.0  # r02's sick worker ran ~9x slow (~70 GB/s class)
@@ -150,8 +156,12 @@ HEADLINE_KEYS = (
     "unstr_converged_solve_s", "unstr_converged_true_rel_res",
     "gen10m_n_dofs", "gen10m_ell_convert_s", "gen10m_ell_cg_iters_per_s",
     "gen10m_dia_cg_iters_per_s", "gen10m_scat_cg_iters_per_s",
-    "gen10m_scat_ell_cg_iters_per_s", "gen10m_scat_lane_setup_s",
+    "gen10m_scat_bf16_cg_iters_per_s", "gen10m_scat_lane_setup_s",
     "gen10m_scat_lane_parity", "gen10m_scat_bandwidth",
+    "gen10m_scat_converged_solve_s", "gen10m_scat_converged_iters",
+    "gen10m_scat_converged_true_rel_res",
+    "gendel_n_dofs", "gendel_max_degree", "gendel_bandwidth",
+    "gendel_converged_solve_s", "gendel_converged_true_rel_res",
     "gen10m_bmg_converged_solve_s", "gen10m_bmg_converged_iters",
     "gen10m_bmg_converged_true_rel_res",
     "gen10m_advdiff_solve_s", "gen10m_advdiff_iters",
@@ -336,6 +346,8 @@ def child_main(group, small, outpath, budget=None):
         "gen10m": _general_gather_metrics,
         "gen3d": _gen3d_metrics,
         "genscat": _genscat_metrics,
+        "genp2": _genp2_metrics,
+        "gendel": _gendel_metrics,
     }[group]
     try:
         fn(small, sink)
@@ -536,17 +548,10 @@ def _structured_metrics(small, sink):
     float(mg.datas[-1][0, 0, 0])
     t_mg_build = time.time() - t0
 
-    run_mg = jax.jit(
-        lambda Gm, mgm, bb: mg_preconditioned_cg(
-            Gm, bb, rtol=1e-12, maxiter=40, mg=mgm
-        )
-    )
-    xm, mrel, mk = run_mg(G, mg, b)
-    float(mrel)
-    t0 = time.time()
-    xm, mrel, mk = run_mg(G, mg, b)
-    mrelv, mkv = float(mrel), int(mk)
-    t_mg = time.time() - t0
+    # (round-5: the standalone f32 MG-solve stage is dropped — its f32
+    # V-cycle arithmetic floors on rough coefficients, so it timed a
+    # solver that does not solve; only the *_converged_* stages below
+    # are meaningful, and the ~40 s saved funds the new groups)
 
     @jax.jit
     def check(D, free):
@@ -554,8 +559,7 @@ def _structured_metrics(small, sink):
 
     rowsum = float(check(D, free))
     sink.put(mg_levels=mg.n_levels, mg_build_s=round(t_mg_build, 3),
-             mg_solve_s=round(t_mg, 3), mg_iters=mkv,
-             mg_true_rel_res_f32=mrelv, interior_rowsum_max=rowsum)
+             interior_rowsum_max=rowsum)
 
     # ---- perturbed-geometry (unstructured) section, f32 part --------------
     AMP = dtype(0.2)  # +-0.1 h per coordinate; guaranteed non-degenerate
@@ -576,20 +580,7 @@ def _structured_metrics(small, sink):
     float(mgp.datas[-1][0, 0, 0])
     p_mg_build_s = time.time() - t0
 
-    run_mg_p = jax.jit(
-        lambda Gm, mgm, bb: mg_preconditioned_cg(
-            Gm, bb, rtol=1e-12, maxiter=40, mg=mgm
-        )
-    )
-    xp, prel, pk = run_mg_p(Gp, mgp, b)
-    float(prel)
-    t0 = time.time()
-    xp, prel, pk = run_mg_p(Gp, mgp, b)
-    p_mg_rel, p_mg_iters = float(prel), int(pk)
-    p_mg_solve_s = time.time() - t0
-    sink.put(unstr_mg_build_s=round(p_mg_build_s, 3),
-             unstr_mg_solve_s=round(p_mg_solve_s, 3),
-             unstr_mg_iters=p_mg_iters, unstr_mg_true_rel_res_f32=p_mg_rel)
+    sink.put(unstr_mg_build_s=round(p_mg_build_s, 3))
 
     # CG iteration throughput on the 7-layer variable stencil
     run_cg_p = jax.jit(lambda Gm, bb: grid_cg(Gm, bb, CG_ITERS))
@@ -704,43 +695,6 @@ def _general_path_metrics(small, sink):
     cells = tri.simplices.astype(np.int32)
     n = pts.shape[0]
     sink.put(gen_n_dofs=n, gen_n_cells=int(cells.shape[0]))
-
-    # P2 at device scale (round-4 item 9): order-2 space on the SAME
-    # genuine Delaunay topology -> ~2.1M dofs (nodes + edges). The P2 dof
-    # numbering (nodes first, then edges; lagrangian_basis.h:94-136
-    # parity order) has a SPREAD offset histogram — plan_split_width
-    # rejects it and the model stays on the gather + aux-grid path: this
-    # is the honest P2-at-scale story, wider band and all.
-    try:
-        from fdapde_core_tpu.fem.space import FEMSpace
-        from fdapde_core_tpu.geometry.triangulation import Triangulation
-        from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
-
-        t0 = time.time()
-        bdry = np.zeros(n, bool)
-        bdry[~interior] = True
-        mesh2 = Triangulation(pts, cells, bdry)
-        space = FEMSpace(mesh2, order=2)
-        t_host = time.time() - t0
-        t0 = time.time()
-        model = MatrixFreeElliptic.from_space(
-            space, K=1.0, c=1.0, max_degree=16,
-        )
-        sink.put(gen_p2_n_dofs=int(model.n_dofs),
-                 gen_p2_host_s=round(t_host, 2),
-                 gen_p2_setup_s=round(time.time() - t0, 2),
-                 gen_p2_preconditioner=model.preconditioner)
-        fC = jnp.ones((int(cells.shape[0]),), jnp.float64)
-        b2 = model.load_vector(fC)
-        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
-        float(rel2)  # warm
-        t0 = time.time()
-        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
-        sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
-                 gen_p2_iters=int(it2),
-                 gen_p2_true_rel_res=float(rel2))
-    except Exception as e:  # the P2 tail must not void the group
-        sink.put(gen_p2_error=f"{type(e).__name__}: {e}"[:200])
 
     t0 = time.time()
     A = _host_p1_stiffness(pts, cells)
@@ -1491,17 +1445,236 @@ def _general_gather_metrics(small, sink):
     sink.put(gen10m_section_s=round(time.time() - t_sec, 1))
 
 
+
+def _genp2_metrics(small, sink):
+    """P2 at device scale, as its OWN group (round-5 verdict #2: it sat
+    first inside the structurally-sacrificial `general` group for two
+    rounds and was never captured). Order-2 space on a genuine Delaunay
+    topology -> ~2.1M dofs (nodes + edges). The P2 dof numbering (nodes
+    first, then edges; lagrangian_basis.h:94-136 parity order) has a
+    SPREAD offset histogram — plan_split_width rejects it and the model
+    runs the gather + aux-grid path: the honest P2-at-scale story."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.spatial import Delaunay
+
+    from fdapde_core_tpu.fem.space import FEMSpace
+    from fdapde_core_tpu.geometry.triangulation import Triangulation
+    from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+    t_sec = time.time()
+    nx = 64 if small else 720  # (nx+1)^2 nodes: ~4.2k small, ~0.52M full
+    rng = np.random.default_rng(7)
+    ii, jj = np.meshgrid(np.arange(nx + 1), np.arange(nx + 1),
+                         indexing="ij")
+    pts = np.stack([ii, jj], axis=-1).reshape(-1, 2).astype(np.float64)
+    interior = (
+        (pts[:, 0] > 0) & (pts[:, 0] < nx)
+        & (pts[:, 1] > 0) & (pts[:, 1] < nx)
+    )
+    pts[interior] += rng.uniform(-0.35, 0.35, size=(interior.sum(), 2))
+    pts /= nx
+    tri = Delaunay(pts)
+    cells = tri.simplices.astype(np.int32)
+    n = pts.shape[0]
+
+    t0 = time.time()
+    bdry = np.zeros(n, bool)
+    bdry[~interior] = True
+    mesh2 = Triangulation(pts, cells, bdry)
+    space = FEMSpace(mesh2, order=2)
+    t_host = time.time() - t0
+    t0 = time.time()
+    model = MatrixFreeElliptic.from_space(
+        space, K=1.0, c=1.0, max_degree=16,
+    )
+    sink.put(gen_p2_n_dofs=int(model.n_dofs),
+             gen_p2_host_s=round(t_host, 2),
+             gen_p2_setup_s=round(time.time() - t0, 2),
+             gen_p2_preconditioner=model.preconditioner)
+    fC = jnp.ones((int(cells.shape[0]),), jnp.float64)
+    b2 = model.load_vector(fC)
+    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
+    float(rel2)  # warm
+    t0 = time.time()
+    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=20)
+    sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
+             gen_p2_iters=int(it2),
+             gen_p2_true_rel_res=float(rel2),
+             genp2_section_s=round(time.time() - t_sec, 1))
+
+
+
+def _gendel_metrics(small, sink):
+    """Genuinely VARIABLE-DEGREE topology at device scale (round-5
+    verdict #5): a small host Delaunay base (jittered grid, ragged
+    degree histogram) is uploaded (~3 MB — the relay's comfort zone),
+    red-refined on device to ~5.1M dofs (geometry/refine_device.py —
+    base-vertex degrees preserved verbatim), renumbered by device
+    strip-quantile ordering (bandwidth-bounded without shipping a host
+    permutation), and run through the full product path: SoA assembly,
+    blocked ELL, split-plan rejection, lane-routed kernel, aux-grid
+    preconditioner, f64-refined CONVERGED solve. Retires the
+    "scattered control is still a permuted lattice" caveat.
+    Anchor: fem_assembler.h:79-110 (topology-blind cell loop),
+    fem_linear_elliptic_solver.h:38-47 (solve on ANY assembled mesh)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial import Delaunay
+
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.geometry.refine_device import (
+        strip_order,
+        uniform_refine_device,
+    )
+    from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
+    from fdapde_core_tpu.models.matfree import _lane_refined_solve
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+    from fdapde_core_tpu.ops.dia_split import plan_split_width
+    from fdapde_core_tpu.ops.matfree_soa import (
+        MatrixFreeSoA,
+        ell_from_op_blocked,
+    )
+    from fdapde_core_tpu.ops.pallas_gather_spmv import LaneRoutedELL
+
+    t_sec = time.time()
+    nx = 16 if small else 283  # base ~(nx+1)^2 nodes; 3 levels -> ~5.1M
+    LEVELS = 2 if small else 3
+    rng = np.random.default_rng(11)
+    ii, jj = np.meshgrid(np.arange(nx + 1), np.arange(nx + 1),
+                         indexing="ij")
+    pts = np.stack([ii, jj], axis=-1).reshape(-1, 2).astype(np.float64)
+    interior = (
+        (pts[:, 0] > 0) & (pts[:, 0] < nx)
+        & (pts[:, 1] > 0) & (pts[:, 1] < nx)
+    )
+    pts[interior] += rng.uniform(-0.35, 0.35, size=(interior.sum(), 2))
+    pts /= nx
+    cells = Delaunay(pts).simplices.astype(np.int32)
+    bdry0 = ~interior
+
+    t0 = time.time()
+    x = jnp.asarray(pts[:, 0])
+    y = jnp.asarray(pts[:, 1])
+    c0 = jnp.asarray(cells[:, 0])
+    c1 = jnp.asarray(cells[:, 1])
+    c2 = jnp.asarray(cells[:, 2])
+    bnd = jnp.asarray(bdry0)
+    jax.block_until_ready(c2)
+    sink.put(gendel_upload_s=round(time.time() - t0, 2),
+             gendel_base_nodes=int(pts.shape[0]),
+             gendel_base_cells=int(cells.shape[0]))
+
+    t0 = time.time()
+    x, y, c0, c1, c2, bnd = uniform_refine_device(
+        x, y, c0, c1, c2, bnd, LEVELS)
+    nd = x.shape[0]
+    sink.put(gendel_refine_s=round(time.time() - t0, 2),
+             gendel_n_dofs=nd, gendel_n_cells=int(c0.shape[0]))
+
+    POP = 64 if small else 5000  # strip population: bandwidth ~2.5*POP
+    t0 = time.time()
+    order, rank = strip_order(x, y, POP)
+    x, y, bnd = x[order], y[order], bnd[order]
+    c0, c1, c2 = rank[c0], rank[c1], rank[c2]
+    jax.block_until_ready(c2)
+    sink.put(gendel_reorder_s=round(time.time() - t0, 2))
+
+    MAXDEG = 24
+    t0 = time.time()
+
+    @jax.jit
+    def build(x, y, c0, c1, c2):
+        op, over = MatrixFreeSoA.build(x, y, c0, c1, c2, nd, MAXDEG)
+        deg = op.adj_mask.sum(axis=0).astype(jnp.int32)
+        return op, over, jnp.bincount(deg, length=MAXDEG + 1)
+
+    op64, over, deghist = build(x, y, c0, c1, c2)
+    hist = np.asarray(deghist)
+    assert not bool(over)
+    maxdeg = int(np.nonzero(hist)[0].max())
+    sink.put(gendel_build_s=round(time.time() - t0, 2),
+             gendel_max_degree=maxdeg,
+             gendel_degree_hist=[int(v) for v in hist[:maxdeg + 1]])
+
+    MAXC = maxdeg + 2  # distinct columns per row <= 1 + max neighbors;
+    # cell-incidence degree bounds neighbor count on planar meshes
+    t0 = time.time()
+    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=2 if small else 8)
+    int(overe)
+    assert not bool(overe)
+    sink.put(gendel_ell_convert_s=round(time.time() - t0, 2))
+    del op64
+
+    E32 = jax.jit(lambda E_: E_.astype(jnp.float32))(E64)
+    i_r = jnp.arange(nd, dtype=jnp.int32)
+    bw = int(jax.jit(
+        lambda c_: jnp.max(jnp.abs(c_ - i_r[None, :])))(E32.cols))
+    Wp, _am = plan_split_width(E32, bcap=16384)
+    sink.put(gendel_bandwidth=bw, gendel_plan_W=int(Wp or 0))
+
+    t0 = time.time()
+    lane = LaneRoutedELL.from_ell(E32, bandwidth=bw)
+    sink.put(gendel_lane_setup_s=round(time.time() - t0, 2),
+             gendel_lane_p_max=lane.p_max,
+             gendel_lane_rem_frac=round(
+                 lane.n_remainder / (MAXC * nd), 4))
+
+    rhs32 = jax.jit(
+        lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float32) / nd
+    )(bnd)
+    perr = float(jax.jit(
+        lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
+    )(lane, E32, rhs32))
+    sink.put(gendel_lane_parity=perr)
+
+    sys_l = DirichletSystem(lane, bnd)
+    ITERS = 40 if small else 20
+    cg_chunked(sys_l, rhs32, rtol=0.0, maxiter=ITERS, chunk=10)
+    t0 = time.time()
+    cg_chunked(sys_l, rhs32, rtol=0.0, maxiter=ITERS, chunk=10)
+    sink.put(gendel_lane_cg_iters_per_s=round(
+        ITERS / (time.time() - t0), 2))
+
+    t0 = time.time()
+    diag32 = jax.jit(
+        lambda E_, b_: DirichletSystem(E_, b_).diagonal()
+    )(E32, bnd)
+    aux = AuxGridPreconditioner.build_device((x, y), diag32)
+    float(aux.dinv[0])
+    sink.put(gendel_aux_build_s=round(time.time() - t0, 2))
+
+    rhs64 = jax.jit(
+        lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / nd
+    )(bnd)
+    g0 = jnp.zeros(nd, jnp.float64)
+    xs, its, rel = _lane_refined_solve(
+        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+    t0 = time.time()
+    xs, its, rel = _lane_refined_solve(
+        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+    sink.put(gendel_converged_solve_s=round(time.time() - t0, 2),
+             gendel_converged_iters=int(its),
+             gendel_converged_true_rel_res=float(rel),
+             gendel_section_s=round(time.time() - t_sec, 1))
+
+
 def _genscat_metrics(small, sink):
     """SCATTERED-numbering record (the round-4 marquee kernel), as its
-    OWN group: rebuilds the f32 operator (mesh + local assembly +
-    adjacency + blocked ELL — bounded programs) and runs the scattered
-    control so a gen10m wall-cap kill cannot take this stage with it.
+    OWN group: rebuilds the operator in f64 (mesh + local assembly +
+    adjacency + blocked ELL — bounded programs), permutes it into the
+    class plan_split_width rejects, and runs the scattered control so a
+    gen10m wall-cap kill cannot take this stage with it.
     A block-local multiplicative scramble applied SYMMETRICALLY spreads
     the offset histogram across the whole +-(B + 2S) band — the class
     plan_split_width rejects and an imported mesh lands in after RCM.
     Permutation similarity: same spectrum, only gather locality changes.
-    The raw-ELL fallback rate equals gen10m_ell_cg_iters_per_s (XLA
-    gathers are locality-insensitive — micro_scatter_spmv.py D == E)."""
+    Round 5 adds the CONVERGED story: f32 lane-kernel inner CG with the
+    aux-grid V-cycle + f64 true-residual refinement through the f64 ELL
+    (the Eigen-SparseLU any-topology envelope,
+    fem_linear_elliptic_solver.h:38-47, on the numbering the banded
+    split rejects)."""
     import jax
     import jax.numpy as jnp
 
@@ -1525,42 +1698,42 @@ def _genscat_metrics(small, sink):
         x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
             n, amp, dtype=jnp.float64)
         s01, s02, s12 = p1_offdiag_soa(x, y, c0, c1, c2)
-        s = jnp.stack([s01, s02, s12]).astype(jnp.float32)
+        s = jnp.stack([s01, s02, s12])  # f64: the refinement reference
         c = jnp.stack([c0, c1, c2])
         adj, mask, over = build_adjacency_soa(
             c.reshape(-1), n_dofs, 8)
-        return s, c, adj, mask, bnd, over.astype(jnp.int32)
+        return x, y, s, c, adj, mask, bnd, over.astype(jnp.int32)
 
-    s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
+    x, y, s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
     int(over)
     t0 = time.time()
-    s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
+    x, y, s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
     int(over)
     sink.put(genscat_build_s=round(time.time() - t0, 3))
 
-    op32 = MatrixFreeSoA(s, c, adj, mask8, n_dofs)
+    op64 = MatrixFreeSoA(s, c, adj, mask8, n_dofs)
     t0 = time.time()
-    E32, overe = ell_from_op_blocked(op32, MAXC, blocks=8 if not small
+    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=8 if not small
                                      else 2)
     int(overe)
     sink.put(genscat_ell_convert_s=round(time.time() - t0, 3))
-    del op32, s, c, adj, mask8
+    del op64, s, c, adj, mask8
 
-    box = [E32]
-    del E32
-    _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small)
+    box = [E64]
+    del E64
+    _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small)
     sink.put(genscat_section_s=round(time.time() - t_sec, 1))
 
 
-def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
-    """Scattered-numbering control operator + lane-routed kernel rate.
+def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
+    """Scattered-numbering control operator: lane-kernel parity, rate
+    (f32 + bf16 tables) and the CONVERGED mixed-precision solve.
 
     p(i) = blk*S + (g * (i mod S) mod S) — a symmetric permutation
     similarity with block-local multiplicative scrambling: the offset
     histogram spreads over the whole +-(B + 2S) band (plan_split_width
     rejects it, asserted into the sink), CG spectra are identical to the
-    lattice operator's. Measures the honest arbitrary-import story:
-    raw-ELL gather rate vs the block-windowed gather rate."""
+    lattice operator's."""
     import jax
     import jax.numpy as jnp
 
@@ -1568,7 +1741,6 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
     from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
     from fdapde_core_tpu.ops.dia_split import plan_split_width
     from fdapde_core_tpu.ops.matfree_soa import ELLSoA
-    from fdapde_core_tpu.ops.window_spmv import WindowedELL
 
     S = 512 if small else 4096
     G = 397 if small else 1361  # coprime to S (odd, not dividing 2^k)
@@ -1576,10 +1748,10 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
     ITERS_SC = 40 if small else 8
 
     nfull = (n_dofs // S) * S  # identity on the trailing partial block
-    E32 = box.pop()  # sole owner: freed right after the permute
+    E64 = box.pop()  # sole owner: freed right after the permute
 
     @jax.jit
-    def permute(E32, bnd):
+    def permute(E64, x, y, bnd):
         def p(i):
             return jnp.where(i < nfull, (i // S) * S + (G * (i % S)) % S, i)
 
@@ -1588,17 +1760,17 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
 
         i = jnp.arange(n_dofs, dtype=jnp.int32)
         src = pinv(i)  # row i of the permuted operator = row pinv(i)
-        vals_s = E32.vals[:, src]
-        cols_s = p(E32.cols[:, src])
-        bnd_s = bnd[src]
+        vals_s = E64.vals[:, src]
+        cols_s = p(E64.cols[:, src])
         rows = i[None, :]
         bw = jnp.max(jnp.abs(cols_s - rows))
-        return vals_s, cols_s, bnd_s, bw
+        return vals_s, cols_s, bnd[src], x[src], y[src], bw
 
-    vals_s, cols_s, bnd_s, bwd = permute(E32, bnd)
+    vals64_s, cols_s, bnd_s, x_s, y_s, bwd = permute(E64, x, y, bnd)
     Bsc = int(bwd)
-    del E32  # last reference: frees ~740 MB before the scheduler runs
-    E_sc = ELLSoA(vals_s, cols_s, (n_dofs, n_dofs))
+    del E64  # frees ~1.1 GB before the scheduler runs
+    E64_sc = ELLSoA(vals64_s, cols_s, (n_dofs, n_dofs))
+    E_sc = jax.jit(lambda E_: E_.astype(jnp.float32))(E64_sc)
     Wp, _amax = plan_split_width(E_sc, bcap=16384)
     sink.put(gen10m_scat_plan_W=int(Wp or 0), gen10m_scat_bandwidth=Bsc)
 
@@ -1606,21 +1778,9 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float32) / (n * n)
     )(bnd_s)
 
-    if small:  # full size: the scattered ELL rate == gen10m_ell_cg rate
-        # (XLA gathers are locality-insensitive; measured 1.24 vs 1.23)
-        sys_sc = DirichletSystem(E_sc, bnd_s)
-        cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
-        t0 = time.time()
-        cg_chunked(sys_sc, rhs_sc, rtol=0.0, maxiter=ITERS_SC, chunk=CH)
-        sink.put(gen10m_scat_ell_cg_iters_per_s=round(
-            ITERS_SC / (time.time() - t0), 2))
-
     # lane-routed pallas path (ops/pallas_gather_spmv.py): two-stage
-    # lane-gather + transpose kernel, one-time scheduled routing tables.
-    # (The XLA windowed-gather alternative, ops/window_spmv.py, measured
-    # WORSE than the flat gather at this size — 0.8 vs 1.24 iters/s,
-    # r04 rehearsal + micro_scatter_spmv.py — and was retired from the
-    # official run; the operator + parity tests remain in the library.)
+    # lane-gather + transpose kernel, one-time scheduled routing tables
+    # (round-5 scheduler: int32 claim tables, 4 fused programs).
     from fdapde_core_tpu.ops.pallas_gather_spmv import LaneRoutedELL
 
     t0 = time.time()
@@ -1630,9 +1790,14 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
              gen10m_scat_lane_rem_frac=round(
                  lane.n_remainder / (MAXC * n_dofs), 4))
 
-    # the RATE is the record — measure it before the parity program (a
-    # budget stop between them must not eat the headline; parity is also
-    # pinned by the test suite and the solo-probe captures)
+    # PARITY FIRST (round-4 verdict: the rate-first ordering cut the
+    # correctness witness from the official artifact when the budget
+    # stopped between them; the round-5 scheduler is cheap enough)
+    perr = float(jax.jit(
+        lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
+    )(lane, E_sc, rhs_sc))
+    sink.put(gen10m_scat_lane_parity=perr)
+
     sys_l = DirichletSystem(lane, bnd_s)
     ITERS_LN = ITERS_SC if small else 40
     cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
@@ -1643,10 +1808,45 @@ def _scattered_control(sink, box, bnd, n, n_dofs, MAXC, CH, small):
              gen10m_scat_gbps=round(
                  (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
 
-    perr = float(jax.jit(
-        lambda W_, E_, v: jnp.max(jnp.abs((W_ @ v) - (E_ @ v)))
-    )(lane, E_sc, rhs_sc))
-    sink.put(gen10m_scat_lane_parity=perr)
+    # bf16-stored tables: halves the dominant HBM stream (table DMA);
+    # values upcast per pass, f32 accumulation — rate stage only, the
+    # converged solve below keeps f32 tables + f64 refinement
+    lane16 = jax.jit(lambda ln: ln.astype(jnp.bfloat16))(lane)
+    sys_l16 = DirichletSystem(lane16, bnd_s)
+    cg_chunked(sys_l16, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t0 = time.time()
+    cg_chunked(sys_l16, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    sink.put(gen10m_scat_bf16_cg_iters_per_s=round(
+        ITERS_LN / (time.time() - t0), 2))
+    del lane16, sys_l16
+
+    # CONVERGED scattered solve (round-5 headline): aux-grid V-cycle on
+    # the permuted coordinates + f32 lane inner CG + f64 true-residual
+    # refinement through the f64 ELL (XLA gather path — one SpMV per
+    # outer round)
+    from fdapde_core_tpu.models.matfree import _lane_refined_solve
+    from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
+
+    t0 = time.time()
+    diag32 = jax.jit(
+        lambda E_, b_: DirichletSystem(E_, b_).diagonal()
+    )(E_sc, bnd_s)
+    aux = AuxGridPreconditioner.build_device((x_s, y_s), diag32)
+    float(aux.dinv[0])
+    sink.put(gen10m_scat_aux_build_s=round(time.time() - t0, 2))
+
+    rhs64 = jax.jit(
+        lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / (n * n)
+    )(bnd_s)
+    g0 = jnp.zeros(n_dofs, jnp.float64)
+    xs, its, rel = _lane_refined_solve(
+        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+    t0 = time.time()
+    xs, its, rel = _lane_refined_solve(
+        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+    sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2),
+             gen10m_scat_converged_iters=int(its),
+             gen10m_scat_converged_true_rel_res=float(rel))
 
 
 # --------------------------------------------------------------------------

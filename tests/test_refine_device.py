@@ -1,0 +1,142 @@
+"""On-device uniform refinement + strip renumbering (geometry/refine_device).
+
+The device-growth path for variable-degree meshes at scale: a small host
+Delaunay base is refined on device (degree histogram of base vertices
+preserved; new interior vertices get degree 6) and renumbered by
+equal-population strips for a bounded bandwidth. Reference envelope:
+the topology-blind assembler loop fem_assembler.h:79-110.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fdapde_core_tpu.geometry.refine_device import (
+    refine_once,
+    strip_order,
+    uniform_refine_device,
+)
+from fdapde_core_tpu.geometry.structured import irregular_mesh_device_soa
+
+
+def _area(x, y, c0, c1, c2):
+    ax, ay = x[c1] - x[c0], y[c1] - y[c0]
+    bx, by = x[c2] - x[c0], y[c2] - y[c0]
+    return 0.5 * jnp.abs(ax * by - ay * bx)
+
+
+def test_refine_counts_area_boundary():
+    n = 8
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n, 0.2, dtype=jnp.float64)
+    V, C = x.shape[0], c0.shape[0]
+    x2, y2, c0b, c1b, c2b, bnd2 = uniform_refine_device(
+        x, y, c0, c1, c2, bnd, 2)
+    E = V + C - 1
+    V1, C1 = V + E, 4 * C
+    V2 = V1 + (V1 + C1 - 1)
+    assert x2.shape[0] == V2
+    assert c0b.shape[0] == 16 * C
+    # total area is preserved exactly by midpoint subdivision
+    np.testing.assert_allclose(
+        float(_area(x2, y2, c0b, c1b, c2b).sum()),
+        float(_area(x, y, c0, c1, c2).sum()), rtol=1e-13)
+    # boundary mask == coordinate boundary of the unit square
+    on_edge = (
+        (np.asarray(x2) == 0.0) | (np.asarray(x2) == 1.0)
+        | (np.asarray(y2) == 0.0) | (np.asarray(y2) == 1.0)
+    )
+    np.testing.assert_array_equal(np.asarray(bnd2), on_edge)
+    # all children non-degenerate
+    assert float(_area(x2, y2, c0b, c1b, c2b).min()) > 0.0
+
+
+def test_refine_preserves_degree_histogram_raggedness():
+    """Base vertices keep their (ragged) degrees; new interior vertices
+    have degree 6 — the refined mesh is NOT a uniform-degree lattice."""
+    from fdapde_core_tpu.ops.matfree_soa import build_adjacency_soa
+
+    n = 8
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n, 0.2, dtype=jnp.float64)
+    V = x.shape[0]
+
+    def degrees(c0, c1, c2, nd):
+        _, mask, over = build_adjacency_soa(
+            jnp.concatenate([c0, c1, c2]), nd, 16)
+        assert not bool(over)
+        return np.asarray(mask.sum(axis=0))
+
+    d0 = degrees(c0, c1, c2, V)
+    x2, y2, c0b, c1b, c2b, bnd2 = uniform_refine_device(
+        x, y, c0, c1, c2, bnd, 1)
+    d1 = degrees(c0b, c1b, c2b, x2.shape[0])
+    # cell-incidence degree of original vertices is preserved verbatim
+    np.testing.assert_array_equal(d1[:V], d0)
+    assert len(np.unique(d0)) >= 3  # genuinely ragged base
+
+
+def test_refine_fem_convergence_order():
+    """-lap u = f, u = x(1-x)y(1-y): one refinement level quarters the
+    nodal sup error (h^2)."""
+    from fdapde_core_tpu.models.matfree import MatrixFreeElliptic
+
+    def solve_err(x, y, c0, c1, c2, bnd):
+        cells = jnp.stack([c0, c1, c2], axis=1)
+        m = MatrixFreeElliptic((x, y), cells, bnd, K=1.0,
+                               preconditioner="auxgrid")
+        xc = (x[c0] + x[c1] + x[c2]) / 3
+        yc = (y[c0] + y[c1] + y[c2]) / 3
+        f = 2.0 * (xc * (1 - xc) + yc * (1 - yc))
+        b = m.load_vector(f)
+        u, it, rel = m.solve(b, rtol=1e-11, maxiter=500)
+        exact = x * (1 - x) * y * (1 - y)
+        return float(jnp.max(jnp.abs(u - exact)))
+
+    n = 8
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n, 0.2, dtype=jnp.float64)
+    e0 = solve_err(x, y, c0, c1, c2, bnd)
+    fine = uniform_refine_device(x, y, c0, c1, c2, bnd, 1)
+    e1 = solve_err(*fine)
+    ratio = e0 / e1
+    assert 2.6 < ratio < 6.0, (e0, e1, ratio)
+
+
+def test_strip_order_bandwidth_and_parity():
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.linear_algebra.solvers import cg
+    from fdapde_core_tpu.ops.matfree_soa import MatrixFreeSoA
+
+    n = 16
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n, 0.2, dtype=jnp.float64)
+    x, y, c0, c1, c2, bnd = uniform_refine_device(
+        x, y, c0, c1, c2, bnd, 1)
+    nd = x.shape[0]
+    pop = 64
+    order, rank = strip_order(x, y, pop)
+    # bijection
+    assert np.array_equal(np.sort(np.asarray(order)), np.arange(nd))
+    np.testing.assert_array_equal(np.asarray(rank)[np.asarray(order)],
+                                  np.arange(nd))
+    # renumber and check the bandwidth bound
+    xp, yp, bndp = x[order], y[order], bnd[order]
+    c0p, c1p, c2p = rank[c0], rank[c1], rank[c2]
+    bw = int(max(
+        np.abs(np.asarray(c0p) - np.asarray(c1p)).max(),
+        np.abs(np.asarray(c0p) - np.asarray(c2p)).max(),
+        np.abs(np.asarray(c1p) - np.asarray(c2p)).max(),
+    ))
+    assert bw <= 3 * pop, bw
+    # permuted solve == permuted unpermuted solve
+    op, over = MatrixFreeSoA.build(x, y, c0, c1, c2, nd, 16)
+    opp, overp = MatrixFreeSoA.build(xp, yp, c0p, c1p, c2p, nd, 16)
+    assert not bool(over) and not bool(overp)
+    b = jnp.where(bnd, 0.0, 1.0) / nd
+    u, info = cg(DirichletSystem(op, bnd), b, rtol=1e-11, maxiter=3000)
+    up, infop = cg(DirichletSystem(opp, bndp), b[order], rtol=1e-11,
+                   maxiter=3000)
+    assert bool(info.converged) and bool(infop.converged)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(u)[
+        np.asarray(order)], atol=1e-9)
