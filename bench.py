@@ -1649,8 +1649,7 @@ def _gendel_metrics(small, sink):
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / nd
     )(bnd)
     g0 = jnp.zeros(nd, jnp.float64)
-    xs, its, rel = _lane_refined_solve(
-        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+    _lane_refined_solve(E64, lane, bnd, aux, rhs64, g0, 1e-8, 1, 16)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
         E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
@@ -1702,14 +1701,22 @@ def _genscat_metrics(small, sink):
         c = jnp.stack([c0, c1, c2])
         adj, mask, over = build_adjacency_soa(
             c.reshape(-1), n_dofs, 8)
-        return x, y, s, c, adj, mask, bnd, over.astype(jnp.int32)
+        # lumped mass (row-sum, lumping.h:30 semantics): parabolic stage
+        area3 = 0.5 * jnp.abs(
+            (x[c1] - x[c0]) * (y[c2] - y[c0])
+            - (x[c2] - x[c0]) * (y[c1] - y[c0])) / 3.0
+        ml = jnp.zeros(n_dofs, x.dtype)
+        for cc in (c0, c1, c2):
+            ml = ml.at[cc].add(area3)
+        return x, y, s, c, adj, mask, bnd, ml, over.astype(jnp.int32)
 
-    x, y, s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
-    int(over)
     t0 = time.time()
-    x, y, s, c, adj, mask8, bnd, over = build(jnp.float64(0.2))
+    x, y, s, c, adj, mask8, bnd, ml, over = build(jnp.float64(0.2))
     int(over)
-    sink.put(genscat_build_s=round(time.time() - t0, 3))
+    # single invocation: a one-time setup stage — includes the first-exec
+    # compile; the warm rerun it used to pay (~17 s f64) funds the
+    # converged stages
+    sink.put(genscat_build_cold_s=round(time.time() - t0, 3))
 
     op64 = MatrixFreeSoA(s, c, adj, mask8, n_dofs)
     t0 = time.time()
@@ -1721,11 +1728,13 @@ def _genscat_metrics(small, sink):
 
     box = [E64]
     del E64
-    _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small)
+    _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
+                       small)
     sink.put(genscat_section_s=round(time.time() - t_sec, 1))
 
 
-def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
+def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
+                       small):
     """Scattered-numbering control operator: lane-kernel parity, rate
     (f32 + bf16 tables) and the CONVERGED mixed-precision solve.
 
@@ -1751,7 +1760,7 @@ def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
     E64 = box.pop()  # sole owner: freed right after the permute
 
     @jax.jit
-    def permute(E64, x, y, bnd):
+    def permute(E64, x, y, bnd, ml):
         def p(i):
             return jnp.where(i < nfull, (i // S) * S + (G * (i % S)) % S, i)
 
@@ -1764,9 +1773,10 @@ def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
         cols_s = p(E64.cols[:, src])
         rows = i[None, :]
         bw = jnp.max(jnp.abs(cols_s - rows))
-        return vals_s, cols_s, bnd[src], x[src], y[src], bw
+        return vals_s, cols_s, bnd[src], x[src], y[src], ml[src], bw
 
-    vals64_s, cols_s, bnd_s, x_s, y_s, bwd = permute(E64, x, y, bnd)
+    vals64_s, cols_s, bnd_s, x_s, y_s, ml_s, bwd = permute(
+        E64, x, y, bnd, ml)
     Bsc = int(bwd)
     del E64  # frees ~1.1 GB before the scheduler runs
     E64_sc = ELLSoA(vals64_s, cols_s, (n_dofs, n_dofs))
@@ -1784,7 +1794,7 @@ def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
     from fdapde_core_tpu.ops.pallas_gather_spmv import LaneRoutedELL
 
     t0 = time.time()
-    lane = LaneRoutedELL.from_ell(E_sc, bandwidth=Bsc)
+    lane = LaneRoutedELL.from_ell(E_sc, bandwidth=Bsc, keep_remap=True)
     sink.put(gen10m_scat_lane_setup_s=round(time.time() - t0, 2),
              gen10m_scat_lane_p_max=lane.p_max,
              gen10m_scat_lane_rem_frac=round(
@@ -1839,14 +1849,57 @@ def _scattered_control(sink, box, x, y, bnd, n, n_dofs, MAXC, CH, small):
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / (n * n)
     )(bnd_s)
     g0 = jnp.zeros(n_dofs, jnp.float64)
-    xs, its, rel = _lane_refined_solve(
-        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+    # warm the refined-solve programs with a 1-iteration call (the inner
+    # CG chunk program is already warm from the rate stage; this only
+    # compiles the f64 residual/update programs) — a full warm solve
+    # would double the stage cost
+    _lane_refined_solve(
+        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 1, 4 * CH)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
         E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
     sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2),
              gen10m_scat_converged_iters=int(its),
              gen10m_scat_converged_true_rel_res=float(rel))
+
+    # parabolic stepping on the scattered topology via SCHEDULE REUSE:
+    # the implicit-Euler system S = A + M_lump/dt shares A's sparsity,
+    # so with_vals rebuilds only the value tables (two scatters) —
+    # fem_linear_parabolic_solver.h:37-72 on the numbering the banded
+    # split rejects. Warm-started chunked CG per step.
+    from fdapde_core_tpu.ops.matfree_soa import ELLSoA as _ELL
+
+    dt_p = 1e-7  # ~h^2: both stiffness and mass terms contribute
+    t0 = time.time()
+    S32 = jax.jit(
+        lambda E_, m_: E_.with_added_diagonal((m_ / dt_p).astype(
+            jnp.float32))
+    )(E_sc, ml_s)
+    laneS = lane.with_vals(S32)
+    sink.put(gen10m_scat_lane_reuse_s=round(time.time() - t0, 2))
+
+    sys_p = DirichletSystem(laneS, bnd_s)
+    mdt32 = jax.jit(lambda m_: (m_ / dt_p).astype(jnp.float32))(ml_s)
+
+    def run_steps(n_steps, u):
+        tot = 0
+        for _ in range(n_steps):
+            rhs = jax.jit(
+                lambda m_, u_, b_: jnp.where(b_, 0.0, m_ * u_ + 1.0)
+            )(mdt32, u, bnd_s)
+            u, info = cg_chunked(sys_p, rhs, x0=u, rtol=1e-6,
+                                 maxiter=80, chunk=4 * CH)
+            tot += int(info.iterations)
+        return u, tot
+
+    u0 = jnp.zeros(n_dofs, jnp.float32)
+    u1, _ = run_steps(1, u0)  # warm the programs
+    STEPS = 5
+    t0 = time.time()
+    uT, tot_it = run_steps(STEPS, u1)
+    sink.put(gen10m_scat_parabolic_steps_per_s=round(
+        STEPS / (time.time() - t0), 2),
+             gen10m_scat_parabolic_iters_per_step=round(tot_it / STEPS, 1))
 
 
 # --------------------------------------------------------------------------
@@ -1879,7 +1932,9 @@ def _gen3d_metrics(small, sink):
     )
 
     t_sec = time.time()
-    n = 16 if small else 96
+    n = 16 if small else 128  # round-5: the full-size story (2.15M dofs /
+    # 12.6M tets) — r03/r04 shipped n=96 with the budget spent on the
+    # known-slow raw-ELL rate stage, dropped below
     m = n + 1
     nd = m ** 3
     C = 6 * n ** 3
@@ -1921,13 +1976,10 @@ def _gen3d_metrics(small, sink):
 
     rhs32 = jax.jit(
         lambda bnd: jnp.where(bnd, 0.0, 1.0).astype(jnp.float32) / C)(bnd)
-    sys32 = DirichletSystem(E32, bnd)
-    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
-    t0 = time.time()
-    cg_chunked(sys32, rhs32, rtol=0.0, maxiter=ITERS, chunk=CH)
-    t_it = (time.time() - t0) / ITERS
-    sink.put(gen3d_ell_cg_iters_per_s=round(1.0 / t_it, 2),
-             gen3d_ell_gbps=round((15 * 12 + 40) * nd / t_it / 1e9, 1))
+    # (round-5: the raw-ELL gather rate stage is dropped — a known-slow
+    # measurement, ~7.5 iters/s at n=96 r03, whose budget the full-size
+    # n=128 capture needs; the XLA gather truth table lives in
+    # BENCH_NOTES round 4)
 
     t0 = time.time()
     W1, W2 = plan_split_3d(E32)

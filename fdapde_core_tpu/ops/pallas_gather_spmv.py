@@ -305,11 +305,18 @@ def _sched_tables(state, n, P_MAX):
     rvals = jnp.zeros((NT + 1,), valsf.dtype).at[idx_c].set(
         valsf, mode="drop")[:-1]
     n_rem = jnp.sum(rem)
+    # value-remap indices: a NEW operator sharing this sparsity (same
+    # cols — e.g. a mass/reaction-augmented or re-coefficiented FEM
+    # matrix) rebuilds VALS + the remainder with two scatters instead of
+    # a full reschedule (the routing depends only on cols)
+    vals_idx = jnp.where(routed, idx_pos, NCELL).astype(jnp.int32)
     return (L1.reshape(G, SP, 128, 128), L2M.reshape(G, SP, 128, 128),
-            VALS.reshape(G, SP, 128, 128), rii, rcols, rvals, n_rem)
+            VALS.reshape(G, SP, 128, 128), rii, rcols, rvals, n_rem,
+            vals_idx, idx_c.astype(jnp.int32))
 
 
-def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16):
+def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
+                         keep_remap: bool = False):
     """Build LaneRoutedELL tables from an assembled ELLSoA: four bounded
     device programs + three tiny host fetches; the remainder is
     compacted to a COO triple of host-chosen static length.
@@ -333,7 +340,7 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16):
      colsf, tab, slots, n_left) = _sched_phase1(
         E.cols, E.vals, n, K, p_max, R1)
     if bool(over):
-        return None, None, None, None, True, -1
+        return None, None, None, None, True, -1, None
     NT = K * n
     state11 = (ii, a, m, c, r2, c2, rank, stride, live, placed, sp)
     t0 = R1 + 1  # phase-1 rounds ran t = 1..R1
@@ -351,8 +358,9 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16):
         t0 += R_PER
         done -= R_PER
     del tab, slots, c, rank, stride
-    L1, L2M, VALS, rii, rcols, rvals, n_rem = _sched_tables(
-        (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max)
+    L1, L2M, VALS, rii, rcols, rvals, n_rem, vals_idx, rem_idx = (
+        _sched_tables(
+            (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max))
     nr = int(n_rem)
     L = max(128, 1 << (nr - 1).bit_length()) if nr else 128
     L = min(L, NT)  # > NT/2 unrouted: rii[:L] cannot exceed the backing
@@ -361,7 +369,8 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16):
                             jnp.where(jnp.arange(L) < min(nr, L),
                                       c_[:L], 0.0)),
     )(rii, rcols, rvals)
-    return L1, L2M, VALS, rem, False, nr
+    remap = (vals_idx, rem_idx, L, nr) if keep_remap else None
+    return L1, L2M, VALS, rem, False, nr, remap
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +488,8 @@ class LaneRoutedELL:
 
     @classmethod
     def from_ell(cls, E: ELLSoA, p_max: int | None = None,
-                 rounds: int = 16, bandwidth: int | None = None):
+                 rounds: int = 16, bandwidth: int | None = None,
+                 keep_remap: bool = False):
         """One-time schedule build (device). Raises on bandwidth > TILE
         after RCM (the static 3-tile window cannot reach wider columns)
         and on p_max outside (K, 31]. Tasks the scheduler cannot route
@@ -505,8 +515,8 @@ class LaneRoutedELL:
                 f"p_max={p_max} exceeds the int32 slot-bitmask width "
                 "(rows with > 30 entries: stay on the plain ELL path)"
             )
-        L1, L2M, VALS, rem, over, n_rem = schedule_lane_routed(
-            E, p_max, rounds)
+        L1, L2M, VALS, rem, over, n_rem, remap = schedule_lane_routed(
+            E, p_max, rounds, keep_remap=keep_remap)
         if bool(over):
             raise ValueError(
                 "lane-routed schedule overflow: bandwidth > 16384 after "
@@ -516,6 +526,7 @@ class LaneRoutedELL:
         diag = E.diagonal()
         op = cls(L1, L2M, VALS, rem, diag, E.shape[0], p_max)
         op.n_remainder = int(n_rem)
+        op._remap = remap  # set iff keep_remap: enables with_vals
         return op
 
     def __matmul__(self, v):
@@ -524,6 +535,41 @@ class LaneRoutedELL:
         rrows, rcols, rvals = self.rem
         return y.at[rrows].add(
             (rvals * v[rcols]).astype(y.dtype), mode="drop")
+
+    def with_vals(self, E: ELLSoA):
+        """New operator with THIS schedule and E's values — E must share
+        the exact cols/shape this schedule was built from (same FEM
+        sparsity: reaction/mass-augmented, re-coefficiented, or
+        time-stepping system matrices). Requires from_ell(...,
+        keep_remap=True); two scatters instead of a reschedule."""
+        if getattr(self, "_remap", None) is None:
+            raise ValueError(
+                "schedule remap not retained: build the base operator "
+                "with from_ell(..., keep_remap=True)"
+            )
+        vals_idx, rem_idx, L, nr = self._remap
+        G, SP = self.VALS.shape[0], self.VALS.shape[1]
+        n = self.n
+
+        @jax.jit
+        def rebuild(E, vals_idx, rem_idx):
+            valsf = E.vals.reshape(-1)
+            NT = valsf.shape[0]
+            NCELL = G * SP * 128 * 128
+            VALS = jnp.zeros((NCELL + 1,), valsf.dtype).at[vals_idx].set(
+                valsf, mode="drop")[:-1].reshape(G, SP, 128, 128)
+            rv = jnp.zeros((NT + 1,), valsf.dtype).at[rem_idx].set(
+                valsf, mode="drop")[:-1]
+            rvals = jnp.where(jnp.arange(L) < min(nr, L), rv[:L], 0.0)
+            return VALS, rvals, E.diagonal()
+
+        VALS, rvals, diag = rebuild(E, vals_idx, rem_idx)
+        op = LaneRoutedELL(self.L1, self.L2M, VALS,
+                           (self.rem[0], self.rem[1], rvals), diag, n,
+                           self.p_max)
+        op.n_remainder = self.n_remainder
+        op._remap = self._remap
+        return op
 
     def diagonal(self):
         return self._diag

@@ -219,3 +219,56 @@ def test_model_lane_tables_are_f32_with_f64_input():
     xs, it, rel = m.solve(b, rtol=1e-11, maxiter=400, chunk=25)
     assert rel < 1e-11, rel  # beyond f32: proves refinement is real
     assert xs.dtype == jnp.float64
+
+
+def test_with_vals_schedule_reuse():
+    """Schedule reuse (round-5): a new operator sharing the cols (here a
+    reaction/mass-augmented system matrix) rebuilds only the value
+    tables — exact SpMV parity with a freshly scheduled operator."""
+    E, bnd, nd = _scrambled_fem_ell(n_side=48, S=256, G=89)
+    op = LaneRoutedELL.from_ell(E, p_max=12, rounds=12, keep_remap=True)
+    d = jnp.asarray(np.random.default_rng(5).uniform(0.5, 2.0, nd))
+    S_ell = E.with_added_diagonal(d)
+    opS = op.with_vals(S_ell)
+    assert opS.n_remainder == op.n_remainder
+    v = jnp.asarray(np.random.default_rng(6).standard_normal(nd))
+    np.testing.assert_allclose(np.asarray(opS @ v),
+                               np.asarray(S_ell @ v),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(opS.diagonal()),
+                               np.asarray(S_ell.diagonal()), rtol=1e-14)
+    # base op must not require remap retention
+    op2 = LaneRoutedELL.from_ell(E, p_max=12, rounds=12)
+    with pytest.raises(ValueError, match="remap"):
+        op2.with_vals(S_ell)
+
+
+def test_lane_parabolic_implicit_euler_steps():
+    """Scattered-topology parabolic stepping through the lane kernel:
+    S = A + M_lump/dt via schedule reuse, warm-started chunked CG per
+    implicit-Euler step — iterates match the plain ELL path."""
+    from fdapde_core_tpu.fem.solvers import DirichletSystem
+    from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
+
+    E, bnd, nd = _scrambled_fem_ell(n_side=32, S=128, G=29)
+    dt = 1e-3
+    ml = jnp.full((nd,), 1.0 / nd)  # lumped mass scale
+    S_ell = E.with_added_diagonal(ml / dt)
+    op = LaneRoutedELL.from_ell(E, p_max=12, rounds=12, keep_remap=True)
+    opS = op.with_vals(S_ell)
+
+    sys_lane = DirichletSystem(opS, bnd)
+    sys_ell = DirichletSystem(S_ell, bnd)
+    u_l = jnp.where(bnd, 0.0, 1.0)
+    u_e = u_l
+    f = jnp.ones(nd) / nd
+    for _ in range(3):
+        rhs_l = (ml / dt) * u_l + f
+        rhs_e = (ml / dt) * u_e + f
+        u_l, _ = cg_chunked(sys_lane, jnp.where(bnd, 0.0, rhs_l),
+                            x0=u_l, rtol=1e-12, maxiter=400, chunk=50)
+        u_e, _ = cg_chunked(sys_ell, jnp.where(bnd, 0.0, rhs_e),
+                            x0=u_e, rtol=1e-12, maxiter=400, chunk=50)
+    np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_e),
+                               rtol=1e-9, atol=1e-12)
+    assert bool(jnp.isfinite(u_l).all())
