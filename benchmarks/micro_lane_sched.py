@@ -5,7 +5,10 @@ scheduler phase with host fences between — isolates exec time from the
 per-program compile roulette so the optimization target is visible.
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

@@ -261,12 +261,41 @@ def _sched_phase2(state11, tab, slots, n, P_MAX, R_PER, t0, L):
     return placed, sp, tab, slots, n_left
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _sched_tables(state, n, P_MAX):
-    """Final table scatters + remainder compaction order (one program).
-    Cell indices are int32 and the input tuple carries only what the
-    scatters read — an int64 variant OOM'd 16 GB HBM at 10.25M rows."""
-    (ii, a, m, r2, c2, live, placed, sp, valsf, colsf) = state
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 8),
+                   donate_argnums=(1, 2))
+def _sched_finish(state11, tab, slots, valsf, n, P_MAX, R_REST, t0, L):
+    """Compacted tail rounds + merge + FINAL TABLE SCATTERS fused into
+    one program (the separate tables program alone cost ~68 s at 10.25M
+    rows — mostly its own compile+queue round-trip). Remainder metadata
+    is ONE task-id scatter (rtid); the (rows, cols, vals) triple is
+    gathered from it at slice time over the small compact length.
+    Cell indices are int32 throughout (an int64 variant OOM'd 16 GB)."""
+    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp) = state11
+    NT = live.shape[0]
+    if R_REST > 0:
+        remt = live & ~placed
+        pos = jnp.cumsum(remt.astype(jnp.int32)) - 1
+        idx = jnp.where(remt & (pos < L), pos, L)
+
+        def put(arr, fill):
+            return jnp.full((L + 1,), fill, arr.dtype).at[idx].set(
+                arr, mode="drop")[:-1]
+
+        back = put(jnp.arange(NT, dtype=jnp.int32), NT)
+        iic, ac, mc = put(ii, 0), put(a, 0), put(m, 0)
+        cc, r2c = put(c, 0), put(r2, 0)
+        rankc, stridec = put(rank, 0), put(stride, 1)
+        livec = put(remt, False)
+        gkeyc = iic * C_CHUNKS + cc
+        placed_c = jnp.zeros((L,), bool)
+        sp_c = jnp.zeros((L,), jnp.int32)
+        placed_c, sp_c, tab, slots = _rounds_body(
+            (iic, ac, mc, cc, r2c, rankc, stridec, livec, gkeyc),
+            placed_c, sp_c, tab, slots, P_MAX, R_REST, t0)
+        midx = jnp.where(placed_c, back, NT)
+        placed = placed.at[midx].set(True, mode="drop")
+        sp = sp.at[midx].set(sp_c, mode="drop")
+
     dtype_vals = valsf.dtype
     G = -(-n // TILE)
     SP = C_CHUNKS * P_MAX
@@ -290,36 +319,43 @@ def _sched_tables(state, n, P_MAX):
     ].set(valsf, mode="drop")[:-1]
 
     # remainder: unrouted live tasks compacted to the FRONT via a cumsum
-    # position scatter (an argsort over 92M tasks costs ~20 s here); the
-    # host picks a static compact length from n_rem — a full-width
-    # per-slot fallback would pay K*n near-scalar gathers per SpMV, the
-    # cost this kernel exists to avoid
+    # position scatter of their TASK ID only (the r04 design scattered
+    # the full (rows, cols, vals) triple: two extra 92M scatters)
     rem = live & ~placed
-    NT = live.shape[0]
     pos = jnp.cumsum(rem.astype(jnp.int32)) - 1
     idx_c = jnp.where(rem, pos, NT)
-    rii = jnp.zeros((NT + 1,), ii.dtype).at[idx_c].set(
-        ii, mode="drop")[:-1]
-    rcols = jnp.zeros((NT + 1,), colsf.dtype).at[idx_c].set(
-        colsf, mode="drop")[:-1]
-    rvals = jnp.zeros((NT + 1,), valsf.dtype).at[idx_c].set(
-        valsf, mode="drop")[:-1]
+    rtid = jnp.full((NT + 1,), NT, jnp.int32).at[idx_c].set(
+        jnp.arange(NT, dtype=jnp.int32), mode="drop")[:-1]
     n_rem = jnp.sum(rem)
     # value-remap indices: a NEW operator sharing this sparsity (same
     # cols — e.g. a mass/reaction-augmented or re-coefficiented FEM
-    # matrix) rebuilds VALS + the remainder with two scatters instead of
-    # a full reschedule (the routing depends only on cols)
+    # matrix) rebuilds VALS + the remainder with one scatter + one small
+    # gather instead of a full reschedule (routing depends only on cols)
     vals_idx = jnp.where(routed, idx_pos, NCELL).astype(jnp.int32)
     return (L1.reshape(G, SP, 128, 128), L2M.reshape(G, SP, 128, 128),
-            VALS.reshape(G, SP, 128, 128), rii, rcols, rvals, n_rem,
-            vals_idx, idx_c.astype(jnp.int32))
+            VALS.reshape(G, SP, 128, 128), rtid, n_rem, vals_idx)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _rem_slice(rtid, colsf, valsf, n, L):
+    """Gather the compact COO remainder triple from the task ids —
+    small-L gathers (ii[t] = t mod n by construction of the task
+    layout); padding entries carry row 0 / val 0 (scatter-adds 0)."""
+    NT = colsf.shape[0]
+    t = jnp.minimum(rtid[:L], NT - 1)
+    valid = rtid[:L] < NT
+    rii = jnp.where(valid, t % n, 0).astype(jnp.int32)
+    rcols = jnp.where(valid, colsf[t], 0).astype(jnp.int32)
+    rvals = jnp.where(valid, valsf[t], 0.0)
+    return rii, rcols, rvals
 
 
 def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
                          keep_remap: bool = False):
-    """Build LaneRoutedELL tables from an assembled ELLSoA: four bounded
-    device programs + three tiny host fetches; the remainder is
-    compacted to a COO triple of host-chosen static length.
+    """Build LaneRoutedELL tables from an assembled ELLSoA: THREE
+    bounded device programs (four when phase-1 placement is unusually
+    poor) + two tiny host fetches; the remainder is compacted to a COO
+    triple of host-chosen static length.
 
     p_max MUST exceed the ELL width K: sub-pass proposals of a (row,
     chunk) group are its ranks (0..K-1 at most) shifted by a uniform
@@ -345,31 +381,27 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
     state11 = (ii, a, m, c, r2, c2, rank, stride, live, placed, sp)
     t0 = R1 + 1  # phase-1 rounds ran t = 1..R1
     done = rounds - R1
-    while done > 0 and int(n_left) > 0:
-        # subset rounds: ~10x cheaper per call as the subset shrinks;
-        # normally TWO phase-2 programs (4 rounds, then the whole tail
-        # once the subset is small enough for one bounded program)
-        L = min(max(1 << 14, 1 << max(int(n_left) - 1, 1).bit_length()),
-                NT)
-        R_PER = done if (done <= 4 or L <= NT // 8) else 4
+    nl = int(n_left)
+    if done > 4 and nl > NT // 8:
+        # rare path (phase-1 placement < 87.5%): one intermediate
+        # program so the fused finish stays inside the ~60 s watchdog
+        L = min(max(1 << 14, 1 << max(nl - 1, 1).bit_length()), NT)
         placed, sp, tab, slots, n_left = _sched_phase2(
-            state11, tab, slots, n, p_max, R_PER, jnp.int32(t0), L)
+            state11, tab, slots, n, p_max, 4, jnp.int32(t0), L)
         state11 = state11[:9] + (placed, sp)
-        t0 += R_PER
-        done -= R_PER
+        t0 += 4
+        done -= 4
+        nl = int(n_left)
+    R_REST = done if nl > 0 else 0
+    L = min(max(1 << 14, 1 << max(nl - 1, 1).bit_length()), NT)
+    L1, L2M, VALS, rtid, n_rem, vals_idx = _sched_finish(
+        state11, tab, slots, valsf, n, p_max, R_REST, jnp.int32(t0), L)
     del tab, slots, c, rank, stride
-    L1, L2M, VALS, rii, rcols, rvals, n_rem, vals_idx, rem_idx = (
-        _sched_tables(
-            (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), n, p_max))
     nr = int(n_rem)
-    L = max(128, 1 << (nr - 1).bit_length()) if nr else 128
-    L = min(L, NT)  # > NT/2 unrouted: rii[:L] cannot exceed the backing
-    rem = jax.jit(
-        lambda a_, b_, c_: (a_[:L], b_[:L],
-                            jnp.where(jnp.arange(L) < min(nr, L),
-                                      c_[:L], 0.0)),
-    )(rii, rcols, rvals)
-    remap = (vals_idx, rem_idx, L, nr) if keep_remap else None
+    Lr = max(128, 1 << (nr - 1).bit_length()) if nr else 128
+    Lr = min(Lr, NT)
+    rem = _rem_slice(rtid, colsf, valsf, n, Lr)
+    remap = (vals_idx, rtid, Lr, nr) if keep_remap else None
     return L1, L2M, VALS, rem, False, nr, remap
 
 
@@ -547,23 +579,22 @@ class LaneRoutedELL:
                 "schedule remap not retained: build the base operator "
                 "with from_ell(..., keep_remap=True)"
             )
-        vals_idx, rem_idx, L, nr = self._remap
+        vals_idx, rtid, L, nr = self._remap
         G, SP = self.VALS.shape[0], self.VALS.shape[1]
         n = self.n
 
         @jax.jit
-        def rebuild(E, vals_idx, rem_idx):
+        def rebuild(E, vals_idx, rtid):
             valsf = E.vals.reshape(-1)
             NT = valsf.shape[0]
             NCELL = G * SP * 128 * 128
             VALS = jnp.zeros((NCELL + 1,), valsf.dtype).at[vals_idx].set(
                 valsf, mode="drop")[:-1].reshape(G, SP, 128, 128)
-            rv = jnp.zeros((NT + 1,), valsf.dtype).at[rem_idx].set(
-                valsf, mode="drop")[:-1]
-            rvals = jnp.where(jnp.arange(L) < min(nr, L), rv[:L], 0.0)
+            t = jnp.minimum(rtid[:L], NT - 1)
+            rvals = jnp.where(rtid[:L] < NT, valsf[t], 0.0)
             return VALS, rvals, E.diagonal()
 
-        VALS, rvals, diag = rebuild(E, vals_idx, rem_idx)
+        VALS, rvals, diag = rebuild(E, vals_idx, rtid)
         op = LaneRoutedELL(self.L1, self.L2M, VALS,
                            (self.rem[0], self.rem[1], rvals), diag, n,
                            self.p_max)
