@@ -93,7 +93,7 @@ GATES = {"structured": 10**9, "gen10m": 640, "genscat": 1040,
 # a WEDGED first request burns the whole cap — keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 200, "spacetime": 140,
-        "gen10m": 470, "gen3d": 240, "genscat": 330, "genp2": 220,
+        "gen10m": 440, "gen3d": 240, "genscat": 360, "genp2": 220,
         "gendel": 300}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
@@ -156,7 +156,7 @@ HEADLINE_KEYS = (
     "unstr_converged_solve_s", "unstr_converged_true_rel_res",
     "gen10m_n_dofs", "gen10m_ell_convert_s", "gen10m_ell_cg_iters_per_s",
     "gen10m_dia_cg_iters_per_s", "gen10m_scat_cg_iters_per_s",
-    "gen10m_scat_bf16_cg_iters_per_s", "gen10m_scat_lane_setup_s",
+    "gen10m_scat_lane_setup_s",
     "gen10m_scat_lane_parity", "gen10m_scat_bandwidth",
     "gen10m_scat_converged_solve_s", "gen10m_scat_converged_iters",
     "gen10m_scat_converged_true_rel_res",
@@ -1808,32 +1808,11 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     )(lane, E_sc, rhs_sc))
     sink.put(gen10m_scat_lane_parity=perr)
 
-    sys_l = DirichletSystem(lane, bnd_s)
-    ITERS_LN = ITERS_SC if small else 40
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t0 = time.time()
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t_it = (time.time() - t0) / ITERS_LN
-    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
-             gen10m_scat_gbps=round(
-                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
-
-    # bf16-stored tables: halves the dominant HBM stream (table DMA);
-    # values upcast per pass, f32 accumulation — rate stage only, the
-    # converged solve below keeps f32 tables + f64 refinement
-    lane16 = jax.jit(lambda ln: ln.astype(jnp.bfloat16))(lane)
-    sys_l16 = DirichletSystem(lane16, bnd_s)
-    cg_chunked(sys_l16, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t0 = time.time()
-    cg_chunked(sys_l16, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    sink.put(gen10m_scat_bf16_cg_iters_per_s=round(
-        ITERS_LN / (time.time() - t0), 2))
-    del lane16, sys_l16
-
-    # CONVERGED scattered solve (round-5 headline): aux-grid V-cycle on
-    # the permuted coordinates + f32 lane inner CG + f64 true-residual
-    # refinement through the f64 ELL (XLA gather path — one SpMV per
-    # outer round)
+    # CONVERGED scattered solve NEXT (the round-5 headline: no official
+    # artifact carries one, while the fixed-iteration rate below has an
+    # r04 capture to fall back on): aux-grid V-cycle on the permuted
+    # coordinates + f32 lane inner CG + f64 true-residual refinement
+    # through the f64 ELL (XLA gather path — one SpMV per outer round)
     from fdapde_core_tpu.models.matfree import _lane_refined_solve
     from fdapde_core_tpu.ops.auxgrid import AuxGridPreconditioner
 
@@ -1849,10 +1828,8 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / (n * n)
     )(bnd_s)
     g0 = jnp.zeros(n_dofs, jnp.float64)
-    # warm the refined-solve programs with a 1-iteration call (the inner
-    # CG chunk program is already warm from the rate stage; this only
-    # compiles the f64 residual/update programs) — a full warm solve
-    # would double the stage cost
+    # warm the refined-solve programs with a 1-iteration call — a full
+    # warm solve would double the stage cost
     _lane_refined_solve(
         E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 1, 4 * CH)
     t0 = time.time()
@@ -1861,6 +1838,20 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2),
              gen10m_scat_converged_iters=int(its),
              gen10m_scat_converged_true_rel_res=float(rel))
+
+    # fixed-iteration CG rate on the lane kernel (the r04 record stage).
+    # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8
+    # f32 iters/s, r5 probe: the per-pass upcast eats the table-DMA
+    # saving — dropped; negative result recorded in BENCH_NOTES.)
+    sys_l = DirichletSystem(lane, bnd_s)
+    ITERS_LN = ITERS_SC if small else 40
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t0 = time.time()
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t_it = (time.time() - t0) / ITERS_LN
+    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
+             gen10m_scat_gbps=round(
+                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
 
     # parabolic stepping on the scattered topology via SCHEDULE REUSE:
     # the implicit-Euler system S = A + M_lump/dt shares A's sparsity,
