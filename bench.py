@@ -1649,13 +1649,16 @@ def _gendel_metrics(small, sink):
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / nd
     )(bnd)
     g0 = jnp.zeros(nd, jnp.float64)
-    _lane_refined_solve(E64, lane, bnd, aux, rhs64, g0, 1e-8, 1, 16)
+    t0 = time.time()
+    xs, its, rel = _lane_refined_solve(
+        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+    sink.put(gendel_converged_cold_s=round(time.time() - t0, 2),
+             gendel_converged_iters=int(its),
+             gendel_converged_true_rel_res=float(rel))
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
         E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
     sink.put(gendel_converged_solve_s=round(time.time() - t0, 2),
-             gendel_converged_iters=int(its),
-             gendel_converged_true_rel_res=float(rel),
              gendel_section_s=round(time.time() - t_sec, 1))
 
 
@@ -1828,16 +1831,19 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / (n * n)
     )(bnd_s)
     g0 = jnp.zeros(n_dofs, jnp.float64)
-    # warm the refined-solve programs with a 1-iteration call — a full
-    # warm solve would double the stage cost
-    _lane_refined_solve(
-        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 1, 4 * CH)
+    # COLD solve first: the correctness witness (iters + true rel res)
+    # lands in the sink even if the budget stops before the warm timing
+    # run (compile roulette makes the cold time an upper bound only)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
         E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
-    sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2),
+    sink.put(gen10m_scat_converged_cold_s=round(time.time() - t0, 2),
              gen10m_scat_converged_iters=int(its),
              gen10m_scat_converged_true_rel_res=float(rel))
+    t0 = time.time()
+    xs, its, rel = _lane_refined_solve(
+        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+    sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2))
 
     # fixed-iteration CG rate on the lane kernel (the r04 record stage).
     # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8

@@ -102,16 +102,33 @@ def refine_once(x, y, c0, c1, c2, bnd):
     return (*out, n_act)
 
 
-def uniform_refine_device(x, y, c0, c1, c2, bnd, levels: int):
-    """`levels` red refinements on device; asserts the Euler witness."""
+@functools.partial(jax.jit, static_argnums=(6,))
+def _refine_fused(x, y, c0, c1, c2, bnd, levels: int):
+    """All levels in ONE program: each distinct program's first
+    execution pays the remote-harness compile roulette, so the
+    per-level jits (6 programs for 3 levels) are inlined here."""
+    wits = []
     for _ in range(levels):
         n, C = x.shape[0], c0.shape[0]
-        x, y, c0, c1, c2, bnd, n_act = refine_once(x, y, c0, c1, c2, bnd)
-        if int(n_act) != n + C - 1:
-            raise ValueError(
-                f"mesh is not simply connected: {int(n_act)} edges vs "
-                f"Euler's {n + C - 1} — refine on host instead"
-            )
+        n_edges = n + C - 1
+        e01, e02, e12, edge_bnd, n_act = device_edges(
+            c0, c1, c2, n, n_edges)
+        x, y, c0, c1, c2, bnd = _refine_tables(
+            x, y, c0, c1, c2, bnd, e01, e02, e12, edge_bnd)
+        wits.append(n_act - n_edges)  # 0 iff Euler count holds
+    return x, y, c0, c1, c2, bnd, jnp.stack(wits)
+
+
+def uniform_refine_device(x, y, c0, c1, c2, bnd, levels: int):
+    """`levels` red refinements on device (one fused program); asserts
+    the Euler edge-count witness for every level."""
+    x, y, c0, c1, c2, bnd, wits = _refine_fused(
+        x, y, c0, c1, c2, bnd, levels)
+    if int(jnp.max(jnp.abs(wits))) != 0:
+        raise ValueError(
+            "mesh is not simply connected: device edge counts deviate "
+            f"from Euler's V+C-1 by {[int(w) for w in wits]} per level"
+        )
     return x, y, c0, c1, c2, bnd
 
 
