@@ -18,14 +18,15 @@ SURVEY.md) marks `converged=False` without crashing.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cg", "cg_chunked", "bicgstab", "bicgstab_chunked", "gmres",
-           "cg_differentiable", "SolveInfo"]
+__all__ = ["cg", "cg_chunked", "cg_split_programs", "bicgstab",
+           "bicgstab_chunked", "gmres", "cg_differentiable", "SolveInfo"]
 
 
 class SolveInfo(NamedTuple):
@@ -499,6 +500,75 @@ def cg_differentiable(matvec, b, M_inv=None, rtol=1e-12, maxiter=None, symmetric
     return jax.lax.custom_linear_solve(
         matvec, jnp.asarray(b), solve=solve, symmetric=symmetric
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _cg_split_progs():
+    """The two alternating PCG half-step programs of cg_split_programs.
+    Each holds only ONE heavyweight component — the operator (e.g. a
+    pallas lane kernel) or the preconditioner (e.g. a multigrid
+    V-cycle): fusing both into one chunked while-loop program measured a
+    ~250 s server-side compile on the TPU harness (round-5 probe), vs
+    seconds for these."""
+
+    @jax.jit
+    def step_a(A, x, r, p, rz):
+        op = _as_operator(A)
+        Ap = op(p)
+        pAp = jnp.vdot(p, Ap)
+        # breakdown guard: iterations past convergence (the host only
+        # checks every `check_every`) become exact no-ops instead of 0/0
+        alpha = jnp.where(pAp == 0, 0.0, rz / jnp.where(pAp == 0, 1.0,
+                                                        pAp))
+        x = x + alpha * p
+        r = r - alpha * Ap
+        return x, r, jnp.vdot(r, r)
+
+    @jax.jit
+    def step_b(M, r, p, rz):
+        op = _as_operator(M)
+        z = op(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0,
+                                                          rz))
+        p = z + beta * p
+        return p, rz_new
+
+    return step_a, step_b
+
+
+def cg_split_programs(A, b, M_inv, rtol=1e-12, maxiter=200,
+                      check_every=10):
+    """Host-driven preconditioned CG from x0 = 0: TWO small device
+    programs per iteration (operator half-step / preconditioner
+    half-step), dispatched asynchronously with a residual fetch every
+    `check_every` iterations. Mathematically standard PCG — use where a
+    fused chunk program (cg_chunked) pays a pathological compile, e.g.
+    pallas custom calls combined with deep structured V-cycles.
+    Returns (x, SolveInfo)."""
+    A = _as_chunk_operand(A)
+    M_inv = _as_chunk_operand(M_inv)
+    step_a, step_b = _cg_split_progs()
+    b = jnp.asarray(b)
+    bn2 = float(jnp.vdot(b, b))
+    tol2 = (rtol * rtol) * bn2
+    one = jnp.asarray(1.0, b.dtype)
+    # init: r0 = b (x0 = 0); z0/p0 via step_b with p = 0, rz = 1
+    p, rz = step_b(M_inv, b, jnp.zeros_like(b), one)
+    x = jnp.zeros_like(b)
+    r = b
+    k = 0
+    rn2 = jnp.vdot(b, b)
+    while k < maxiter:
+        x, r, rn2 = step_a(A, x, r, p, rz)
+        p, rz = step_b(M_inv, r, p, rz)
+        k += 1
+        if k % check_every == 0 or k == maxiter:
+            v = float(rn2)
+            if not (v > tol2):  # converged or non-finite: stop
+                break
+    rn = jnp.sqrt(rn2)
+    return x, SolveInfo(k, rn, (float(rn2) <= tol2))
 
 
 def iterative_refinement(A, b, inner_solve, n_refine: int = 3):

@@ -699,7 +699,7 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
 
     Returns (x, total_inner_iterations, true relative residual).
     """
-    from ..linear_algebra.solvers import cg_chunked
+    from ..linear_algebra.solvers import cg_split_programs
 
     sys_ref = DirichletSystem(op_ref, bnd)
     lane_sys = DirichletSystem(lane, bnd)
@@ -720,9 +720,6 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
         r = b_mod - sysr(x)
         return x, r, jnp.sqrt(jnp.sum(r * r))
 
-    def pre(z):
-        return aux(z.astype(jnp.float32)).astype(z.dtype)
-
     b_mod, x, r, bn, rn = prep(op_ref, bnd, b, g)
     bnf = max(float(bn), 1e-300)
     rel = float(rn) / bnf
@@ -730,10 +727,14 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
     for _ in range(max_outer):
         if rel <= rtol or total_it >= maxiter:
             break
-        dx, info = cg_chunked(
-            lane_sys, r.astype(jnp.float32), M_inv=pre, rtol=inner_rtol,
-            maxiter=min(maxiter - total_it, 100), chunk=chunk,
-            on_chunk=on_chunk)
+        # TWO alternating small programs (lane half-step / V-cycle
+        # half-step): a fused chunk program paid a ~250 s server-side
+        # compile on the TPU harness (aux V-cycle + pallas call in one
+        # while loop; benchmarks/micro_lane_refined.py)
+        dx, info = cg_split_programs(
+            lane_sys, r.astype(jnp.float32), aux, rtol=inner_rtol,
+            maxiter=min(maxiter - total_it, 100),
+            check_every=max(1, chunk // 2))
         total_it += int(info.iterations)
         x, r, rn = update(op_ref, bnd, x, dx, b_mod)
         rel = float(rn) / bnf
