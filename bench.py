@@ -77,24 +77,24 @@ T_START = time.time()
 # it down; `general` (whose r03 capture is already complete and clean)
 # is the sacrificial tail, with its round-4 P2 stage FIRST inside the
 # group so a cap kill still records it
-GROUPS = ("structured", "gen10m", "genscat", "genp2", "gendel",
-          "gen3d", "spacetime", "general")
+GROUPS = ("structured", "genscat", "gendel", "gen3d", "genp2",
+          "gen10m", "spacetime", "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
-# Budgeted against the DRIVER's observed ~1800 s kill: every gate leaves
-# the group enough room to finish inside TOTAL_BUDGET_S. Round-5 order:
-# every never-captured stage (scat converged, P2, Delaunay-at-scale,
-# full-size 3D) sits in a group whose gate guarantees a start; the
-# sacrificial tail (spacetime, general) holds only stages with official
-# r03/r04 captures.
-GATES = {"structured": 10**9, "gen10m": 640, "genscat": 1040,
-         "genp2": 1250, "gendel": 1440, "gen3d": 1520,
-         "spacetime": 1570, "general": 1610}
+# Round-5 priority = NEWNESS: groups whose stages have never appeared in
+# an official artifact (scattered converged solve, device-grown Delaunay,
+# full-size 3D, P2-at-scale) run before groups whose every stage already
+# has an r03/r04 official capture (gen10m, spacetime, general) - those
+# are the sacrificial tail now, with gates that still give gen10m a
+# partial run on slow days.
+GATES = {"structured": 10**9, "genscat": 430, "gendel": 1000,
+         "gen3d": 1280, "genp2": 1450, "gen10m": 1500,
+         "spacetime": 1580, "general": 1620}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
-# a WEDGED first request burns the whole cap — keep structured's tight so
+# a WEDGED first request burns the whole cap - keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 200, "spacetime": 140,
-        "gen10m": 440, "gen3d": 240, "genscat": 360, "genp2": 220,
-        "gendel": 300}
+        "gen10m": 380, "gen3d": 230, "genscat": 430, "genp2": 200,
+        "gendel": 290}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
               "gendel": 400}
@@ -1284,25 +1284,10 @@ def _general_gather_metrics(small, sink):
         sink.put(gen10m_dia_cg_iters_per_s=round(1.0 / t_dia_iter, 2),
                  gen10m_dia_gbps=round(dia_bytes / t_dia_iter / 1e9, 1))
 
-        # stage 5c: bf16-STORED banded layers, f32 vectors (the stencil
-        # apply casts layers up): at W=3201 the (L+1) data grids dominate
-        # the per-iteration bytes over the ~10 vector passes, so bf16
-        # storage removes ~40% of the streamed traffic. Operator rounding
-        # is ~4e-3 relative — a throughput / preconditioner-grade
-        # operator (pair with f64 refinement for converged solves), same
-        # rule as the structured bf16-stencil stage.
-        S16 = jax.jit(lambda S: S.astype(jnp.bfloat16))(S32)
-        inv_d32 = jax.jit(lambda S: 1.0 / S.diagonal())(S32)
-        run_dia16 = jax.jit(
-            lambda S, bb, idg: banded_cg(S, bb, ITERS, inv_diag=idg)[1])
-        float(run_dia16(S16, b32, inv_d32))  # warm
-        t0 = time.time()
-        float(run_dia16(S16, b32, inv_d32))
-        t16 = (time.time() - t0) / ITERS
-        dia16_bytes = (L + 1) * RW * 2 + 10 * n_dofs * 4
-        sink.put(gen10m_dia_bf16_cg_iters_per_s=round(1.0 / t16, 2),
-                 gen10m_dia_bf16_gbps=round(dia16_bytes / t16 / 1e9, 1))
-        del S16, inv_d32
+        # (round-5: the bf16-stored-layer rate stage is dropped from the
+        # budget - its r04 official capture (611 iters/s, +22% over f32)
+        # stands and the astype/test coverage remains in the library;
+        # the ~20 s it cost funds the never-captured round-5 groups)
 
     # stage 5 (converged): ZERO-GATHER preconditioning — GridMG directly
     # on the (R, W) banded grid (ops/dia_split.BandedMGPreconditioner):
@@ -1845,20 +1830,6 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
         E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
     sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2))
 
-    # fixed-iteration CG rate on the lane kernel (the r04 record stage).
-    # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8
-    # f32 iters/s, r5 probe: the per-pass upcast eats the table-DMA
-    # saving — dropped; negative result recorded in BENCH_NOTES.)
-    sys_l = DirichletSystem(lane, bnd_s)
-    ITERS_LN = ITERS_SC if small else 40
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t0 = time.time()
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t_it = (time.time() - t0) / ITERS_LN
-    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
-             gen10m_scat_gbps=round(
-                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
-
     # parabolic stepping on the scattered topology via SCHEDULE REUSE:
     # the implicit-Euler system S = A + M_lump/dt shares A's sparsity,
     # so with_vals rebuilds only the value tables (two scatters) —
@@ -1897,6 +1868,21 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     sink.put(gen10m_scat_parabolic_steps_per_s=round(
         STEPS / (time.time() - t0), 2),
              gen10m_scat_parabolic_iters_per_step=round(tot_it / STEPS, 1))
+
+    # fixed-iteration CG rate on the lane kernel (the r04 record stage).
+    # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8
+    # f32 iters/s, r5 probe: the per-pass upcast eats the table-DMA
+    # saving — dropped; negative result recorded in BENCH_NOTES.)
+    sys_l = DirichletSystem(lane, bnd_s)
+    ITERS_LN = ITERS_SC if small else 40
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t0 = time.time()
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t_it = (time.time() - t0) / ITERS_LN
+    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
+             gen10m_scat_gbps=round(
+                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
+
 
 
 # --------------------------------------------------------------------------
