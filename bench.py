@@ -1633,16 +1633,15 @@ def _gendel_metrics(small, sink):
     rhs64 = jax.jit(
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / nd
     )(bnd)
-    g0 = jnp.zeros(nd, jnp.float64)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+        E64, lane, bnd, aux, rhs64, None, 1e-8, 400, 16)
     sink.put(gendel_converged_cold_s=round(time.time() - t0, 2),
              gendel_converged_iters=int(its),
              gendel_converged_true_rel_res=float(rel))
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64, lane, bnd, aux, rhs64, g0, 1e-8, 400, 16)
+        E64, lane, bnd, aux, rhs64, None, 1e-8, 400, 16)
     sink.put(gendel_converged_solve_s=round(time.time() - t0, 2),
              gendel_section_s=round(time.time() - t_sec, 1))
 
@@ -1761,20 +1760,22 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
         cols_s = p(E64.cols[:, src])
         rows = i[None, :]
         bw = jnp.max(jnp.abs(cols_s - rows))
-        return vals_s, cols_s, bnd[src], x[src], y[src], ml[src], bw
+        # f32 cast + solve vectors fused here: separate little programs
+        # each pay their own first-exec compile roulette
+        bnd_p = bnd[src]
+        rhs64 = jnp.where(bnd_p, 0.0, 1.0) / (n * n)
+        return (vals_s, vals_s.astype(jnp.float32), cols_s, bnd_p,
+                x[src], y[src], ml[src], rhs64,
+                rhs64.astype(jnp.float32), bw)
 
-    vals64_s, cols_s, bnd_s, x_s, y_s, ml_s, bwd = permute(
-        E64, x, y, bnd, ml)
+    (vals64_s, vals32_s, cols_s, bnd_s, x_s, y_s, ml_s, rhs64, rhs_sc,
+     bwd) = permute(E64, x, y, bnd, ml)
     Bsc = int(bwd)
     del E64  # frees ~1.1 GB before the scheduler runs
     E64_sc = ELLSoA(vals64_s, cols_s, (n_dofs, n_dofs))
-    E_sc = jax.jit(lambda E_: E_.astype(jnp.float32))(E64_sc)
+    E_sc = ELLSoA(vals32_s, cols_s, (n_dofs, n_dofs))
     Wp, _amax = plan_split_width(E_sc, bcap=16384)
     sink.put(gen10m_scat_plan_W=int(Wp or 0), gen10m_scat_bandwidth=Bsc)
-
-    rhs_sc = jax.jit(
-        lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float32) / (n * n)
-    )(bnd_s)
 
     # lane-routed pallas path (ops/pallas_gather_spmv.py): two-stage
     # lane-gather + transpose kernel, one-time scheduled routing tables
@@ -1812,22 +1813,19 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     float(aux.dinv[0])
     sink.put(gen10m_scat_aux_build_s=round(time.time() - t0, 2))
 
-    rhs64 = jax.jit(
-        lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / (n * n)
-    )(bnd_s)
-    g0 = jnp.zeros(n_dofs, jnp.float64)
     # COLD solve first: the correctness witness (iters + true rel res)
     # lands in the sink even if the budget stops before the warm timing
-    # run (compile roulette makes the cold time an upper bound only)
+    # run (compile roulette makes the cold time an upper bound only);
+    # g=None takes the homogeneous fast path (no f64 SpMV in prep)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+        E64_sc, lane, bnd_s, aux, rhs64, None, 1e-8, 400, 4 * CH)
     sink.put(gen10m_scat_converged_cold_s=round(time.time() - t0, 2),
              gen10m_scat_converged_iters=int(its),
              gen10m_scat_converged_true_rel_res=float(rel))
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64_sc, lane, bnd_s, aux, rhs64, g0, 1e-8, 400, 4 * CH)
+        E64_sc, lane, bnd_s, aux, rhs64, None, 1e-8, 400, 4 * CH)
     sink.put(gen10m_scat_converged_solve_s=round(time.time() - t0, 2))
 
     # parabolic stepping on the scattered topology via SCHEDULE REUSE:

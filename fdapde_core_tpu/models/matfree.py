@@ -670,12 +670,12 @@ class MatrixFreeElliptic:
         true relative residual) as device scalars. `chunk` bounds each
         device program to <=chunk Krylov iterations (watchdog-limited
         executors / stall observability) — see MatrixFreePoisson.solve."""
-        if g is None:
-            g = jnp.zeros_like(b)
         if self.preconditioner == "auxgrid+lane":
             return _lane_refined_solve(
                 self.op_ref, self.op, self.boundary, self.aux, b, g,
                 rtol, maxiter, chunk or 50, on_chunk)
+        if g is None:
+            g = jnp.zeros_like(b)
         if chunk is not None:
             return _solve_chunked(self.op, self.boundary, self.aux, b, g,
                                   self.is_symmetric, rtol, maxiter, chunk,
@@ -688,6 +688,9 @@ class MatrixFreeElliptic:
 def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
                         chunk, on_chunk=None, inner_rtol=1e-6,
                         max_outer=8):
+    """g=None: homogeneous Dirichlet fast path — prep needs no operator
+    application (b_mod = masked b, r0 = b_mod), so the f64 SpMV program
+    compiles once (in `update`) instead of twice."""
     """Converged solve through the lane-routed kernel: mixed-precision
     iterative refinement. Inner CG runs on the f32 lane SpMV (the fast
     path — the TPU Mosaic lowering rejects f64 kernels) with the f32
@@ -701,7 +704,6 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
     """
     from ..linear_algebra.solvers import cg_split_programs
 
-    sys_ref = DirichletSystem(op_ref, bnd)
     lane_sys = DirichletSystem(lane, bnd)
 
     @jax.jit
@@ -714,13 +716,23 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
         return b_mod, x0, r, bn, jnp.sqrt(jnp.sum(r * r))
 
     @jax.jit
+    def prep0(bnd, b):
+        # homogeneous g: b_mod = masked b, x0 = 0, r0 = b_mod
+        b_mod = jnp.where(bnd, 0.0, b)
+        bn = jnp.sqrt(jnp.sum(b_mod * b_mod))
+        return b_mod, jnp.zeros_like(b), b_mod, bn, bn
+
+    @jax.jit
     def update(op_ref, bnd, x, dx, b_mod):
         sysr = DirichletSystem(op_ref, bnd)
         x = x + dx.astype(x.dtype)
         r = b_mod - sysr(x)
         return x, r, jnp.sqrt(jnp.sum(r * r))
 
-    b_mod, x, r, bn, rn = prep(op_ref, bnd, b, g)
+    if g is None:
+        b_mod, x, r, bn, rn = prep0(bnd, b)
+    else:
+        b_mod, x, r, bn, rn = prep(op_ref, bnd, b, g)
     bnf = max(float(bn), 1e-300)
     rel = float(rn) / bnf
     total_it = 0
