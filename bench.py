@@ -2019,16 +2019,22 @@ def _gen3d_metrics(small, sink):
     def pre(r):
         return bmg(r.astype(jnp.float32)).astype(r.dtype)
 
+    from fdapde_core_tpu.linear_algebra.solvers import cg_split_programs
+
     sys64 = DirichletSystem(S64, bnd)
     rel_fn = jax.jit(
         lambda S, xx, b: jnp.sqrt(
             jnp.sum((b - S(xx)) ** 2) / jnp.sum(b * b)))
-    x64, info = cg_chunked(sys64, rhs64, M_inv=pre, rtol=1e-9,
-                           maxiter=100, chunk=2 * CH)
+    # split-program PCG: at n=128 the fused chunk program (deep MG3D
+    # V-cycle + banded apply in one while loop) hits the same compile
+    # cliff as the lane+aux case (BENCH_NOTES r5) — the two half-step
+    # programs compile in seconds and the solve is ~10 iterations
+    x64, info = cg_split_programs(sys64, rhs64, pre, rtol=1e-9,
+                                  maxiter=100, check_every=5)
     float(rel_fn(sys64, x64, rhs64))
     t0 = time.time()
-    x64, info = cg_chunked(sys64, rhs64, M_inv=pre, rtol=1e-9,
-                           maxiter=100, chunk=2 * CH)
+    x64, info = cg_split_programs(sys64, rhs64, pre, rtol=1e-9,
+                                  maxiter=100, check_every=5)
     rel = float(rel_fn(sys64, x64, rhs64))
     sink.put(gen3d_converged_solve_s=round(time.time() - t0, 3),
              gen3d_converged_iters=int(info.iterations),
