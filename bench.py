@@ -2029,16 +2029,19 @@ def _gen3d_metrics(small, sink):
     # V-cycle + banded apply in one while loop) hits the same compile
     # cliff as the lane+aux case (BENCH_NOTES r5) — the two half-step
     # programs compile in seconds and the solve is ~10 iterations
+    t0 = time.time()
     x64, info = cg_split_programs(sys64, rhs64, pre, rtol=1e-9,
                                   maxiter=100, check_every=5)
-    float(rel_fn(sys64, x64, rhs64))
+    rel = float(rel_fn(sys64, x64, rhs64))
+    # COLD first: the correctness witness survives a budget stop
+    sink.put(gen3d_converged_cold_s=round(time.time() - t0, 3),
+             gen3d_converged_iters=int(info.iterations),
+             gen3d_converged_true_rel_res=rel)
     t0 = time.time()
     x64, info = cg_split_programs(sys64, rhs64, pre, rtol=1e-9,
                                   maxiter=100, check_every=5)
     rel = float(rel_fn(sys64, x64, rhs64))
     sink.put(gen3d_converged_solve_s=round(time.time() - t0, 3),
-             gen3d_converged_iters=int(info.iterations),
-             gen3d_converged_true_rel_res=rel,
              gen3d_section_s=round(time.time() - t_sec, 1))
 
 
