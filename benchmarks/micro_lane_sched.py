@@ -93,31 +93,28 @@ def main():
     state11 = (ii, a, m, c, r2, c2, rank, stride, live, placed, sp)
     t0v = 3
     done = 14
-    while done > 0 and n_left > 0:
+    if n_left > NT // 8:
         L = min(max(1 << 14, 1 << max(n_left - 1, 1).bit_length()), NT)
-        R_PER = done if (done <= 4 or L <= NT // 8) else 4
         t0 = time.time()
         placed, sp, tab, slots, n_left_d = pg._sched_phase2(
-            state11, tab, slots, ND, P_MAX, R_PER, jnp.int32(t0v), L)
+            state11, tab, slots, ND, P_MAX, 4, jnp.int32(t0v), L)
         n_left = int(n_left_d)
-        log(f"phase2 (L={L}, R={R_PER}; n_left={n_left})", t0)
+        log(f"phase2 rare path (L={L}; n_left={n_left})", t0)
         state11 = state11[:9] + (placed, sp)
-        t0v += R_PER
-        done -= R_PER
+        t0v += 4
+        done -= 4
+
+    L = min(max(1 << 14, 1 << max(n_left - 1, 1).bit_length()), NT)
+    t0 = time.time()
+    L1, L2M, VALS, rtid, n_rem, vals_idx = pg._sched_finish(
+        state11, tab, slots, valsf, ND, P_MAX, done, jnp.int32(t0v), L)
+    nr = int(n_rem)
+    log(f"finish (rounds+merge+tables; n_rem={nr}, "
+        f"frac={nr / NT:.4f})", t0)
 
     t0 = time.time()
-    res = pg._sched_tables(
-        (ii, a, m, r2, c2, live, placed, sp, valsf, colsf), ND, P_MAX)
-    nr = int(res[6])
-    log(f"tables (n_rem={nr}, frac={nr / NT:.4f})", t0)
-
-    t0 = time.time()
-    L = min(max(128, 1 << (nr - 1).bit_length()) if nr else 128, NT)
-    rem = jax.jit(
-        lambda a_, b_, cc_: (a_[:L], b_[:L],
-                             jnp.where(jnp.arange(L) < min(nr, L),
-                                       cc_[:L], 0.0)),
-    )(res[3], res[4], res[5])
+    Lr = min(max(128, 1 << (nr - 1).bit_length()) if nr else 128, NT)
+    rem = pg._rem_slice(rtid, colsf, valsf, ND, Lr)
     rem[0].block_until_ready()
     log("rem slice", t0)
 
