@@ -206,6 +206,11 @@ def orchestrate(small):
                     small or elapsed() < GATES[group] + 120) and (
                     elapsed() < TOTAL_BUDGET_S - 120):
                 res2, err2 = _run_group(group, small)
+                if err2 and "rc=4" in err2 and len(res2) >= 5:
+                    # the retry budget-stopped cleanly with substance:
+                    # same forgiveness as a first-attempt rc=4
+                    out[f"{group}_budget_stopped"] = True
+                    err2 = None
                 better = (not err2 and err) or (
                     not err2 and not res2.get("degraded_worker"))
                 if better or len(res2) > len(res):
@@ -1484,13 +1489,20 @@ def _genp2_metrics(small, sink):
     # (~1.5-2 s each on a slow worker) — a 20-iteration chunk program
     # crossed the ~60 s executor watchdog and took the worker down
     # (r5 probe). COLD first: the witness survives a budget stop.
+    prog = lambda k, r: sink.put(gen_p2_progress_iters=int(k))  # noqa: E731
+    # progress puts at chunk boundaries: the budget check fires INSIDE
+    # the long solve, so a spent budget exits rc=4 cleanly instead of
+    # riding into the parent's SIGKILL cap (which wedges the worker -
+    # observed in the r5 rehearsal)
     t0 = time.time()
-    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6)
+    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6,
+                                on_chunk=prog)
     sink.put(gen_p2_solve_cold_s=round(time.time() - t0, 2),
              gen_p2_iters=int(it2),
              gen_p2_true_rel_res=float(rel2))
     t0 = time.time()
-    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6)
+    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6,
+                                on_chunk=prog)
     sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
              genp2_section_s=round(time.time() - t_sec, 1))
 
@@ -1641,7 +1653,8 @@ def _gendel_metrics(small, sink):
     )(bnd)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64, lane, bnd, aux, rhs64, None, 1e-8, 400, 16)
+        E64, lane, bnd, aux, rhs64, None, 1e-8, 400, 16,
+        on_chunk=lambda k, r: sink.put(gendel_progress=int(k)))
     # single (cold) run: the r5 probe measured cold 95.7 s vs warm
     # 70.4 s at 5.13M dofs — the solve is aux-apply-bound (the P/P^T
     # XLA gathers, ~0.5 s/iter), not compile-bound, so a warm rerun
@@ -1825,7 +1838,8 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     # g=None takes the homogeneous fast path (no f64 SpMV in prep)
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64_sc, lane, bnd_s, aux, rhs64, None, 1e-8, 400, 4 * CH)
+        E64_sc, lane, bnd_s, aux, rhs64, None, 1e-8, 400, 4 * CH,
+        on_chunk=lambda k, r: sink.put(gen10m_scat_progress=int(k)))
     # single (cold) run: the solve is aux-apply-bound (~0.5 s/iter from
     # the P/P^T XLA gathers), not compile-bound — a warm rerun buys
     # ~half the cold number for its full cost (see BENCH_NOTES r5)

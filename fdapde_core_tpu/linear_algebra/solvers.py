@@ -538,7 +538,7 @@ def _cg_split_progs():
 
 
 def cg_split_programs(A, b, M_inv, rtol=1e-12, maxiter=200,
-                      check_every=10):
+                      check_every=10, on_check=None):
     """Host-driven preconditioned CG from x0 = 0: TWO small device
     programs per iteration (operator half-step / preconditioner
     half-step), dispatched asynchronously with a residual fetch every
@@ -565,6 +565,8 @@ def cg_split_programs(A, b, M_inv, rtol=1e-12, maxiter=200,
         k += 1
         if k % check_every == 0 or k == maxiter:
             v = float(rn2)
+            if on_check is not None:
+                on_check(k, v)  # host hook: stall/budget observability
             if not (v > tol2):  # converged or non-finite: stop
                 break
     rn = jnp.sqrt(rn2)

@@ -746,7 +746,9 @@ def _lane_refined_solve(op_ref, lane, bnd, aux, b, g, rtol, maxiter,
         dx, info = cg_split_programs(
             lane_sys, r.astype(jnp.float32), aux, rtol=inner_rtol,
             maxiter=min(maxiter - total_it, 100),
-            check_every=max(1, chunk // 2))
+            check_every=max(1, chunk // 2),
+            on_check=None if on_chunk is None else (
+                lambda k, v: on_chunk(total_it + k, v)))
         total_it += int(info.iterations)
         x, r, rn = update(op_ref, bnd, x, dx, b_mod)
         rel = float(rn) / bnf
