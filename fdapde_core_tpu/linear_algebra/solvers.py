@@ -534,7 +534,24 @@ def _cg_split_progs():
         p = z + beta * p
         return p, rz_new
 
-    return step_a, step_b
+    @jax.jit
+    def stage_prog(S, v, r):
+        # one preconditioner stage as its OWN program (retraces per
+        # stage pytree type — e.g. LaneAuxGrid's P^T / V-cycle / P):
+        # keeps pallas custom calls and deep V-cycles in SEPARATE
+        # programs (the fused form compiles pathologically, see
+        # cg_split_programs)
+        return S(v, r)
+
+    @jax.jit
+    def step_b_z(z, r, p, rz):
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz == 0, 0.0, rz_new / jnp.where(rz == 0, 1.0,
+                                                          rz))
+        p = z + beta * p
+        return p, rz_new
+
+    return step_a, step_b, stage_prog, step_b_z
 
 
 def cg_split_programs(A, b, M_inv, rtol=1e-12, maxiter=200,
@@ -547,21 +564,35 @@ def cg_split_programs(A, b, M_inv, rtol=1e-12, maxiter=200,
     pallas custom calls combined with deep structured V-cycles.
     Returns (x, SolveInfo)."""
     A = _as_chunk_operand(A)
-    M_inv = _as_chunk_operand(M_inv)
-    step_a, step_b = _cg_split_progs()
+    stages = getattr(M_inv, "split_stages", None)
+    if stages is None:
+        M_inv = _as_chunk_operand(M_inv)
+    step_a, step_b, stage_prog, step_b_z = _cg_split_progs()
+
+    def apply_pre(r, p, rz):
+        # staged preconditioners (e.g. LaneAuxGrid): each stage is its
+        # own device program — pallas custom calls and deep V-cycles
+        # fused into one program pay a pathological server-side compile
+        if stages is None:
+            return step_b(M_inv, r, p, rz)
+        v = r
+        for s in stages:
+            v = stage_prog(s, v, r)
+        return step_b_z(v, r, p, rz)
+
     b = jnp.asarray(b)
     bn2 = float(jnp.vdot(b, b))
     tol2 = (rtol * rtol) * bn2
     one = jnp.asarray(1.0, b.dtype)
-    # init: r0 = b (x0 = 0); z0/p0 via step_b with p = 0, rz = 1
-    p, rz = step_b(M_inv, b, jnp.zeros_like(b), one)
+    # init: r0 = b (x0 = 0); z0/p0 via apply_pre with p = 0, rz = 1
+    p, rz = apply_pre(b, jnp.zeros_like(b), one)
     x = jnp.zeros_like(b)
     r = b
     k = 0
     rn2 = jnp.vdot(b, b)
     while k < maxiter:
         x, r, rn2 = step_a(A, x, r, p, rz)
-        p, rz = step_b(M_inv, r, p, rz)
+        p, rz = apply_pre(r, p, rz)
         k += 1
         if k % check_every == 0 or k == maxiter:
             v = float(rn2)

@@ -468,7 +468,8 @@ class MatrixFreeElliptic:
                  grid_n: int | None = None, bbox=None,
                  format: str = "ell", max_cols: int | None = None,
                  preconditioner: str = "auto", _space=None,
-                 split_plan=None, gather_kernel: str = "xla"):
+                 split_plan=None, gather_kernel: str = "xla",
+                 aux_kernel: str = "xla"):
         from ..ops.matfree_soa import MatrixFreeP2SoA
 
         if isinstance(nodes, tuple):
@@ -638,6 +639,26 @@ class MatrixFreeElliptic:
                     jnp.stack(dof_coords, axis=1), diag32, grid_n=grid_n,
                     bbox=bbox,
                 )
+            if (aux_kernel == "lane" and dim == 2
+                    and self.preconditioner == "auxgrid+lane"):
+                # only the split-program refined solve may hold a
+                # LaneAuxGrid: the fused chunked-CG programs of the
+                # other paths would combine pallas calls with the deep
+                # V-cycle in one program (the ~250 s compile cliff)
+                # lane-route the P/P^T interpolation stages (converged
+                # lane solves are AUX-APPLY-BOUND on the XLA gathers —
+                # BENCH_NOTES round 5). Band-misaligned dof numberings
+                # (block scrambles, P2 two-block layouts) fail the
+                # routing-window check at build time — keep the XLA
+                # aux apply then.
+                from ..ops.lane_aux import LaneAuxGrid
+
+                try:
+                    self.aux = LaneAuxGrid.from_aux(self.aux)
+                except ValueError:
+                    pass
+            elif aux_kernel not in ("xla", "lane"):
+                raise ValueError(aux_kernel)
 
     @classmethod
     def from_space(cls, space, K=None, b=None, c=None, **kw):

@@ -350,8 +350,35 @@ def _rem_slice(rtid, colsf, valsf, n, L):
     return rii, rcols, rvals
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _sched_fused(cols, vals, n, K, P_MAX, R1, R_REST):
+    """Whole schedule build as ONE bounded program for small/mid task
+    counts (NT <= ~40M): prep + R1 full-size rounds + a statically
+    sized compacted tail + table scatters. On this harness EVERY
+    program's first execution pays a 1-300 s compile/queue roulette —
+    for the aux-grid P/P^T builds (K = 4 resp. ~10) one program per
+    operator beats the three-program split that the 92M-task flagship
+    build needs for watchdog safety (measured execution here is well
+    under the ~60 s limit: rounds cost ~NT/5.4M s each).
+
+    The compacted tail length is STATIC (NT/8 rounded to a power of
+    two) instead of fetched: phase-1 placement below 87.5% degrades
+    gracefully (excess tasks fall to the COO remainder), it does not
+    corrupt."""
+    out = _sched_phase1(cols, vals, n, K, P_MAX, R1)
+    (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, overflow,
+     valsf, colsf, tab, slots, n_left) = out
+    state11 = (ii, a, m, c, r2, c2, rank, stride, live, placed, sp)
+    NT = K * n
+    L = min(max(1 << 14, 1 << max(NT // 8 - 1, 1).bit_length()), NT)
+    L1, L2M, VALS, rtid, n_rem, vals_idx = _sched_finish(
+        state11, tab, slots, valsf, n, P_MAX, R_REST,
+        jnp.int32(R1 + 1), L)
+    return L1, L2M, VALS, rtid, n_rem, vals_idx, overflow
+
+
 def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
-                         keep_remap: bool = False):
+                         keep_remap: bool = False, fuse: bool | None = None):
     """Build LaneRoutedELL tables from an assembled ELLSoA: THREE
     bounded device programs (four when phase-1 placement is unusually
     poor) + two tiny host fetches; the remainder is compacted to a COO
@@ -372,6 +399,24 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
     rounds = min(rounds, _MAX_ROUNDS)
     R1 = min(2, rounds)  # full-size rounds (~8-17 s each at 10.25M rows;
     # the ~60 s executor watchdog allows 2-3 per program)
+    NT = K * n
+    if fuse is None:
+        fuse = NT <= 40_000_000  # watchdog headroom: fused execution
+        # measured ~NT/1.5M s worst-case; the 92M flagship build stays
+        # on the three-program split
+    if fuse:
+        L1, L2M, VALS, rtid, n_rem, vals_idx, over = _sched_fused(
+            E.cols, E.vals, n, K, p_max, R1, rounds - R1)
+        if bool(over):
+            return None, None, None, None, True, -1, None
+        valsf = E.vals.reshape(-1)
+        colsf = E.cols.reshape(-1)
+        nr = int(n_rem)
+        Lr = max(128, 1 << (nr - 1).bit_length()) if nr else 128
+        Lr = min(Lr, NT)
+        rem = _rem_slice(rtid, colsf, valsf, n, Lr)
+        remap = (vals_idx, rtid, Lr, nr) if keep_remap else None
+        return L1, L2M, VALS, rem, False, nr, remap
     (ii, a, m, c, r2, c2, rank, stride, live, placed, sp, over, valsf,
      colsf, tab, slots, n_left) = _sched_phase1(
         E.cols, E.vals, n, K, p_max, R1)
@@ -461,8 +506,13 @@ def _spmv(x, L1, L2M, VALS, n, SP, P_MAX):
     dtype = VALS.dtype
     if dtype == jnp.bfloat16:
         dtype = jnp.float32  # accumulator / x-tile / output dtype
-    # padded x tiles: x2[t] = x[(t-1)*TILE : t*TILE]
-    x2 = jnp.pad(x.astype(dtype), (TILE, (G + 1) * TILE - n)).reshape(
+    # padded x tiles: x2[t] = x[(t-1)*TILE : t*TILE]. x may be a
+    # RECTANGULAR operator's source vector (len(x) != n rows — e.g. the
+    # aux-grid interpolation P: mesh rows x grid columns); the window
+    # alignment is still row-tile-based, so near-square banded
+    # rectangles (|col - row| + |len(x) - n| < TILE) route exactly.
+    x2 = jnp.pad(x.astype(dtype),
+                 (TILE, (G + 1) * TILE - x.shape[0])).reshape(
         G + 2, 128, 128)
 
     kern = functools.partial(_spmv_kernel, SP=SP, P_MAX=P_MAX)
@@ -497,7 +547,8 @@ class LaneRoutedELL:
     lane-routed tables + a compact COO remainder (rows, cols, vals)
     served by the XLA gather/scatter path. Build via `from_ell`."""
 
-    def __init__(self, L1, L2M, VALS, rem, diag, n: int, p_max: int):
+    def __init__(self, L1, L2M, VALS, rem, diag, n: int, p_max: int,
+                 n_src: int | None = None):
         self.L1 = L1
         self.L2M = L2M
         self.VALS = VALS
@@ -505,10 +556,13 @@ class LaneRoutedELL:
         self._diag = diag
         self.n = n
         self.p_max = p_max
+        # source-vector length: n for square operators; rectangular
+        # near-square banded operators (aux-grid P/P^T) differ by O(m)
+        self.n_src = n if n_src is None else n_src
 
     def tree_flatten(self):
         return (self.L1, self.L2M, self.VALS, self.rem, self._diag), (
-            self.n, self.p_max)
+            self.n, self.p_max, self.n_src)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -516,12 +570,12 @@ class LaneRoutedELL:
 
     @property
     def shape(self):
-        return (self.n, self.n)
+        return (self.n, self.n_src)
 
     @classmethod
     def from_ell(cls, E: ELLSoA, p_max: int | None = None,
                  rounds: int = 16, bandwidth: int | None = None,
-                 keep_remap: bool = False):
+                 keep_remap: bool = False, fuse: bool | None = None):
         """One-time schedule build (device). Raises on bandwidth > TILE
         after RCM (the static 3-tile window cannot reach wider columns)
         and on p_max outside (K, 31]. Tasks the scheduler cannot route
@@ -541,22 +595,36 @@ class LaneRoutedELL:
                 bandwidth = int(window_bandwidth(E.cols))
             K = E.vals.shape[0]
             contention = K * TILE / (TILE + 2 * min(bandwidth, TILE))
-            p_max = min(31, max(K + 1, int(contention * 2) + 2))
+            # slack term +4 (was +2): measured at 10.25M dofs / K=9 /
+            # B=7970, p_max 11 -> 13 cut the unrouted remainder 0.286%
+            # -> 0.0117% and the FULL SpMV 16.2 -> 8.7 ms (the XLA-path
+            # remainder dominated; the extra 6 table sub-passes cost
+            # only 1.2 ms) — benchmarks/micro_lane_spmv.py, round 5
+            p_max = min(31, max(K + 1, int(contention * 2) + 4))
         if p_max > 31:
             raise ValueError(
                 f"p_max={p_max} exceeds the int32 slot-bitmask width "
                 "(rows with > 30 entries: stay on the plain ELL path)"
             )
+        n_rows, n_src = E.shape
+        G = -(-n_rows // TILE)
+        if n_src > (G + 1) * TILE:
+            raise ValueError(
+                f"rectangular operator source length {n_src} exceeds the "
+                f"row-aligned window coverage {(G + 1) * TILE} — only "
+                "near-square banded rectangles route"
+            )
         L1, L2M, VALS, rem, over, n_rem, remap = schedule_lane_routed(
-            E, p_max, rounds, keep_remap=keep_remap)
+            E, p_max, rounds, keep_remap=keep_remap, fuse=fuse)
         if bool(over):
             raise ValueError(
                 "lane-routed schedule overflow: bandwidth > 16384 after "
                 "RCM — re-tile with a larger static halo or fall back to "
                 "the plain ELL path"
             )
-        diag = E.diagonal()
-        op = cls(L1, L2M, VALS, rem, diag, E.shape[0], p_max)
+        diag = (E.diagonal() if n_src == n_rows
+                else jnp.zeros((n_rows,), E.vals.dtype))
+        op = cls(L1, L2M, VALS, rem, diag, n_rows, p_max, n_src=n_src)
         op.n_remainder = int(n_rem)
         op._remap = remap  # set iff keep_remap: enables with_vals
         return op
@@ -597,7 +665,7 @@ class LaneRoutedELL:
         VALS, rvals, diag = rebuild(E, vals_idx, rtid)
         op = LaneRoutedELL(self.L1, self.L2M, VALS,
                            (self.rem[0], self.rem[1], rvals), diag, n,
-                           self.p_max)
+                           self.p_max, n_src=self.n_src)
         op.n_remainder = self.n_remainder
         op._remap = self._remap
         return op
@@ -609,4 +677,5 @@ class LaneRoutedELL:
         rrows, rcols, rvals = self.rem
         return LaneRoutedELL(self.L1, self.L2M, self.VALS.astype(dtype),
                              (rrows, rcols, rvals.astype(dtype)),
-                             self._diag.astype(dtype), self.n, self.p_max)
+                             self._diag.astype(dtype), self.n, self.p_max,
+                             n_src=self.n_src)

@@ -272,3 +272,36 @@ def test_lane_parabolic_implicit_euler_steps():
     np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_e),
                                rtol=1e-9, atol=1e-12)
     assert bool(jnp.isfinite(u_l).all())
+
+
+def test_fused_vs_split_schedule_parity():
+    """The single-program fused build (round 5: one compile-roulette
+    spin instead of three for small/mid task counts) routes to the same
+    SpMV as the three-program split."""
+    E, bnd, nd = _scrambled_fem_ell(n_side=64, S=256, G=89)
+    op_f = LaneRoutedELL.from_ell(E, p_max=12, rounds=12, fuse=True)
+    op_s = LaneRoutedELL.from_ell(E, p_max=12, rounds=12, fuse=False)
+    v = jnp.asarray(np.random.default_rng(7).standard_normal(nd))
+    ref = np.asarray(E @ v)
+    np.testing.assert_allclose(np.asarray(op_f @ v), ref, rtol=1e-13,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(op_s @ v), ref, rtol=1e-13,
+                               atol=1e-13)
+
+
+def test_rectangular_near_square_operator():
+    """Rectangular (n x n_src, n_src != n) banded operators route: the
+    aux-grid interpolation P/P^T shape class (round 5)."""
+    rng = np.random.default_rng(5)
+    n, n_src, K = 3000, 3101, 4
+    rows = np.arange(n)
+    cols = np.clip(rows[None, :] + rng.integers(-40, 140, size=(K, n)),
+                   0, n_src - 1).astype(np.int32)
+    vals = rng.standard_normal((K, n))
+    vals[0, 7] = 0.0  # dead entry: never routed
+    E = ELLSoA(jnp.asarray(vals), jnp.asarray(cols), (n, n_src))
+    op = LaneRoutedELL.from_ell(E)
+    assert op.shape == (n, n_src)
+    v = jnp.asarray(rng.standard_normal(n_src))
+    np.testing.assert_allclose(np.asarray(op @ v), np.asarray(E @ v),
+                               rtol=1e-13, atol=1e-13)
