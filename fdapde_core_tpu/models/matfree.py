@@ -629,6 +629,11 @@ class MatrixFreeElliptic:
             )(self.op, self.boundary)
             if bbox is None:
                 bbox = ((0.0,) * dim, (1.0,) * dim)
+            if (aux_kernel == "lane" and dim == 2 and grid_n is None
+                    and self.preconditioner == "auxgrid+lane"):
+                from ..ops.lane_aux import lane_friendly_grid_n
+
+                grid_n = lane_friendly_grid_n(int(n_dofs))
             if dim == 2:
                 self.aux = AuxGridPreconditioner.build_device(
                     (self.dof_x, self.dof_y), diag32, grid_n=grid_n,

@@ -30,6 +30,7 @@ from .matfree_soa import (
     MatrixFreeSoA3D,
     ell_from_op_blocked,
 )
+from .lane_aux import LaneAuxGrid, lane_friendly_grid_n
 from .pallas_gather_spmv import LaneRoutedELL
 from .window_spmv import WindowedELL
 
@@ -41,6 +42,7 @@ __all__ = [
     "BandedMGPreconditioner3D",
     "BandedSplit",
     "BandedSplit3D",
+    "LaneAuxGrid",
     "LaneRoutedELL",
     "WindowedELL",
     "MatrixFreeLocal",
@@ -51,6 +53,7 @@ __all__ = [
     "build_ell_adjacency",
     "ell_from_op_blocked",
     "ell_spmv",
+    "lane_friendly_grid_n",
     "local_matvec",
     "p1_local_stiffness",
     "p1_stiffness_2d_sym",

@@ -42,10 +42,26 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .matfree_soa import ELLSoA, build_adjacency_soa
+from .matfree_soa import ELLSoA
 from .pallas_gather_spmv import LaneRoutedELL
 
-__all__ = ["LaneAuxGrid", "interp_transpose_ell"]
+__all__ = ["LaneAuxGrid", "interp_transpose_ell", "lane_friendly_grid_n"]
+
+
+def lane_friendly_grid_n(n: int) -> int:
+    """Largest even grid_n with (grid_n + 1)^2 <= n mesh nodes.
+
+    The routing window requires |grid_col - mesh_row| < 16384; with
+    m^2 <= n the linear drift y * (m^2 - n) of the y-major grid index
+    against a strip-quantile mesh numbering stays SMALL AND NEGATIVE
+    (<= n - m^2 ~ 2 sqrt n), leaving the halo to the strip deviation.
+    The default aux choice (2 * round(sqrt(n) / 2)) can land at
+    m^2 - n ~ +2 sqrt n ~ 7.6k at 5M dofs — half the halo gone."""
+    g = int(n ** 0.5) - 1
+    g -= g % 2
+    while g > 2 and (g + 1) * (g + 1) > n:
+        g -= 2
+    return max(2, g)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -65,32 +81,70 @@ def _transpose_tables(idx, w, n, m2, K_T):
     (argsort + searchsorted — one-time device cost at 4n elements).
     Padding entries carry val 0 and a BAND-LOCAL column (the clipped
     row id): window_bandwidth and the routing window must not see
-    artificial full-length offsets."""
+    artificial full-length offsets.
+
+    Rows with in-degree > K_T keep their first K_T entries in the ELL;
+    the excess is compacted to the FRONT of a COO triple (rows, cols,
+    vals) — schedule-build cost scales with K_T * m2, so capping K_T
+    at ~2x the mean degree instead of the max keeps the whole build in
+    ONE fused program (the ELL-padding tasks are dead but still flow
+    through every full-size scheduler array op)."""
     K = idx.shape[0]
     g = idx.reshape(-1).astype(jnp.int32)
     i = jnp.tile(jnp.arange(n, dtype=jnp.int32), K)
     wv = w.reshape(-1)
     live = wv != 0
     gs = jnp.where(live, g, m2)  # dead weights sort past the end
-    adj, mask, over = build_adjacency_soa(gs, m2, K_T)
-    pad_col = jnp.minimum(jnp.arange(m2, dtype=jnp.int32), n - 1)[None, :]
-    cols = jnp.where(mask, i[adj], pad_col)
-    vals = jnp.where(mask, wv[adj], 0.0)
-    return cols, vals, over
+    NT = gs.shape[0]
+    order = jnp.argsort(gs, stable=True).astype(jnp.int32)
+    sg = gs[order]
+    ids = jnp.arange(m2, dtype=gs.dtype)
+    starts = jnp.searchsorted(sg, ids)
+    ends = jnp.searchsorted(sg, ids + 1)
+    counts = (ends - starts).astype(jnp.int32)
+    k = jnp.arange(K_T, dtype=jnp.int32)[:, None]
+    pos = starts[None, :].astype(jnp.int32) + k
+    mask = k < counts[None, :]
+    src = order[jnp.clip(pos, 0, NT - 1)]
+    pad_col = jnp.minimum(ids.astype(jnp.int32), n - 1)[None, :]
+    cols = jnp.where(mask, i[src], pad_col)
+    vals = jnp.where(mask, wv[src], 0.0)
+    # overflow entries (within-row rank >= K_T), compacted to the front
+    rank_sorted = (jnp.arange(NT, dtype=jnp.int32)
+                   - starts[jnp.clip(sg, 0, m2 - 1)].astype(jnp.int32))
+    ovf = (sg < m2) & (rank_sorted >= K_T)
+    posc = jnp.cumsum(ovf.astype(jnp.int32)) - 1
+    tgt = jnp.where(ovf, posc, NT)
+    orow = jnp.zeros((NT + 1,), jnp.int32).at[tgt].set(
+        sg.astype(jnp.int32), mode="drop")[:-1]
+    ocol = jnp.zeros((NT + 1,), jnp.int32).at[tgt].set(
+        i[order], mode="drop")[:-1]
+    oval = jnp.zeros((NT + 1,), wv.dtype).at[tgt].set(
+        wv[order], mode="drop")[:-1]
+    return cols, vals, orow, ocol, oval, jnp.sum(ovf)
 
 
-def interp_transpose_ell(idx, w, n, m2, max_k: int = 30):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _ovf_slice(orow, ocol, oval, L):
+    return orow[:L], ocol[:L], oval[:L]
+
+
+def interp_transpose_ell(idx, w, n, m2, max_k: int = 30, k_cap: int = 8):
     """Build the transpose interpolation ELL (grid rows). Returns
-    ELLSoA((m2, n)); raises when a grid node's in-degree exceeds
-    `max_k` (the lane scheduler's 31-sub-pass bitmask bound)."""
+    (ELLSoA((m2, n)), overflow COO triple or None). K is
+    min(max degree, k_cap); the overflow rides the lane operator's COO
+    remainder path. Raises only when even the CAPPED build would be
+    degenerate (max_k < 1) — kept for API symmetry."""
     kmax = int(_degree_max(idx, w, m2))
-    if kmax > max_k:
-        raise ValueError(
-            f"aux-grid transpose degree {kmax} exceeds {max_k} (lane "
-            "sub-pass bitmask bound): stay on the XLA aux apply"
-        )
-    cols, vals, over = _transpose_tables(idx, w, n, m2, max(kmax, 1))
-    return ELLSoA(vals, cols, (m2, n))
+    K_T = max(1, min(kmax, min(max_k, k_cap)))
+    cols, vals, orow, ocol, oval, n_ovf = _transpose_tables(
+        idx, w, n, m2, K_T)
+    nr = int(n_ovf)
+    coo = None
+    if nr:
+        L = min(max(128, 1 << (nr - 1).bit_length()), orow.shape[0])
+        coo = (_ovf_slice(orow, ocol, oval, L), nr)
+    return ELLSoA(vals, cols, (m2, n)), coo
 
 
 @jax.tree_util.register_pytree_node_class
@@ -207,7 +261,8 @@ class LaneAuxGrid:
         return v
 
     @classmethod
-    def from_aux(cls, aux, rounds: int = 16, max_k: int = 30, perm=None):
+    def from_aux(cls, aux, rounds: int = 16, max_k: int = 30, perm=None,
+                 k_cap: int = 8):
         """Build from a host/device AuxGridPreconditioner.
 
         The grid flat index is TRANSPOSED to y-major so the band aligns
@@ -227,10 +282,33 @@ class LaneAuxGrid:
         idx_t, w = _prep_tables(aux.idx, aux.w, m, order)
         P_ell = ELLSoA(w, idx_t, (n, m2))
         P = LaneRoutedELL.from_ell(P_ell, rounds=rounds)
-        PT_ell = interp_transpose_ell(idx_t, w, n, m2, max_k=max_k)
+        PT_ell, ovf = interp_transpose_ell(idx_t, w, n, m2, max_k=max_k,
+                                           k_cap=k_cap)
         PT = LaneRoutedELL.from_ell(PT_ell, rounds=rounds)
+        if ovf is not None:
+            PT = _merge_rem(PT, ovf)
         return cls(P, PT, aux.dinv, aux.mg, aux.omega, aux.n_grid,
                    order=order, rank=rank)
+
+
+def _merge_rem(op, coo):
+    """Append a COO triple to a LaneRoutedELL's remainder (one tiny
+    program): the transpose-cap overflow rides the same XLA scatter-add
+    path as unrouted tasks."""
+
+    @jax.jit
+    def cat(rem, coo):
+        rr, rc, rv = rem
+        orow, ocol, oval = coo
+        return (jnp.concatenate([rr, orow]),
+                jnp.concatenate([rc, ocol]),
+                jnp.concatenate([rv, oval.astype(rv.dtype)]))
+
+    triple, nr = coo
+    out = LaneRoutedELL(op.L1, op.L2M, op.VALS, cat(op.rem, triple),
+                        op._diag, op.n, op.p_max, n_src=op.n_src)
+    out.n_remainder = op.n_remainder + nr
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

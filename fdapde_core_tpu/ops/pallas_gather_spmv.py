@@ -401,7 +401,7 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
     # the ~60 s executor watchdog allows 2-3 per program)
     NT = K * n
     if fuse is None:
-        fuse = NT <= 40_000_000  # watchdog headroom: fused execution
+        fuse = NT <= 48_000_000  # watchdog headroom: fused execution
         # measured ~NT/1.5M s worst-case; the 92M flagship build stays
         # on the three-program split
     if fuse:

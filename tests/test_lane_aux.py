@@ -39,12 +39,15 @@ def test_transpose_ell_adjoint():
     <P z, r> == <z, P^T r> for random vectors."""
     _, _, aux, nd = _mesh_aux(n_side=24)
     m = aux.n_grid + 1
-    PT = interp_transpose_ell(aux.idx, aux.w, nd, m * m)
+    PT, ovf = interp_transpose_ell(aux.idx, aux.w, nd, m * m)
     rng = np.random.default_rng(0)
     r = jnp.asarray(rng.standard_normal(nd), jnp.float32)
     z = jnp.asarray(rng.standard_normal(m * m), jnp.float32)
     Pz = (z[aux.idx] * aux.w).sum(axis=0)  # reference P apply
     PTr = PT @ r
+    if ovf is not None:  # capped rows: add the overflow COO
+        (orow, ocol, oval), _nr = ovf
+        PTr = PTr.at[orow].add(oval * r[ocol], mode="drop")
     np.testing.assert_allclose(
         float(jnp.vdot(Pz.astype(jnp.float64), r.astype(jnp.float64))),
         float(jnp.vdot(z.astype(jnp.float64), PTr.astype(jnp.float64))),
@@ -103,15 +106,28 @@ def test_lane_aux_perm_matches_unpermuted():
     assert np.abs(got - ref).max() <= 2e-5 * np.abs(ref).max()
 
 
-def test_transpose_degree_guard():
+def test_transpose_cap_overflow_exact():
+    """Capping K_T below the max degree moves the excess to a COO
+    overflow whose sum restores the exact adjoint (and the LaneAuxGrid
+    built with a tiny cap still matches the reference apply)."""
     _, _, aux, nd = _mesh_aux(n_side=16)
     m = aux.n_grid + 1
-    try:
-        interp_transpose_ell(aux.idx, aux.w, nd, m * m, max_k=1)
-    except ValueError as e:
-        assert "degree" in str(e)
-    else:
-        raise AssertionError("expected max_k guard to raise")
+    PT, ovf = interp_transpose_ell(aux.idx, aux.w, nd, m * m, k_cap=1)
+    assert ovf is not None
+    rng = np.random.default_rng(6)
+    r = jnp.asarray(rng.standard_normal(nd), jnp.float32)
+    z = jnp.asarray(rng.standard_normal(m * m), jnp.float32)
+    Pz = (z[aux.idx] * aux.w).sum(axis=0)
+    (orow, ocol, oval), _nr = ovf
+    PTr = (PT @ r).at[orow].add(oval * r[ocol], mode="drop")
+    np.testing.assert_allclose(
+        float(jnp.vdot(Pz.astype(jnp.float64), r.astype(jnp.float64))),
+        float(jnp.vdot(z.astype(jnp.float64), PTr.astype(jnp.float64))),
+        rtol=1e-4)
+    lane_aux = LaneAuxGrid.from_aux(aux, k_cap=1)
+    ref = np.asarray(aux(r))
+    got = np.asarray(jax.jit(lambda la, r_: la(r_))(lane_aux, r))
+    assert np.abs(got - ref).max() <= 2e-5 * np.abs(ref).max()
 
 
 def test_model_aux_kernel_lane_converges():
