@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 
 from .matfree_soa import ELLSoA
-from .pallas_gather_spmv import LaneRoutedELL
+from .pallas_gather_spmv import (LaneRoutedELL, _chunk_loads,
+                                 budgets_from_loads)
 
 __all__ = ["LaneAuxGrid", "interp_transpose_ell", "lane_friendly_grid_n"]
 
@@ -121,7 +122,10 @@ def _transpose_tables(idx, w, n, m2, K_T):
         i[order], mode="drop")[:-1]
     oval = jnp.zeros((NT + 1,), wv.dtype).at[tgt].set(
         wv[order], mode="drop")[:-1]
-    return cols, vals, orow, ocol, oval, jnp.sum(ovf)
+    # per-chunk loads of the transpose (piggybacked: saves the
+    # _chunk_loads program + its compile-roulette spin)
+    loads = _chunk_loads(cols, vals, m2)
+    return cols, vals, orow, ocol, oval, jnp.sum(ovf), loads
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -129,22 +133,24 @@ def _ovf_slice(orow, ocol, oval, L):
     return orow[:L], ocol[:L], oval[:L]
 
 
-def interp_transpose_ell(idx, w, n, m2, max_k: int = 30, k_cap: int = 8):
+def interp_transpose_ell(idx, w, n, m2, max_k: int = 30, k_cap: int = 8,
+                         kmax: int | None = None):
     """Build the transpose interpolation ELL (grid rows). Returns
-    (ELLSoA((m2, n)), overflow COO triple or None). K is
-    min(max degree, k_cap); the overflow rides the lane operator's COO
-    remainder path. Raises only when even the CAPPED build would be
-    degenerate (max_k < 1) — kept for API symmetry."""
-    kmax = int(_degree_max(idx, w, m2))
-    K_T = max(1, min(kmax, min(max_k, k_cap)))
-    cols, vals, orow, ocol, oval, n_ovf = _transpose_tables(
+    (ELLSoA((m2, n)), overflow COO ((rows, cols, vals), count) or None,
+    per-chunk loads). K is min(max degree, k_cap); the overflow rides
+    the lane operator's COO remainder path. Pass `kmax` (the max grid
+    in-degree) when already known to skip the _degree_max program."""
+    if kmax is None:
+        kmax = int(_degree_max(idx, w, m2))
+    K_T = max(1, min(int(kmax), min(max_k, k_cap)))
+    cols, vals, orow, ocol, oval, n_ovf, loads = _transpose_tables(
         idx, w, n, m2, K_T)
     nr = int(n_ovf)
     coo = None
     if nr:
         L = min(max(128, 1 << (nr - 1).bit_length()), orow.shape[0])
         coo = (_ovf_slice(orow, ocol, oval, L), nr)
-    return ELLSoA(vals, cols, (m2, n)), coo
+    return ELLSoA(vals, cols, (m2, n)), coo, loads
 
 
 @jax.tree_util.register_pytree_node_class
@@ -279,12 +285,17 @@ class LaneAuxGrid:
         order = rank = None
         if perm is not None:
             order, rank = perm
-        idx_t, w = _prep_tables(aux.idx, aux.w, m, order)
+        idx_t, w, loads_p, kmax = _prep_tables(aux.idx, aux.w, m, order)
         P_ell = ELLSoA(w, idx_t, (n, m2))
-        P = LaneRoutedELL.from_ell(P_ell, rounds=rounds)
-        PT_ell, ovf = interp_transpose_ell(idx_t, w, n, m2, max_k=max_k,
-                                           k_cap=k_cap)
-        PT = LaneRoutedELL.from_ell(PT_ell, rounds=rounds)
+        K = int(aux.idx.shape[0])
+        P = LaneRoutedELL.from_ell(
+            P_ell, p_max=budgets_from_loads(loads_p, K), rounds=rounds)
+        PT_ell, ovf, loads_t = interp_transpose_ell(
+            idx_t, w, n, m2, max_k=max_k, k_cap=k_cap, kmax=int(kmax))
+        PT = LaneRoutedELL.from_ell(
+            PT_ell, p_max=budgets_from_loads(loads_t,
+                                             PT_ell.vals.shape[0]),
+            rounds=rounds)
         if ovf is not None:
             PT = _merge_rem(PT, ovf)
         return cls(P, PT, aux.dinv, aux.mg, aux.omega, aux.n_grid,
@@ -315,8 +326,18 @@ def _merge_rem(op, coo):
 def _prep_tables(idx, w, m, order):
     """Permute mesh side into strip order (optional) + transpose grid
     flat ids from x-major (i * m + j) to y-major (j * m + i) — one
-    program (eager ops are unusable on the remote-TPU harness)."""
+    program (eager ops are unusable on the remote-TPU harness). Also
+    piggybacks P's per-chunk loads and the grid in-degree max (saves
+    two more program compile-roulette spins)."""
     if order is not None:
         idx = idx[:, order]
         w = w[:, order]
-    return ((idx % m) * m + idx // m).astype(jnp.int32), w
+    idx_t = ((idx % m) * m + idx // m).astype(jnp.int32)
+    n = w.shape[1]
+    loads = _chunk_loads(idx_t, w, n)
+    m2 = m * m
+    g = idx_t.reshape(-1)
+    live = w.reshape(-1) != 0
+    cnt = jnp.zeros((m2 + 1,), jnp.int32).at[
+        jnp.where(live, g, m2)].add(1, mode="drop")
+    return idx_t, w, loads, jnp.max(cnt[:m2])

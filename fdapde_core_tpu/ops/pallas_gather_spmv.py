@@ -87,6 +87,16 @@ def _pack_claim(placed, t, m):
             | ((t + jnp.int32(1)) << 7) | m)
 
 
+def _pc_tuple(p_max):
+    """Normalize a pass budget to per-chunk form: int -> (p, p, p)."""
+    if isinstance(p_max, int):
+        return (p_max,) * C_CHUNKS
+    pc = tuple(int(v) for v in p_max)
+    if len(pc) != C_CHUNKS:
+        raise ValueError(f"p_max tuple must have {C_CHUNKS} entries")
+    return pc
+
+
 def _rounds_body(state9, placed, sp, tab, slots, P_MAX, R_PER, t0):
     """R_PER placement rounds (traced helper — callers fuse it into one
     bounded program; a 12-round full-size program ran past the ~60 s
@@ -105,7 +115,16 @@ def _rounds_body(state9, placed, sp, tab, slots, P_MAX, R_PER, t0):
       carry a (t+1) round prefix, so the current round's candidates
       always beat stale entries under max."""
     (ii, a, m, c, r2, rank, stride, live, gkey) = state9
-    SP = C_CHUNKS * P_MAX
+    PC = _pc_tuple(P_MAX)  # per-chunk sub-pass budgets (round 5)
+    SP = sum(PC)
+    pm_c = jnp.array(PC, jnp.int32)[c]
+    off_c = jnp.array((0, PC[0], PC[0] + PC[1]), jnp.int32)[c]
+    # CAPACITY FILTER: a (row, chunk) group has pm_c distinct sub-
+    # passes; tasks with rank >= pm_c never PROPOSE (they stay live —
+    # the finish program compacts live & ~placed into the remainder,
+    # so they ride the XLA path instead of silently vanishing or
+    # double-booking a position)
+    cap_ok = rank < pm_c
     NCELL = tab.shape[0] - 1
     NGRP = slots.shape[0] - 1
     key_base = (ii // TILE) * SP  # g * SP
@@ -113,10 +132,10 @@ def _rounds_body(state9, placed, sp, tab, slots, P_MAX, R_PER, t0):
     def one_round(k, st):
         placed, sp, tab, slots = st
         t = t0 + k
-        p_prop = (rank + t * stride) % P_MAX
-        prop_sp = c * P_MAX + p_prop
+        p_prop = (rank + t * stride) % pm_c
+        prop_sp = off_c + p_prop
         free_slot = (slots[gkey] >> p_prop) & 1 == 0
-        trying = live & ~placed & free_slot
+        trying = live & ~placed & free_slot & cap_ok
         spx = jnp.where(placed, sp, prop_sp)
         active = placed | trying
         packed = _pack_claim(placed, t, m)
@@ -145,7 +164,7 @@ def _reassert_claims(tab, ii, a, m, r2, live, placed, sp, P_MAX):
     later round's (t+1)-prefixed candidate would override the stale
     trying-value and steal the cell. One scatter-max fixes the invariant
     for every placed task at once."""
-    SP = C_CHUNKS * P_MAX
+    SP = sum(_pc_tuple(P_MAX))
     NCELL = tab.shape[0] - 1
     key_base = (ii // TILE) * SP
     cell = ((key_base + sp) * 128 + a) * 128 + r2
@@ -194,17 +213,21 @@ def _sched_phase1(cols, vals, n, K, P_MAX, R1):
                 jnp.int32)
         rank2d = rank2d.at[k].set(acc)
     rank = rank2d.reshape(-1)
-    # stride is UNIFORM within each (row, chunk) group: distinct ranks
-    # then stay distinct mod P_MAX in every round, so two tasks of the
-    # same row can never propose the same sub-pass — (sp, a, m) position
-    # uniqueness holds BY CONSTRUCTION and the rounds need only the
-    # stage-1 (sp, a, r2) claim check. (A per-task stride would need a
-    # second full-size claim table per round at 10M rows.)
-    stride = 1 + (ii * 7919 + c * 104729) % (P_MAX - 1)
+    # Proposing ranks lie in [0, pm_c) (the rounds' capacity filter
+    # keeps rank >= pm_c tasks out — they fall to the remainder) and
+    # are distinct mod pm_c for ANY uniform per-group stride: two tasks
+    # of the same row can never propose the same sub-pass — (sp, a, m)
+    # position uniqueness holds BY CONSTRUCTION and the rounds need
+    # only the stage-1 (sp, a, r2) claim check. (A per-task stride
+    # would need a second full-size claim table per round at 10M rows.)
+    PC = _pc_tuple(P_MAX)
+    SP = sum(PC)
+    pm_c = jnp.array(PC, jnp.int32)[c]
+    stride = 1 + (ii * 7919 + c * 104729) % jnp.maximum(pm_c - 1, 1)
     placed = jnp.zeros_like(live)
     sp = jnp.zeros_like(c)
     G = -(-n // TILE)
-    ncell = G * C_CHUNKS * P_MAX * 128 * 128
+    ncell = G * SP * 128 * 128
     tab = jnp.full((ncell + 1,), jnp.int32(-1))
     slots = jnp.zeros((n * C_CHUNKS + 1,), jnp.int32)
     gkey = ii * C_CHUNKS + c
@@ -298,7 +321,7 @@ def _sched_finish(state11, tab, slots, valsf, n, P_MAX, R_REST, t0, L):
 
     dtype_vals = valsf.dtype
     G = -(-n // TILE)
-    SP = C_CHUNKS * P_MAX
+    SP = sum(_pc_tuple(P_MAX))
     NCELL = G * SP * 128 * 128
     routed = placed & live
     key_base = (ii // TILE) * SP
@@ -334,6 +357,33 @@ def _sched_finish(state11, tab, slots, valsf, n, P_MAX, R_REST, t0, L):
     vals_idx = jnp.where(routed, idx_pos, NCELL).astype(jnp.int32)
     return (L1.reshape(G, SP, 128, 128), L2M.reshape(G, SP, 128, 128),
             VALS.reshape(G, SP, 128, 128), rtid, n_rem, vals_idx)
+
+
+def budgets_from_loads(loads, K: int):
+    """Per-chunk pass budgets from mean per-(row, chunk) loads: 2x load
+    + 4 slack, capped at K + 4 (a group never exceeds K tasks; the
+    measured-good 10.25M config IS K + 4 = 13 at center load 6.8) and
+    the 31-bit slot mask."""
+    return tuple(min(31, K + 4, max(2, int(2.0 * float(v)) + 4))
+                 for v in loads)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _chunk_loads(cols, vals, n):
+    """Mean live tasks per row per window chunk (three full reductions
+    — one small program; used by the auto per-chunk budget picker)."""
+    K = cols.shape[0]
+    colsf = cols.reshape(-1)
+    valsf = vals.reshape(-1)
+    ii = jnp.tile(jnp.arange(n, dtype=jnp.int32), K)
+    g = ii // TILE
+    w = colsf - (g - 1) * TILE
+    live = (valsf != 0.0) & (w >= 0) & (w < C_CHUNKS * TILE)
+    c = jnp.clip(w, 0, C_CHUNKS * TILE - 1) // TILE
+    return jnp.stack([
+        jnp.sum((live & (c == cc)).astype(jnp.float32)) / n
+        for cc in range(C_CHUNKS)
+    ])
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -384,17 +434,27 @@ def schedule_lane_routed(E: ELLSoA, p_max: int, rounds: int = 16,
     poor) + two tiny host fetches; the remainder is compacted to a COO
     triple of host-chosen static length.
 
-    p_max MUST exceed the ELL width K: sub-pass proposals of a (row,
-    chunk) group are its ranks (0..K-1 at most) shifted by a uniform
-    per-group stride mod p_max — distinct mod p_max only when p_max > K.
-    A smaller p_max silently double-books (sp, a, m) output positions
-    (two winners add into one accumulator cell: corrupt SpMV)."""
+    p_max is an int (uniform per-chunk budget) or a 3-tuple of
+    per-window-chunk budgets (round-5 packing: side chunks carry ~half
+    the center's tasks, and table DMA is the kernel's cost — smaller
+    side budgets cut it directly). Tasks whose within-(row, chunk) rank
+    reaches the chunk budget are CAPACITY-FILTERED to the COO remainder
+    before any round (safe for any budget >= 2); a uniform int p_max <=
+    K is still rejected — it would silently push up to (K - p_max)/K of
+    the matrix onto the slow XLA path."""
     K, n = E.vals.shape
-    if p_max <= K:
+    if isinstance(p_max, int) and p_max <= K:
         raise ValueError(
-            f"p_max={p_max} must exceed the ELL width K={K}: per-(row, "
-            "chunk) sub-pass proposals are only distinct mod p_max when "
-            "p_max > K (smaller values corrupt the routing tables)"
+            f"p_max={p_max} must exceed the ELL width K={K}: ranks >= "
+            "p_max are capacity-filtered to the XLA-path remainder — a "
+            "uniform budget this small would shift an O(1) fraction of "
+            "the matrix off the fast path (pass a per-chunk tuple to "
+            "pack side chunks tighter deliberately)"
+        )
+    if any(p < 2 or p > 31 for p in _pc_tuple(p_max)):
+        raise ValueError(
+            f"per-chunk budgets must lie in [2, 31], got {p_max} "
+            "(int32 slot-bitmask width)"
         )
     rounds = min(rounds, _MAX_ROUNDS)
     R1 = min(2, rounds)  # full-size rounds (~8-17 s each at 10.25M rows;
@@ -476,12 +536,14 @@ def _lane_gather(x, idx):
 
 def _spmv_kernel(xm1_ref, x0_ref, xp1_ref, l1_ref, l2_ref, v_ref, o_ref,
                  *, SP, P_MAX):
+    PC = _pc_tuple(P_MAX)
+    OFF = (0, PC[0], PC[0] + PC[1])
     chunks = (xm1_ref[0], x0_ref[0], xp1_ref[0])
     acc = jnp.zeros((128, 128), o_ref.dtype)
     for c in range(C_CHUNKS):
         Xc = chunks[c]
-        for p in range(P_MAX):
-            sp = c * P_MAX + p
+        for p in range(PC[c]):
+            sp = OFF[c] + p
             L1 = l1_ref[0, sp].astype(jnp.int32)
             A = _lane_gather(Xc, L1)  # A[r2, a]
             T = A.T  # T[a, r2]
@@ -589,19 +651,26 @@ class LaneRoutedELL:
         ~K*TILE/(TILE + 2B) tasks contend per stage-1 cell; the per-row
         rank bound (K tasks per (row, chunk)) dominates for wide bands."""
         if p_max is None:
-            if bandwidth is None:
-                from .window_spmv import window_bandwidth
-
-                bandwidth = int(window_bandwidth(E.cols))
+            # PER-CHUNK budgets (round 5): pm_c = 2 * mean-tasks-per-
+            # (row, chunk) + 4 slack. Slack +4 measured at 10.25M dofs /
+            # K=9 / B=7970: global 11 -> 13 cut the unrouted remainder
+            # 0.286% -> 0.0117% and the FULL SpMV 16.2 -> 8.7 ms (the
+            # XLA-path remainder dominated; extra table sub-passes cost
+            # only 1.2 ms) — benchmarks/micro_lane_spmv.py. Side chunks
+            # carry far fewer tasks than the center, and table DMA is
+            # the kernel's cost: pack them tighter.
             K = E.vals.shape[0]
-            contention = K * TILE / (TILE + 2 * min(bandwidth, TILE))
-            # slack term +4 (was +2): measured at 10.25M dofs / K=9 /
-            # B=7970, p_max 11 -> 13 cut the unrouted remainder 0.286%
-            # -> 0.0117% and the FULL SpMV 16.2 -> 8.7 ms (the XLA-path
-            # remainder dominated; the extra 6 table sub-passes cost
-            # only 1.2 ms) — benchmarks/micro_lane_spmv.py, round 5
-            p_max = min(31, max(K + 1, int(contention * 2) + 4))
-        if p_max > 31:
+            if bandwidth is not None:
+                # analytic loads for cols ~ uniform in [row-B, row+B]
+                # (no extra device program): P(center) = 1 - B/2T,
+                # P(each side) = B/4T
+                B = min(max(int(bandwidth), 1), TILE)
+                side = K * B / (4.0 * TILE)
+                loads = (side, K * (1.0 - B / (2.0 * TILE)), side)
+            else:
+                loads = _chunk_loads(E.cols, E.vals, E.shape[0])
+            p_max = budgets_from_loads(loads, K)
+        if max(_pc_tuple(p_max)) > 31:
             raise ValueError(
                 f"p_max={p_max} exceeds the int32 slot-bitmask width "
                 "(rows with > 30 entries: stay on the plain ELL path)"
@@ -630,7 +699,7 @@ class LaneRoutedELL:
         return op
 
     def __matmul__(self, v):
-        SP = C_CHUNKS * self.p_max
+        SP = sum(_pc_tuple(self.p_max))
         y = _spmv(v, self.L1, self.L2M, self.VALS, self.n, SP, self.p_max)
         rrows, rcols, rvals = self.rem
         return y.at[rrows].add(

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.matfree_soa import ELLSoA
-from ..ops.pallas_gather_spmv import TILE, C_CHUNKS, LaneRoutedELL, _spmv
+from ..ops.pallas_gather_spmv import (TILE, C_CHUNKS, LaneRoutedELL,
+                                      _pc_tuple, _spmv)
 
 __all__ = ["HaloLaneSolver"]
 
@@ -184,7 +185,7 @@ class HaloLaneSolver:
         mesh = self.device_mesh
         H, block, n_loc = self.H, self.block, self.n_loc
         nshards = self.P
-        SP = C_CHUNKS * self.p_max
+        SP = sum(_pc_tuple(self.p_max))
         p_max = self.p_max
         fwd = [(i, i + 1) for i in range(nshards - 1)]
         bwd = [(i + 1, i) for i in range(nshards - 1)]

@@ -39,7 +39,7 @@ def test_transpose_ell_adjoint():
     <P z, r> == <z, P^T r> for random vectors."""
     _, _, aux, nd = _mesh_aux(n_side=24)
     m = aux.n_grid + 1
-    PT, ovf = interp_transpose_ell(aux.idx, aux.w, nd, m * m)
+    PT, ovf, _loads = interp_transpose_ell(aux.idx, aux.w, nd, m * m)
     rng = np.random.default_rng(0)
     r = jnp.asarray(rng.standard_normal(nd), jnp.float32)
     z = jnp.asarray(rng.standard_normal(m * m), jnp.float32)
@@ -112,7 +112,8 @@ def test_transpose_cap_overflow_exact():
     built with a tiny cap still matches the reference apply)."""
     _, _, aux, nd = _mesh_aux(n_side=16)
     m = aux.n_grid + 1
-    PT, ovf = interp_transpose_ell(aux.idx, aux.w, nd, m * m, k_cap=1)
+    PT, ovf, _loads = interp_transpose_ell(aux.idx, aux.w, nd, m * m,
+                                           k_cap=1)
     assert ovf is not None
     rng = np.random.default_rng(6)
     r = jnp.asarray(rng.standard_normal(nd), jnp.float32)

@@ -305,3 +305,23 @@ def test_rectangular_near_square_operator():
     v = jnp.asarray(rng.standard_normal(n_src))
     np.testing.assert_allclose(np.asarray(op @ v), np.asarray(E @ v),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_per_chunk_budgets_parity_and_capacity_filter():
+    """Per-chunk pass budgets (round 5): an explicit tuple routes to
+    the same SpMV; a deliberately starved side budget stays EXACT via
+    the capacity filter (excess ranks -> COO remainder, no silent
+    double-booking)."""
+    E, bnd, nd = _scrambled_fem_ell(n_side=64, S=256, G=89)
+    v = jnp.asarray(np.random.default_rng(9).standard_normal(nd))
+    ref = np.asarray(E @ v)
+    op_t = LaneRoutedELL.from_ell(E, p_max=(6, 12, 6), rounds=12)
+    np.testing.assert_allclose(np.asarray(op_t @ v), ref, rtol=1e-13,
+                               atol=1e-13)
+    # starved: budgets below the per-row chunk counts
+    op_s = LaneRoutedELL.from_ell(E, p_max=(2, 3, 2), rounds=12)
+    assert op_s.n_remainder > op_t.n_remainder
+    np.testing.assert_allclose(np.asarray(op_s @ v), ref, rtol=1e-13,
+                               atol=1e-13)
+    with pytest.raises(ValueError, match=r"\[2, 31\]"):
+        LaneRoutedELL.from_ell(E, p_max=(1, 12, 6))
