@@ -1644,25 +1644,64 @@ def _gendel_metrics(small, sink):
     diag32 = jax.jit(
         lambda E_, b_: DirichletSystem(E_, b_).diagonal()
     )(E32, bnd)
-    aux = AuxGridPreconditioner.build_device((x, y), diag32)
+    from fdapde_core_tpu.ops.lane_aux import (
+        LaneAuxGrid,
+        lane_friendly_grid_n,
+    )
+
+    aux = AuxGridPreconditioner.build_device(
+        (x, y), diag32,
+        grid_n=lane_friendly_grid_n(nd) if not small else None)
     float(aux.dinv[0])
     sink.put(gendel_aux_build_s=round(time.time() - t0, 2))
+
+    # lane-routed aux stages (round 5): the refined solve was AUX-
+    # APPLY-BOUND on the P/P^T XLA gathers (~0.43 s/apply at 5.13M
+    # dofs); routing both through the lane kernel measured 34.7 ms
+    # per apply — converged 95.7 -> 45.8 s cold / 21.6 s warm
+    # (micro_lane_aux.py). Build only when the child has budget for
+    # build + cold solve; band-misaligned numberings raise and the
+    # XLA aux apply stays the solver.
+    la = None
+    remaining = ((sink.budget - (time.time() - sink.t0))
+                 if sink.budget else 1e9)
+    if not small and remaining > 170:
+        t0 = time.time()
+        try:
+            la = LaneAuxGrid.from_aux(aux)
+            pp = la.P.p_max
+            sink.put(
+                gendel_lane_aux_build_s=round(time.time() - t0, 2),
+                gendel_lane_aux_P_p_max=(list(pp) if isinstance(
+                    pp, tuple) else int(pp)),
+                gendel_lane_aux_rem=int(la.P.n_remainder
+                                        + la.PT.n_remainder))
+        except ValueError as e:
+            sink.put(gendel_lane_aux_rejected=str(e)[:100])
 
     rhs64 = jax.jit(
         lambda b_: jnp.where(b_, 0.0, 1.0).astype(jnp.float64) / nd
     )(bnd)
+    pre = la if la is not None else aux
     t0 = time.time()
     xs, its, rel = _lane_refined_solve(
-        E64, lane, bnd, aux, rhs64, None, 1e-8, 400, 16,
+        E64, lane, bnd, pre, rhs64, None, 1e-8, 400, 16,
         on_chunk=lambda k, r: sink.put(gendel_progress=int(k)))
-    # single (cold) run: the r5 probe measured cold 95.7 s vs warm
-    # 70.4 s at 5.13M dofs — the solve is aux-apply-bound (the P/P^T
-    # XLA gathers, ~0.5 s/iter), not compile-bound, so a warm rerun
-    # buys little signal for its ~70 s. Probe capture in BENCH_NOTES.
     sink.put(gendel_converged_cold_s=round(time.time() - t0, 2),
              gendel_converged_iters=int(its),
              gendel_converged_true_rel_res=float(rel),
-             gendel_section_s=round(time.time() - t_sec, 1))
+             gendel_converged_aux=("lane" if la is not None else "xla"))
+    remaining = ((sink.budget - (time.time() - sink.t0))
+                 if sink.budget else 1e9)
+    if la is not None and remaining > 45:
+        # warm rerun: with the lane aux stages the whole converged
+        # solve is ~22 s — the quotable amortized number
+        t0 = time.time()
+        xs2, its2, rel2 = _lane_refined_solve(
+            E64, lane, bnd, la, rhs64, None, 1e-8, 400, 16)
+        sink.put(gendel_converged_warm_s=round(time.time() - t0, 2),
+                 gendel_converged_warm_true_rel_res=float(rel2))
+    sink.put(gendel_section_s=round(time.time() - t_sec, 1))
 
 
 def _genscat_metrics(small, sink):

@@ -24,6 +24,7 @@ from fdapde_core_tpu.ops.matfree_soa import (
 from fdapde_core_tpu.ops.pallas_gather_spmv import (
     C_CHUNKS,
     LaneRoutedELL,
+    _pc_tuple,
     _spmv,
 )
 
@@ -80,13 +81,14 @@ def main():
     del E32
     v = jnp.ones(ND, jnp.float32)
 
-    for p_max in (11, 13):
+    for p_max in (13, None):
         t0 = time.time()
         lane = LaneRoutedELL.from_ell(E_sc, p_max=p_max, bandwidth=7970)
+        p_max = lane.p_max  # auto: per-chunk tuple (round 5)
         print(f"p_max={p_max}: setup {time.time() - t0:.1f} s, "
               f"rem={lane.n_remainder} "
               f"({lane.n_remainder / (K * ND):.4%})", flush=True)
-        SP = C_CHUNKS * p_max
+        SP = sum(_pc_tuple(p_max))
 
         @jax.jit
         def kern_only(v, ln, eps):
