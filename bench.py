@@ -94,7 +94,7 @@ GATES = {"structured": 10**9, "genscat": 420, "genp2": 1100,
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 200, "spacetime": 140,
         "gen10m": 340, "gen3d": 380, "genscat": 430, "genp2": 300,
-        "gendel": 380}
+        "gendel": 430}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
               "gendel": 400}
@@ -1528,7 +1528,7 @@ def _gendel_metrics(small, sink):
 
     from fdapde_core_tpu.fem.solvers import DirichletSystem
     from fdapde_core_tpu.geometry.refine_device import (
-        strip_order,
+        strip_order_binned,
         uniform_refine_device,
     )
     from fdapde_core_tpu.linear_algebra.solvers import cg_chunked
@@ -1578,9 +1578,18 @@ def _gendel_metrics(small, sink):
 
     POP = 64 if small else 5000  # strip population: bandwidth ~2.5*POP
     t0 = time.time()
-    order, rank = strip_order(x, y, POP)
-    x, y, bnd = x[order], y[order], bnd[order]
-    c0, c1, c2 = rank[c0], rank[c1], rank[c2]
+    order, rank = strip_order_binned(x, y, POP)
+
+    # ONE fused permute program (the five separate gather ops each paid
+    # their own first-exec roulette spin — measured 102 s total in a
+    # bad window)
+    @jax.jit
+    def permute_all(x, y, bnd, c0, c1, c2, order, rank):
+        return (x[order], y[order], bnd[order], rank[c0], rank[c1],
+                rank[c2])
+
+    x, y, bnd, c0, c1, c2 = permute_all(x, y, bnd, c0, c1, c2, order,
+                                        rank)
     jax.block_until_ready(c2)
     sink.put(gendel_reorder_s=round(time.time() - t0, 2))
 

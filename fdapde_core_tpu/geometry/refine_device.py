@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["device_edges", "refine_once", "uniform_refine_device",
-           "strip_order"]
+           "strip_order", "strip_order_binned"]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -145,5 +145,36 @@ def strip_order(x, y, pop: int):
     ranky = jnp.zeros((n,), jnp.int32).at[yi].set(iota)
     strip = ranky // pop
     _, _, order = jax.lax.sort((strip, x, iota), num_keys=2)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(iota)
+    return order, rank
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def strip_order_binned(x, y, pop: int):
+    """Uniform-bin strip renumbering: ONE single-key sort instead of
+    `strip_order`'s y-rank sort + 2-key sort (measured ~100 s at 5.13M
+    nodes on the TPU harness — sorts dominate the renumbering stage).
+
+    Strips are uniform y-intervals of expected population `pop` (exact
+    equal population only for uniform node densities — the device-grown
+    refined meshes); the composite key strip + x_normalized in [0, 1)
+    orders by (strip, x) in one pass. Callers that need a bandwidth
+    GUARANTEE on non-uniform densities use `strip_order`; either way
+    the achieved operator bandwidth is measured downstream before any
+    windowed kernel is built."""
+    n = x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    S = max(1, n // pop)
+    ylo, yhi = jnp.min(y), jnp.max(y)
+    xlo, xhi = jnp.min(x), jnp.max(x)
+    yn = (y - ylo) / jnp.maximum(yhi - ylo, 1e-300)
+    strip = jnp.clip((yn * S).astype(jnp.int32), 0, S - 1)
+    xn = jnp.clip((x - xlo) / jnp.maximum(xhi - xlo, 1e-300), 0.0,
+                  1.0 - 1e-12)
+    # int32 composite key (x quantized to 14 bits — ties within a
+    # 1/16384 x-slice order arbitrarily, irrelevant to bandwidth);
+    # requires S < 2^17, i.e. pop >= n / 131072
+    key = strip * 16384 + (xn * 16384.0).astype(jnp.int32)
+    _, order = jax.lax.sort((key, iota), num_keys=1)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(iota)
     return order, rank

@@ -140,3 +140,31 @@ def test_strip_order_bandwidth_and_parity():
     assert bool(info.converged) and bool(infop.converged)
     np.testing.assert_allclose(np.asarray(up), np.asarray(u)[
         np.asarray(order)], atol=1e-9)
+
+
+def test_strip_order_binned_bijection_and_bandwidth():
+    """The single-sort binned variant (round 5: the 3-sort strip_order
+    measured ~100 s at 5.13M nodes) is a valid permutation with a
+    comparable bandwidth bound on uniform-density meshes."""
+    from fdapde_core_tpu.geometry.refine_device import strip_order_binned
+
+    n = 16
+    x, y, c0, c1, c2, bnd = irregular_mesh_device_soa(
+        n, 0.2, dtype=jnp.float64)
+    x, y, c0, c1, c2, bnd = uniform_refine_device(
+        x, y, c0, c1, c2, bnd, 1)
+    nd = x.shape[0]
+    pop = 64
+    order, rank = strip_order_binned(x, y, pop)
+    assert np.array_equal(np.sort(np.asarray(order)), np.arange(nd))
+    np.testing.assert_array_equal(np.asarray(rank)[np.asarray(order)],
+                                  np.arange(nd))
+    c0p, c1p, c2p = rank[c0], rank[c1], rank[c2]
+    bw = int(max(
+        np.abs(np.asarray(c0p) - np.asarray(c1p)).max(),
+        np.abs(np.asarray(c0p) - np.asarray(c2p)).max(),
+        np.abs(np.asarray(c1p) - np.asarray(c2p)).max(),
+    ))
+    # uniform density: strip populations ~pop, neighbors within
+    # adjacent strips (slack 4x for bin-boundary effects)
+    assert bw <= 4 * pop, bw
