@@ -1593,7 +1593,8 @@ def _gendel_metrics(small, sink):
     jax.block_until_ready(c2)
     sink.put(gendel_reorder_s=round(time.time() - t0, 2))
 
-    MAXDEG = 24
+    MAXDEG = 12  # planar max cell-degree measured 9; 24 paid a
+    # (24, n) adjacency table for nothing
     t0 = time.time()
 
     @jax.jit
@@ -1613,7 +1614,10 @@ def _gendel_metrics(small, sink):
     MAXC = maxdeg + 2  # distinct columns per row <= 1 + max neighbors;
     # cell-incidence degree bounds neighbor count on planar meshes
     t0 = time.time()
-    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=2 if small else 8)
+    # blocks=2: each block program pays its own first-exec roulette
+    # spin; at 5.13M rows a 2.6M-row block executes in ~5 s (watchdog-
+    # safe), so fewer spins beat finer chunking
+    E64, overe = ell_from_op_blocked(op64, MAXC, blocks=2)
     int(overe)
     assert not bool(overe)
     sink.put(gendel_ell_convert_s=round(time.time() - t0, 2))
@@ -1674,7 +1678,11 @@ def _gendel_metrics(small, sink):
     la = None
     remaining = ((sink.budget - (time.time() - sink.t0))
                  if sink.budget else 1e9)
-    if not small and remaining > 170:
+    # 130 s: lane-aux build ~90 + cold converged ~45 on the good path —
+    # at equal remaining budget it is the better gamble than the ~130 s
+    # XLA-aux cold solve (rehearsed: the XLA path burned 134 s to
+    # iteration 152 without converging)
+    if not small and remaining > 130:
         t0 = time.time()
         try:
             la = LaneAuxGrid.from_aux(aux)
