@@ -302,21 +302,21 @@ class LaneAuxGrid:
                    order=order, rank=rank)
 
 
+@jax.jit
+def _cat_rem(rem, triple):
+    rr, rc, rv = rem
+    orow, ocol, oval = triple
+    return (jnp.concatenate([rr, orow]),
+            jnp.concatenate([rc, ocol]),
+            jnp.concatenate([rv, oval.astype(rv.dtype)]))
+
+
 def _merge_rem(op, coo):
     """Append a COO triple to a LaneRoutedELL's remainder (one tiny
     program): the transpose-cap overflow rides the same XLA scatter-add
     path as unrouted tasks."""
-
-    @jax.jit
-    def cat(rem, coo):
-        rr, rc, rv = rem
-        orow, ocol, oval = coo
-        return (jnp.concatenate([rr, orow]),
-                jnp.concatenate([rc, ocol]),
-                jnp.concatenate([rv, oval.astype(rv.dtype)]))
-
     triple, nr = coo
-    out = LaneRoutedELL(op.L1, op.L2M, op.VALS, cat(op.rem, triple),
+    out = LaneRoutedELL(op.L1, op.L2M, op.VALS, _cat_rem(op.rem, triple),
                         op._diag, op.n, op.p_max, n_src=op.n_src)
     out.n_remainder = op.n_remainder + nr
     return out
