@@ -95,7 +95,7 @@ GATES = {"structured": 10**9, "genscat": 420, "genp2": 1100,
 # a WEDGED first request burns the whole cap - keep structured's tight so
 # one wedge cannot starve the later groups)
 CAPS = {"structured": 420, "general": 200, "spacetime": 140,
-        "gen10m": 340, "gen3d": 380, "genscat": 430, "genp2": 300,
+        "gen10m": 340, "gen3d": 380, "genscat": 430, "genp2": 360,
         "gendel": 480}
 CAPS_SMALL = {"structured": 900, "general": 500, "spacetime": 500,
               "gen10m": 500, "gen3d": 400, "genscat": 500, "genp2": 400,
@@ -1912,6 +1912,20 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
              gen10m_scat_converged_iters=int(its),
              gen10m_scat_converged_true_rel_res=float(rel))
 
+    # fixed-iteration CG rate on the lane kernel (the r04 record stage).
+    # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8
+    # f32 iters/s, r5 probe: the per-pass upcast eats the table-DMA
+    # saving — dropped; negative result recorded in BENCH_NOTES.)
+    sys_l = DirichletSystem(lane, bnd_s)
+    ITERS_LN = ITERS_SC if small else 40
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t0 = time.time()
+    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
+    t_it = (time.time() - t0) / ITERS_LN
+    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
+             gen10m_scat_gbps=round(
+                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
+
     # parabolic stepping on the scattered topology via SCHEDULE REUSE:
     # the implicit-Euler system S = A + M_lump/dt shares A's sparsity,
     # so with_vals rebuilds only the value tables (two scatters) —
@@ -1950,20 +1964,6 @@ def _scattered_control(sink, box, x, y, bnd, ml, n, n_dofs, MAXC, CH,
     sink.put(gen10m_scat_parabolic_steps_per_s=round(
         STEPS / (time.time() - t0), 2),
              gen10m_scat_parabolic_iters_per_step=round(tot_it / STEPS, 1))
-
-    # fixed-iteration CG rate on the lane kernel (the r04 record stage).
-    # (A bf16-table variant measured a WASH on hardware — 46.4 vs 45.8
-    # f32 iters/s, r5 probe: the per-pass upcast eats the table-DMA
-    # saving — dropped; negative result recorded in BENCH_NOTES.)
-    sys_l = DirichletSystem(lane, bnd_s)
-    ITERS_LN = ITERS_SC if small else 40
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t0 = time.time()
-    cg_chunked(sys_l, rhs_sc, rtol=0.0, maxiter=ITERS_LN, chunk=4 * CH)
-    t_it = (time.time() - t0) / ITERS_LN
-    sink.put(gen10m_scat_cg_iters_per_s=round(1.0 / t_it, 2),
-             gen10m_scat_gbps=round(
-                 (MAXC * 12 + 10 * 4) * n_dofs / t_it / 1e9, 1))
 
 
 
