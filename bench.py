@@ -1512,11 +1512,16 @@ def _genp2_metrics(small, sink):
     sink.put(gen_p2_solve_cold_s=round(time.time() - t0, 2),
              gen_p2_iters=int(it2),
              gen_p2_true_rel_res=float(rel2))
-    t0 = time.time()
-    xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6,
-                                on_chunk=prog)
-    sink.put(gen_p2_solve_s=round(time.time() - t0, 2),
-             genp2_section_s=round(time.time() - t_sec, 1))
+    remaining = ((sink.budget - (time.time() - sink.t0))
+                 if sink.budget else 1e9)
+    if remaining > 100:  # warm rerun is a luxury: the setup's compile
+        # roulette swings 143-316 s (measured, healthy worker) and the
+        # cold witness above is the capture that matters
+        t0 = time.time()
+        xs, it2, rel2 = model.solve(b2, rtol=1e-8, maxiter=200, chunk=6,
+                                    on_chunk=prog)
+        sink.put(gen_p2_solve_s=round(time.time() - t0, 2))
+    sink.put(genp2_section_s=round(time.time() - t_sec, 1))
 
 
 
